@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.util.OracleSafe._
+
+/** Relational core: scans, projection/filter pushdown, joins of every flavor,
+  * aggregation (plain / distinct / rollup / cube / conditional), window
+  * functions, sorts/top-k, set ops, scalar function families.
+  *
+  * The reference exposes these capability classes only as "whatever the user
+  * script does to the dict batch" (SURVEY.md §2.3); here each is a first-class
+  * declarative operator so Catalyst gets pushdown/pruning/codegen. Every query
+  * orders its output deterministically (full tie-break) and routes aggregated
+  * doubles through OracleSafe so the DuckDB comparison is exact.
+  */
+object CoreQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation over a pushed-down scan (TPC-H Q1 shape) ----
+    QueryDef("q01_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |${sqlDsum("l_quantity")} AS sum_qty,
+        |${sqlDsum("l_extendedprice")} AS sum_base_price,
+        |${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        |${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        |${sqlDavg("l_quantity")} AS avg_qty,
+        |${sqlDavg("l_extendedprice")} AS avg_price,
+        |${sqlDavg("l_discount")} AS avg_disc,
+        |COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- projection + predicate pushdown to the parquet scan ----
+    QueryDef("q02_filter_project",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between(
+          to_timestamp(lit("1996-01-01 00:00:00")), to_timestamp(lit("1996-12-31 23:59:59")))
+          && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        |  AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- equi-join chain, small dim broadcast ----
+    QueryDef("q03_join_revenue_by_segment",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment,
+        |${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- semi join (EXISTS) ----
+    QueryDef("q04_semi_join_late_orders",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        o.join(li, col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- anti join (NOT EXISTS) ----
+    QueryDef("q05_anti_join_idle_customers",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("n_name"),
+      Some(s"""SELECT n_name, COUNT(*) AS n_customers, ${sqlDsum("c_acctbal")} AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)),
+
+    // ---- star join across the whole dimension chain (TPC-H Q5 shape) ----
+    QueryDef("q06_star_join_region_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("n_name"),
+      Some(s"""SELECT n_name,
+        |${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)),
+
+    // ---- global top-k (TakeOrderedAndProject, no full sort at scale) ----
+    QueryDef("q07_global_topk_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin)),
+
+    // ---- ranking window: top-3 per group ----
+    QueryDef("q08_topk_per_supplier",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        Tables.lineitem(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""SELECT l_suppkey, CAST(rn AS INTEGER) AS rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // ---- analytic window: running sum + lag delta ----
+    QueryDef("q09_running_supplier_quantity",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val ord = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, dir)
+          .withColumn("running_qty",
+            sum(col("l_quantity").cast(DecimalType(25, 10))).over(run).cast("double"))
+          .withColumn("delta_price", col("l_extendedprice") - lag("l_extendedprice", 1).over(ord))
+          .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty", "delta_price")
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  l_extendedprice - LAG(l_extendedprice, 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS delta_price
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- rollup hierarchy ----
+    QueryDef("q10_rollup_returns",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- cube ----
+    QueryDef("q11_cube_order_status",
+      (s, dir) => Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ---- set operations ----
+    QueryDef("q12_setops_customer_cohorts",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def keys(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+        val a = keys(1996); val b = keys(1997)
+        val both   = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("cohort", lit("both"))
+        val only96 = a.except(b).agg(count(lit(1)).as("n")).withColumn("cohort", lit("only_1996"))
+        val any    = a.union(b).distinct().agg(count(lit(1)).as("n")).withColumn("cohort", lit("any"))
+        both.union(only96).union(any).select("cohort", "n").orderBy("cohort")
+      },
+      Some("""SELECT 'both' AS cohort, COUNT(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |UNION ALL
+        |SELECT 'only_1996', COUNT(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |UNION ALL
+        |SELECT 'any', COUNT(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |ORDER BY cohort""".stripMargin)),
+
+    // ---- distinct aggregation ----
+    QueryDef("q13_distinct_counts",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |COUNT(DISTINCT l_partkey) AS n_parts,
+        |COUNT(DISTINCT l_suppkey) AS n_supps,
+        |COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- string function family ----
+    QueryDef("q14_string_functions",
+      (s, dir) => Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 12).as("name_pre"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          lpad(col("p_brand"), 12, ".").as("brand_pad"),
+          trim(col("p_name")).as("name_trim"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        |upper(p_brand) AS brand_u,
+        |lower(p_type) AS type_l,
+        |substring(p_name, 1, 12) AS name_pre,
+        |CAST(length(p_name) AS INTEGER) AS name_len,
+        |regexp_replace(p_type, ' ', '_', 'g') AS type_us,
+        |p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size,
+        |regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |lpad(p_brand, 12, '.') AS brand_pad,
+        |trim(p_name) AS name_trim
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- date/time function family ----
+    QueryDef("q15_datetime_functions",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("y"),
+                 quarter(col("o_orderdate")).as("q"),
+                 month(col("o_orderdate")).as("m"),
+                 date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("y", "q", "m"),
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |CAST(month(o_orderdate) AS INTEGER) AS m,
+        |date_trunc('month', o_orderdate) AS month_start,
+        |COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+        |FROM orders
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY y, q, m""".stripMargin)),
+
+    // ---- math function family (per-row, IEEE-deterministic) ----
+    QueryDef("q16_math_functions",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          // libm ln differs between engines in the last ulp; round well above it
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          pow(col("l_discount") + 1, 2).as("disc_sq"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          round(col("l_extendedprice"), 2).as("price_r2"),
+          ceil(col("l_quantity") / 7).as("qty_ceil7"),
+          floor(col("l_extendedprice") / 1000).as("price_k"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |sqrt(l_quantity) AS sqrt_qty,
+        |round(ln(l_extendedprice), 6) AS ln_price,
+        |power(l_discount + 1, 2) AS disc_sq,
+        |abs(l_discount - 0.05) AS abs_disc,
+        |least(l_tax, l_discount) AS min_rate,
+        |greatest(l_tax, l_discount) AS max_rate,
+        |round(l_extendedprice, 2) AS price_r2,
+        |CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+        |CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- conditional aggregation ----
+    QueryDef("q17_conditional_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          dsum(when(col("l_returnflag") === "R",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0)).as("returned_revenue"),
+          count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"),
+          count(lit(1)).as("n_total"))
+        .orderBy("l_linestatus"),
+      Some(s"""SELECT l_linestatus,
+        |${sqlDsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS returned_revenue,
+        |COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+        |COUNT(*) AS n_total
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin))
+  )
+}

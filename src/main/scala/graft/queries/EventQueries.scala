@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.ops.{CoreOps, FilterConfig}
+import graft.util.OracleSafe._
+
+/** The events table is the reading-stream analog (FIXTURES.md §B):
+  * event_type ≈ asset key, value ≈ datapoint, props ≈ JSON payload. These
+  * queries re-express the reference's own computations (E1 scale/offset, E4
+  * allowlist — SURVEY.md §2.2) plus the time-series surface the reference
+  * leaves script-expressible: tumbling/sliding windows, sessionization,
+  * as-of enrichment joins, JSON extraction.
+  */
+object EventQueries {
+
+  private val cfg = FilterConfig() // reference defaults scale=5, offset=10
+  private val allowedAssets = Seq("view", "click", "purchase")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- flagship: E1 affine + E4 allowlist + tumbling 1h aggregate ----
+    QueryDef("q18_scale_offset_hourly",
+      (s, dir) => Tables.events(s, dir)
+        .transform(CoreOps.guarded(cfg, df =>
+          df.transform(CoreOps.scaleOffset(Seq("value"), cfg.scale, cfg.offset))
+            .transform(CoreOps.assetFilter("event_type", allowedAssets))))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(davg(col("value")).as("avg_scaled"),
+             dsum(col("value")).as("sum_scaled"),
+             count(lit(1)).as("n"))
+        .orderBy("hour", "event_type"),
+      Some(s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+        |${sqlDavg("value * 5.0 + 10.0")} AS avg_scaled,
+        |${sqlDsum("value * 5.0 + 10.0")} AS sum_scaled,
+        |COUNT(*) AS n
+        |FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin)),
+
+    // ---- E2 add-constant + per-asset stats (readings35.py semantics) ----
+    QueryDef("q19_add_constant_stats",
+      (s, dir) => Tables.events(s, dir)
+        .transform(CoreOps.addConstant(Seq("value"), cfg.addend))
+        .groupBy("event_type")
+        .agg(min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+             davg(col("value")).as("avg_v"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type,
+        |min(value + 100.0) AS min_v, max(value + 100.0) AS max_v,
+        |${sqlDavg("value + 100.0")} AS avg_v, COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- JSON datapoint extraction (props ≈ the reference's JSON config/payload) ----
+    QueryDef("q20_json_extract_props",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), davg(col("k")).as("avg_k"),
+             countDistinct(col("k")).as("n_distinct_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)) AS avg_k,
+        |COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
+        |COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- sessionization: 30-min-gap sessions via analytic windows ----
+    QueryDef("q21_sessionize_users",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull
+              || col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1).otherwise(0))
+          .withColumn("session_id", sum("new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min(col("ts")).as("session_start"),
+               max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |           OR epoch(ts) - epoch(LAG(ts, 1) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- as-of join: latest order at or before each event, per user ----
+    // Spark lacks a native as-of join; the scalable pattern is the
+    // union-merge: tag both sides, one shuffle on the key, one ordered
+    // window pass carrying the last order attributes forward
+    // (no per-row subquery, no range explosion).
+    QueryDef("q22_asof_join_last_order",
+      (s, dir) => {
+        val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val o = Tables.orders(s, dir)
+          .withColumn("rd", row_number().over(dedupW)).filter(col("rd") === 1)
+          .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+            col("o_orderkey"), col("o_totalprice"),
+            lit(null).cast("long").as("event_id"), lit(0).as("side"))
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts").as("t"),
+            lit(null).cast("long").as("o_orderkey"),
+            lit(null).cast("double").as("o_totalprice"),
+            col("event_id"), lit(1).as("side"))
+        val merged = Window.partitionBy("user_id")
+          .orderBy(col("t").asc, col("side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionByName(e)
+          .withColumn("last_orderkey", last("o_orderkey", ignoreNulls = true).over(merged))
+          .withColumn("last_totalprice", last("o_totalprice", ignoreNulls = true).over(merged))
+          .filter(col("side") === 1)
+          .select(col("event_id"), col("user_id"), col("t").as("ts"),
+            col("last_orderkey"), col("last_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |          ORDER BY o_orderkey DESC) AS rd FROM orders)
+        |  WHERE rd = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- sliding windows (1h window, 30m slide), epoch-aligned like Spark's window() ----
+    QueryDef("q23_sliding_window_value",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("avg_value"))
+        .orderBy("win_start", "event_type"),
+      Some(s"""WITH slid AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM events)
+        |SELECT win_start, event_type, COUNT(*) AS n, ${sqlDavg("value")} AS avg_value
+        |FROM slid
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---- scalar subquery: events above the global mean value ----
+    QueryDef("q24_above_global_mean",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val mean = e.agg(davg(col("value")).as("mean_v"))
+        e.crossJoin(broadcast(mean))
+          .filter(col("value") > col("mean_v"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_above"), max(col("value")).as("max_v"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_above, max(value) AS max_v
+        |FROM events
+        |WHERE value > (SELECT ${sqlDavg("value")} FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- variant-map Reading model round-trip: faithful mode transform ----
+    // events → Dataset[Reading] (dynamic map) → scaleOffsetMap (E1 on every
+    // numeric datapoint, transform_values) → explode back to rows.
+    QueryDef("q25_reading_map_roundtrip",
+      (s, dir) => {
+        val readings = graft.model.Reading.fromEvents(Tables.events(s, dir)).toDF()
+        readings
+          .transform(CoreOps.scaleOffsetMap(cfg.scale, cfg.offset))
+          .transform(CoreOps.dropEmptyReadings)
+          .select(col("id").as("event_id"), col("assetCode").as("event_type"),
+            explode(col("reading")).as(Seq("dp_name", "dp_value")))
+          .select(col("event_id"), col("event_type"), col("dp_name"),
+            coalesce(col("dp_value.doubleV"),
+                     col("dp_value.longV").cast("double")).as("dp_num"))
+          .orderBy("event_id", "dp_name")
+      },
+      Some("""WITH exploded AS (
+        |  SELECT event_id, event_type, 'user_id' AS dp_name,
+        |    CAST(CAST(user_id AS BIGINT) * 5 + 10 AS DOUBLE) AS dp_num FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, 'value', value * 5.0 + 10.0 FROM events)
+        |SELECT event_id, event_type, dp_name, dp_num
+        |FROM exploded
+        |ORDER BY event_id, dp_name""".stripMargin))
+  )
+}

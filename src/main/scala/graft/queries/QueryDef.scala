@@ -1,0 +1,13 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine capability: a Spark query over the test corpus and,
+  * when SQL-expressible, its DuckDB oracle twin. Column names and row
+  * ordering must agree exactly between the two (the driver sorts columns by
+  * name and hashes values — see the builder contract in SparkEntry).
+  */
+case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

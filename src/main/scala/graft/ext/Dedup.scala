@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash (SURVEY.md §2.3 north-star extensions).
+  *
+  * Scale design: no operator here ever builds an unblocked cross join. Pair
+  * generation is always via an equi-join on a blocking key (shared shingle,
+  * LSH band signature, SimHash band), so the shuffle is keyed and the pair
+  * space stays proportional to true collisions, not |docs|².
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical key column. One
+    * hash-aggregate shuffle on the key — the 100 TB-safe formulation of
+    * `dropDuplicates` with a deterministic survivor.
+    */
+  def exactKeepMin(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-k-shingle sets per document: (id, shingle_set, set_size). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("sid"),
+        TextAnalysis.shingleSet(col(textCol), k).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+
+  /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
+    * Pairs are generated only for documents sharing at least one shingle
+    * (equi-join on the shingle), then scored exactly from the intersection
+    * count — the inverted-index formulation; never |docs|².
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val ex = sets.select(col("sid"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = ex.select(col("sid").as("i"), col("n_sh").as("na"), col("s"))
+    val b = ex.select(col("sid").as("j"), col("n_sh").as("nb"), col("s"))
+    a.join(b, a("s") === b("s") && col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  // MinHash universe: Mersenne prime 2^31-1 keeps a*x+b within Long range.
+  private val MinhashPrime = 2147483647L
+
+  /** Deterministic affine hash family ((a*x + b) mod p), seeded. */
+  private def hashFamily(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 61-bit integer hash of a string via md5 (stable across engines/sessions,
+    * unlike hashCode or xxhash seeds): first 15 hex chars parsed base-16.
+    */
+  def stableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures: for each doc, the min of each affine hash over its
+    * shingle set. One explode + one hash-aggregate; signature width
+    * `numHashes` columns (all codegen'd min-aggregates).
+    */
+  def minhashSignatures(sets: DataFrame, numHashes: Int, seed: Long): DataFrame = {
+    val fams = hashFamily(numHashes, seed)
+    val ex = sets.select(col("sid"), col("n_sh"), explode(col("sh")).as("s"))
+      .withColumn("hb", pmod(stableHash(col("s")), lit(MinhashPrime)))
+    val aggs = fams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
+    }
+    ex.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded signatures: docs agreeing on ALL rows of
+    * at least one band. Blocking key = (band index, band signature) — a plain
+    * equi-join, skew-safe because a band bucket only holds near-identical
+    * signatures.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { k =>
+      val rows = (0 until rowsPerBand).map(r => col(s"m${k * rowsPerBand + r}").cast("string"))
+      struct(lit(k).as("band"), concat_ws(",", rows: _*).as("sig"))
+    }
+    val banded = sigs.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
+    val l = banded.select(col("sid").as("i"), col("bk"))
+    val r = banded.select(col("sid").as("j"), col("bk"))
+    l.join(r, l("bk") === r("bk") && col("i") < col("j"))
+      .select("i", "j").distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact verification: LSH proposes, exact
+    * Jaccard over the shingle sets disposes. Output identical to
+    * [[ngramJaccardPairs]] whenever LSH recall holds (b/r chosen so the miss
+    * probability at `threshold` is negligible: 32 bands × 2 rows ⇒
+    * P(miss | s=0.5) = (1-0.25)^32 ≈ 1e-4, and ~0 for s ≥ 0.7).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                      threshold: Double, numHashes: Int = 64, bands: Int = 32,
+                      seed: Long = 42L): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k).cache()
+    val sigs = minhashSignatures(sets, numHashes, seed)
+    val cands = lshCandidates(sigs, bands, numHashes / bands)
+    val ai = sets.select(col("sid").as("i"), col("sh").as("sh_i"), col("n_sh").as("na"))
+    val bj = sets.select(col("sid").as("j"), col("sh").as("sh_j"), col("n_sh").as("nb"))
+    cands.join(ai, "i").join(bj, "j")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  val SimhashBits = 60 // stableHash yields 60 usable bits (15 hex chars)
+
+  /** Term-frequency-weighted SimHash (60-bit). Per token: ±count per bit
+    * position of the token's stable hash; sign of each accumulated position
+    * becomes the fingerprint bit. Two aggregate passes, fully codegen'd.
+    */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("sid"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("sid", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", stableHash(col("w")))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val perDoc = tf.groupBy("sid").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until SimhashBits).map { b =>
+      when(col(s"s$b") >= 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    perDoc.select(col("sid"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
+    * pigeonhole banding: split the fingerprint into (maxHamming+1) bands; any
+    * pair within the distance budget must agree exactly on >= 1 band, so the
+    * band equi-join has PERFECT recall (not probabilistic), then the full
+    * Hamming check filters.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandWidth = SimhashBits / nBands
+    val sigs = simhashes(docs, idCol, textCol)
+    val bandCols = (0 until nBands).map { k =>
+      val mask = ((1L << bandWidth) - 1) << (k * bandWidth)
+      struct(lit(k).as("band"), col("simhash").bitwiseAND(mask).as("sig"))
+    }
+    val banded = sigs.select(col("sid"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+    val l = banded.select(col("sid").as("i"), col("simhash").as("f_i"), col("bk"))
+    val r = banded.select(col("sid").as("j"), col("simhash").as("f_j"), col("bk"))
+    l.join(r, l("bk") === r("bk") && col("i") < col("j"))
+      .select(col("i"), col("j"), bit_count(col("f_i").bitwiseXOR(col("f_j"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.3 north-star): cosine top-k and
+  * near-dup over `Array[Float]` embedding columns.
+  *
+  * Numeric discipline: all arithmetic in double (cast once), dot products as
+  * a left-to-right sequential fold — bit-identical to the DuckDB oracle's
+  * list_dot_product over DOUBLE[].
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the corpus — no shuffle at all, embarrassingly parallel, the right
+  * baseline even at 100 TB when the query set fits in memory. The bucketed
+  * LSH path bounds candidate generation via an equi-join on signature when
+  * the query set itself is huge.
+  */
+object Similarity {
+
+  /** Cast a float array column to double once, up front. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine = dot/(|a|·|b|) with the exact association the oracle uses. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded), ties broken by neighbor id. Query side is
+    * broadcast → BroadcastNestedLoopJoin, corpus side never shuffles until
+    * the final per-query top-k (a tiny aggregate).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "nid", "cos")
+  }
+
+  /** Near-dup pairs within a blocking partition (label): the IVF-coarse
+    * idea — restrict the quadratic pair space to cells. Equi-join on the
+    * block key, i < j, cosine >= threshold.
+    */
+  def blockedNearDupPairs(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(blockCol).as("block"), col("vec_id").as("i"),
+      asDouble(col("embedding")).as("vi"))
+    val b = emb.select(col(blockCol).as("block_b"), col("vec_id").as("j"),
+      asDouble(col("embedding")).as("vj"))
+    a.join(b, col("block") === col("block_b") && col("i") < col("j"))
+      .withColumn("cos", cosine(col("vi"), col("vj")))
+      .filter(col("cos") >= threshold)
+      .select(col("block").as("label"), col("i"), col("j"), col("cos"))
+  }
+
+  /** Deterministic ±1 random-hyperplane signatures (seeded), `bits` wide.
+    * Signature equality is the LSH bucket key — the scale path for ANN when
+    * brute force is too wide. Approximate by construction (no oracle).
+    */
+  def hyperplaneSignature(v: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the signature bucket;
+    * scoring/top-k as in brute force. Recall < 1 by design — the cheap first
+    * pass of a two-stage ANN at scale.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              dim: Int = 64, bits: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = (v: Column) => hyperplaneSignature(v, dim, bits, seed)
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("bucket", sig(col("qv")))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .withColumn("bucket", sig(col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    q.join(c, Seq("bucket")).filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "nid", "cos")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (SURVEY.md §2.3 north-star extensions). All are pure Column expressions —
+  * whole-stage-codegen'd, no UDFs — so they survive a 100× scale-up as plain
+  * map-side work with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles as space-joined strings; empty array below k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    val idx = sequence(lit(0), size(t) - k)
+    val mk = transform(idx, i => concat_ws(" ", (0 until k).map(o => element_at(t, (i + o + 1).cast("int"))): _*))
+    when(size(t) >= k, mk).otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set (the unit for Jaccard/MinHash dedup). */
+  def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))
+
+  /** OpenRefine-style key-collision fingerprint: md5 of the sorted distinct
+    * token set. Identical word sets collide regardless of order/repetition.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
+
+  /** Count of non-overlapping occurrences of a literal pattern. */
+  def occurrences(text: Column, pat: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, isolated symbols. */
+  def bpeishCount(text: Column): Column = regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  val StopWords: Seq[String] = Seq("the", "a")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(StopWords.map(lit): _*))) / size(t).cast("double")
+  }
+
+  /** Mean token length (chars excluding separators / token count). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")) / size(tokens(text)).cast("double")
+
+  /** Composite quality score in [0,1]: length saturation, stopword
+    * complement, word-length saturation — the standard cheap pre-filter
+    * shape for web-scale text corpora.
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(lit(1.0), size(tokens(text)) / lit(50.0)) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(text)) +
+      lit(0.3) * least(lit(1.0), avgTokenLen(text) / lit(6.0))
+
+  /** Character-bigram profiles per language (tiny, deterministic heuristic).
+    * Each language scores by occurrences of its profile bigrams per char;
+    * argmax wins, ties broken by language code order.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sc", "ch", "er"),
+    "en" -> Seq("th", "he", "in"),
+    "es" -> Seq("de", "la", "os"),
+    "fr" -> Seq("le", "es", "ou"),
+    "zh" -> Seq("sh", "zh", "ng"))
+
+  def langScore(text: Column, profile: Seq[String]): Column =
+    profile.map(p => occurrences(text, p)).reduce(_ + _) / length(text).cast("double")
+
+  /** Predicted language: argmax profile score, tie-break by language code. */
+  def langId(text: Column): Column = {
+    val scored = LangProfiles.map { case (code, prof) =>
+      struct(langScore(text, prof).as("score"), lit(code).as("code"))
+    }
+    // array_max on (score, code) structs: max score, then max code — to keep
+    // the FIRST code on ties we compare on (score, negated-rank) instead.
+    val ranked = LangProfiles.zipWithIndex.map { case ((code, prof), i) =>
+      struct(langScore(text, prof).as("score"), lit(-i).as("negrank"), lit(code).as("code"))
+    }
+    array_max(array(ranked: _*)).getField("code")
+  }
+}

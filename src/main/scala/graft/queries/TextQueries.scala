@@ -1,6 +1,211 @@
 package graft.queries
 
-/** Text analysis + deduplication over the documents table (filled in next). */
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ext.{Dedup, TextAnalysis => TA}
+import graft.util.OracleSafe._
+
+/** Text analysis + deduplication over the documents table — the training-
+  * data-pipeline extension surface (SURVEY.md §2.3): quality scoring,
+  * token counting, language ID, fingerprinting, and the dedup ladder
+  * (exact → n-gram Jaccard → MinHash LSH → SimHash).
+  */
 object TextQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  /** Shared oracle CTE: distinct 3-shingle sets per document (DuckDB list
+    * comprehension mirrors TextAnalysis.shingleSet).
+    */
+  private val shingleCte =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) ds
+      |  FROM docs),
+      |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n FROM sh WHERE len(ds) > 0),
+      |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+      |    any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardOracle =
+    s"""$shingleCte
+      |SELECT i, j, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |FROM pairs
+      |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
+  /** Oracle replica of Dedup.simhashes: same md5-based stable hash, same
+    * tf-weighted bit sums, same 60-bit assembly — generated SQL.
+    */
+  private def simhashOracle(maxHamming: Int): String = {
+    val sTerms = (0 until Dedup.SimhashBits)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS s$b").mkString(", ")
+    val fpExpr = (0 until Dedup.SimhashBits)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)").mkString(" + ")
+    s"""WITH tf AS (SELECT doc_id, w, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tf),
+      |bits AS (SELECT doc_id, $sTerms FROM h GROUP BY doc_id),
+      |fp AS (SELECT doc_id, $fpExpr AS simhash FROM bits)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+      |ORDER BY i, j""".stripMargin
+  }
+
+  private def occSql(pat: String, patLen: Int): String =
+    s"CAST((length(text) - length(replace(text, '$pat', ''))) / $patLen AS BIGINT)"
+
+  private def langScoreSql(profile: Seq[String]): String =
+    "(" + profile.map(p => occSql(p, p.length)).mkString(" + ") + ") / CAST(length(text) AS DOUBLE)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- corpus statistics per language ----
+    QueryDef("q26_text_stats",
+      // avg_quality is decomposed into its three component sums: the composite
+      // score can land exactly on a scale-6 midpoint (0.4+0.3a+0.3b with
+      // small-denominator rationals), where Spark's shortest-repr cast and
+      // DuckDB's binary-expansion cast round apart. The components themselves
+      // are midpoint-free, and recombining identical doubles is exact.
+      (s, dir) => {
+        val nTok = size(TA.tokens(col("text")))
+        val c1 = least(lit(1.0), nTok / lit(50.0))
+        val c2 = lit(1.0) - TA.stopwordRatio(col("text"))
+        val c3 = least(lit(1.0), TA.avgTokenLen(col("text")) / lit(6.0))
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("sum_chars"),
+               davg(nTok.cast("double")).as("avg_tokens"),
+               ((lit(0.4) * dsum(c1) + lit(0.3) * dsum(c2) + lit(0.3) * dsum(c3))
+                 / count(lit(1))).as("avg_quality"))
+          .orderBy("lang")
+      },
+      Some {
+        val c1 = "least(1.0, len(string_split(text, ' ')) / 50.0)"
+        val c2 = "1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        val c3 = "least(1.0, (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)"
+        s"""SELECT lang, COUNT(*) AS n_docs,
+          |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          |${sqlDavg("CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS avg_tokens,
+          |((0.4 * ${sqlDsum(c1)} + 0.3 * ${sqlDsum(c2)} + 0.3 * ${sqlDsum(c3)}) / COUNT(*)) AS avg_quality
+          |FROM documents
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin
+      }),
+
+    // ---- exact dedup (hash-groupBy, deterministic min-id survivor) ----
+    QueryDef("q27_dedup_exact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val survivors = Dedup.exactKeepMin(docs, col("text"), col("doc_id"))
+        docs.join(survivors, docs("doc_id") === survivors("keep_id"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_unique"), sum(col("n_copies")).as("n_total"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH survivors AS (
+        |  SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text)
+        |SELECT lang, source, COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_total
+        |FROM documents JOIN survivors ON doc_id = keep_id
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin)),
+
+    // ---- token counting: whitespace + BPE-ish regex ----
+    QueryDef("q28_token_counts",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TA.tokens(col("text"))).as("n_ws_tokens"),
+          TA.bpeishCount(col("text")).cast("long").as("n_bpeish"),
+          length(col("text")).as("n_chars_live"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |CAST(length(text) AS INTEGER) AS n_chars_live
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring + filter ----
+    QueryDef("q29_quality_filter",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TA.tokens(col("text"))).as("n_tokens"),
+          TA.stopwordRatio(col("text")).as("stop_ratio"),
+          TA.avgTokenLen(col("text")).as("avg_tok_len"),
+          TA.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+        .orderBy("doc_id"),
+      Some("""WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |  length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len,
+        |  0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * least(1.0, (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0) AS quality
+        |FROM documents)
+        |SELECT doc_id, n_tokens, stop_ratio, avg_tok_len, quality
+        |FROM q WHERE quality >= 0.5
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID heuristic vs labeled lang ----
+    QueryDef("q30_langid",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TA.langId(col("text")).as("lang_pred"),
+          (TA.langId(col("text")) === col("lang")).as("agree"))
+        .orderBy("doc_id"),
+      Some {
+        val scores = TA.LangProfiles.map { case (code, prof) => s"${langScoreSql(prof)} AS sc_$code" }
+        val codes = TA.LangProfiles.map(_._1)
+        // first-profile-wins-on-ties argmax, mirroring TA.langId's negrank
+        val caseArms = codes.init.zipWithIndex.map { case (c, i) =>
+          val rest = codes.drop(i + 1).map(o => s"sc_$c >= sc_$o").mkString(" AND ")
+          s"WHEN $rest THEN '$c'"
+        }.mkString(" ")
+        s"""WITH scored AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents),
+          |pred AS (SELECT doc_id, lang,
+          |  CASE $caseArms ELSE '${codes.last}' END AS lang_pred FROM scored)
+          |SELECT doc_id, lang, lang_pred, lang_pred = lang AS agree
+          |FROM pred
+          |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- key-collision fingerprint dedup ----
+    QueryDef("q31_fingerprint_dedup",
+      (s, dir) => {
+        val fp = Tables.documents(s, dir)
+          .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        fp.groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+          .filter(col("n_docs") > 1)
+          .orderBy("fp")
+      },
+      Some("""SELECT fp, COUNT(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents)
+        |GROUP BY fp HAVING COUNT(*) > 1
+        |ORDER BY fp""".stripMargin)),
+
+    // ---- exact n-gram Jaccard near-dup (inverted-index blocked) ----
+    QueryDef("q32_ngram_jaccard_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+        .orderBy("i", "j"),
+      Some(jaccardOracle)),
+
+    // ---- MinHash + LSH with exact verification (same ground truth) ----
+    QueryDef("q33_minhash_lsh_pairs",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+        .orderBy("i", "j"),
+      Some(jaccardOracle)),
+
+    // ---- SimHash near-dup via pigeonhole banding (perfect recall) ----
+    QueryDef("q34_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("i", "j"),
+      Some(simhashOracle(3)))
+  )
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the native re-expression of the reference's
+  * micro-batch pipeline (`plugin_ingest`, `/root/reference/plugin.cpp:226-352`):
+  * an unbounded reading stream processed batch-at-a-time, with cross-batch
+  * state. Spark's checkpointed state is strictly stronger than the
+  * reference's module-global buffering (lost on reload,
+  * `python35_filter.cpp:375-388`).
+  */
+object Streams {
+
+  /** The events table as a file-source stream (schema fixed up front, ns
+    * timestamps handled as in Tables.events).
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the corpus table is a single parquet file; the file stream source
+    // accepts it only as a glob pattern (a bare file path fails basePath
+    // validation)
+    s.readStream.schema(schema).parquet(path + "*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drive a streaming DataFrame to completion through a memory sink and
+    * return the materialized result — lets streaming operators flow through
+    * the same verify/oracle gate as batch ones.
+    */
+  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Watermarked tumbling-window aggregate (1 hour) per asset key. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           graft.util.OracleSafe.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming dedup on (user_id, event_type) + per-asset distinct counts. */
+  def dedupCounts(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct_users"))
+
+  case class Ev(event_id: Long, user_id: Long, tsMicros: Long)
+  // micros carried as longs: java.sql.Timestamp construction would truncate
+  // sub-millisecond precision; callers convert with timestamp_micros().
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long,
+                            first_ts_us: Long, last_ts_us: Long)
+
+  /** Custom cross-batch state via flatMapGroupsWithState, keyed per user —
+    * the checkpointable analog of the reference's "buffer in module globals
+    * across plugin_ingest calls" license (`plugin.cpp:113-117`). Emits a
+    * per-user session summary (30-minute gap rule); the GroupState carries
+    * the last-seen timestamp so follow-on micro-batches extend sessions
+    * instead of restarting them.
+    */
+  def userSessions(events: DataFrame): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evs = events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsMicros")).as[Ev]
+    val gapMicros = 1800L * 1000000L
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Ev], state: GroupState[(Long, Long)]) => {
+          val sorted = it.toVector.sortBy(e => (e.tsMicros, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val (prevLast, prevSessions) = state.getOption.getOrElse((Long.MinValue, 0L))
+            var sessions = prevSessions
+            var last = prevLast
+            sorted.foreach { e =>
+              if (last == Long.MinValue || e.tsMicros - last > gapMicros) sessions += 1
+              last = e.tsMicros
+            }
+            state.update((last, sessions))
+            Iterator(SessionSummary(uid, sessions, sorted.size,
+              sorted.head.tsMicros, last))
+          }
+        })
+  }
+
+  /** O7 error-passthrough host around a per-batch pipeline: on any failure
+    * the ORIGINAL batch is forwarded untouched (batch-atomic), mirroring
+    * `/root/reference/plugin.cpp:295-310`. For streaming use inside
+    * foreachBatch; also applicable to batch DataFrames.
+    */
+  def guardedBatch(pipeline: DataFrame => DataFrame)(batch: DataFrame): DataFrame =
+    try {
+      val out = pipeline(batch)
+      out.cache()
+      out.count() // force evaluation so runtime errors trigger the fallback
+      out
+    } catch {
+      case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger("graft")
+          .warn(s"batch pipeline failed, passing through original: ${e.getMessage}")
+        batch
+    }
+}

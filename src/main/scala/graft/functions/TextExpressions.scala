@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass distinct word-k-shingle extraction.
+  *
+  * The composable formulation (split → sequence → transform(concat_ws) →
+  * array_distinct) runs ~1ms/row: every higher-order function is interpreted
+  * per element with intermediate array allocations. This expression does the
+  * whole job in a single native eval per row (one virtual call, tokenize +
+  * k-gram + LinkedHashSet dedup), preserving first-occurrence order and the
+  * exact same result set.
+  */
+case class DistinctWordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+    if (toks.length < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]((toks.length - k + 1) * 2)
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(16 * k)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Distinct word-k-shingles of a text column (native single-pass). */
+  def distinctShingles(text: Column, k: Int): Column =
+    GraftBridge.column(DistinctWordShingles(GraftBridge.expression(text), k))
+}

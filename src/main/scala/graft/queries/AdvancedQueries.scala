@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.ops.AsOfJoin
+import graft.util.OracleSafe._
+
+/** Second-wave relational coverage: grouping sets, analytic window family,
+  * exact percentiles, array-function family, native session windows,
+  * tolerance as-of joins, sketch aggregates.
+  */
+object AdvancedQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- explicit grouping sets ----
+    QueryDef("q44_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- analytic window family ----
+    QueryDef("q45_window_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            lead("o_totalprice", 1).over(w).as("next_price"),
+            first_value(col("o_orderkey")).over(rows).as("top_key"))
+          .orderBy("o_orderstatus", "pct_rank", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |PERCENT_RANK() OVER w AS pct_rank,
+        |CUME_DIST() OVER w AS cume,
+        |LEAD(o_totalprice, 1) OVER w AS next_price,
+        |FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderstatus, pct_rank, o_orderkey""".stripMargin)),
+
+    // ---- exact percentiles / median ----
+    QueryDef("q46_percentiles",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+             expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+             expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+             expr("percentile(l_discount, 0.9)").as("p90_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.5) AS median_qty,
+        |quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        |quantile_cont(l_discount, 0.9) AS p90_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- array function family (scalar outputs for oracle parity) ----
+    QueryDef("q47_array_functions",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val uniq = array_sort(array_distinct(toks))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(uniq).as("n_uniq"),
+            array_join(slice(uniq, 1, 3), ",").as("first3"),
+            array_contains(toks, "the").as("has_the"),
+            size(array_intersect(uniq, array(lit("the"), lit("a"), lit("key")))).as("n_stopish"),
+            element_at(uniq, -1).as("last_uniq"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+        |array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS first3,
+        |list_contains(string_split(text, ' '), 'the') AS has_the,
+        |CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the', 'a', 'key'])) AS INTEGER) AS n_stopish,
+        |list_sort(list_distinct(string_split(text, ' ')))[-1] AS last_uniq
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- native session windows (batch mode; streaming analog is q43) ----
+    QueryDef("q48_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), davg(col("value")).as("avg_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("avg_value"))
+        .orderBy("user_id", "session_start"),
+      Some(s"""WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |           OR epoch(ts) - epoch(LAG(ts, 1) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, COUNT(*) AS n_events, ${sqlDavg("value")} AS avg_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- as-of join with lookback tolerance (pandas merge_asof semantics) ----
+    QueryDef("q49_asof_tolerance",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+            col("o_orderkey"), col("o_totalprice"))
+        val events = Tables.events(s, dir).select("user_id", "ts", "event_id")
+        AsOfJoin.leftAsOf(events, orders, "user_id", "ts", "o_orderdate",
+            payload = Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey",
+            tolerance = Some(expr("INTERVAL 10000 DAYS")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_o_orderkey").as("last_orderkey"),
+            col("asof_o_totalprice").as("last_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |          ORDER BY o_orderkey DESC) AS rd FROM orders)
+        |  WHERE rd = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  CASE WHEN o.o_orderdate >= e.ts - INTERVAL 10000 DAY THEN o.o_orderkey END AS last_orderkey,
+        |  CASE WHEN o.o_orderdate >= e.ts - INTERVAL 10000 DAY THEN o.o_totalprice END AS last_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- sketch aggregates (engine-specific estimates -> no SQL oracle) ----
+    QueryDef("q50_sketches",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None)
+  )
+}

@@ -113,27 +113,15 @@ object EventQueries {
     // (no per-row subquery, no range explosion).
     QueryDef("q22_asof_join_last_order",
       (s, dir) => {
-        val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
-          .orderBy(col("o_orderkey").desc)
-        val o = Tables.orders(s, dir)
-          .withColumn("rd", row_number().over(dedupW)).filter(col("rd") === 1)
-          .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
-            col("o_orderkey"), col("o_totalprice"),
-            lit(null).cast("long").as("event_id"), lit(0).as("side"))
-        val e = Tables.events(s, dir)
-          .select(col("user_id"), col("ts").as("t"),
-            lit(null).cast("long").as("o_orderkey"),
-            lit(null).cast("double").as("o_totalprice"),
-            col("event_id"), lit(1).as("side"))
-        val merged = Window.partitionBy("user_id")
-          .orderBy(col("t").asc, col("side").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        o.unionByName(e)
-          .withColumn("last_orderkey", last("o_orderkey", ignoreNulls = true).over(merged))
-          .withColumn("last_totalprice", last("o_totalprice", ignoreNulls = true).over(merged))
-          .filter(col("side") === 1)
-          .select(col("event_id"), col("user_id"), col("t").as("ts"),
-            col("last_orderkey"), col("last_totalprice"))
+        val orders = Tables.orders(s, dir)
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+            col("o_orderkey"), col("o_totalprice"))
+        val events = Tables.events(s, dir).select("user_id", "ts", "event_id")
+        graft.ops.AsOfJoin.leftAsOf(events, orders, "user_id", "ts", "o_orderdate",
+            payload = Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_o_orderkey").as("last_orderkey"),
+            col("asof_o_totalprice").as("last_totalprice"))
           .orderBy("event_id")
       },
       Some("""WITH o AS (

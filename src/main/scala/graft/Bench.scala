@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen compilation otherwise lands on the first
+    // timed query (~4s of the old q01 number was warmup, not work)
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1))).collect()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache() // isolate per-query caches between timings
       val t0 = System.nanoTime()

@@ -68,17 +68,17 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** MinHash signatures: for each doc, the min of each affine hash over its
-    * shingle set. One explode + one hash-aggregate; signature width
-    * `numHashes` columns (all codegen'd min-aggregates).
+    * shingle set — a single-pass native expression per row
+    * ([[graft.functions.MinHashSignature]]): no explode, no aggregate
+    * shuffle, embarrassingly parallel.
     */
   def minhashSignatures(sets: DataFrame, numHashes: Int, seed: Long): DataFrame = {
     val fams = hashFamily(numHashes, seed)
-    val ex = sets.select(col("sid"), col("n_sh"), explode(col("sh")).as("s"))
-      .withColumn("hb", pmod(stableHash(col("s")), lit(MinhashPrime)))
-    val aggs = fams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
-    }
-    ex.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.HashExpressions
+      .minhashSignature(col("sh"), fams.map(_._1), fams.map(_._2))
+    sets.select(col("sid"), sig.as("sig"))
+      .select(col("sid") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** LSH candidate pairs from banded signatures: docs agreeing on ALL rows of
@@ -126,23 +126,13 @@ object Dedup {
 
   /** Term-frequency-weighted SimHash (60-bit). Per token: ±count per bit
     * position of the token's stable hash; sign of each accumulated position
-    * becomes the fingerprint bit. Two aggregate passes, fully codegen'd.
+    * becomes the fingerprint bit. Single-pass native expression per row
+    * ([[graft.functions.SimHash60]]) — no explode, no shuffle.
     */
-  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs.select(col(idCol).as("sid"),
-        explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .groupBy("sid", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", stableHash(col("w")))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$b")
-    }
-    val perDoc = tf.groupBy("sid").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until SimhashBits).map { b =>
-      when(col(s"s$b") >= 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_ + _)
-    perDoc.select(col("sid"), fp.as("simhash"))
-  }
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("sid"),
+      graft.functions.HashExpressions
+        .simhash60(TextAnalysis.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
     * pigeonhole banding: split the fingerprint into (maxHamming+1) bands; any

@@ -59,4 +59,22 @@ class CoreOpsSpec extends SparkSpec {
     val fused = df.transform(CoreOps.scaleOffset(Seq("v"), 6, 13)).as[Double].collect().toSeq
     assert(composed == fused)
   }
+
+  test("O10 lineage: observe delivers in/out row + asset counts (plugin.cpp:245-253)") {
+    import graft.ops.Lineage
+    val sink = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val listener = Lineage.register(spark, sink)
+    try {
+      val df = Seq(("lab1", 1.0), ("lab2", 2.0), ("lab1", 3.0)).toDF("asset_code", "v")
+      val staged = Lineage.observed(df, "in", "asset_code")
+        .transform(CoreOps.assetFilter("asset_code", Seq("lab1")))
+      Lineage.observed(staged, "out", "asset_code").collect()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while ((!sink.contains("in") || !sink.contains("out")) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(sink("in") == ((3L, 2L)))
+      assert(sink("out") == ((2L, 1L)))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.ops.CoreOps
+import graft.ext.Dedup
+
+/** Property-based checks (SURVEY.md §5.4): algebraic laws of the operator
+  * library under randomized inputs (plain ScalaCheck generators; seeds vary
+  * per run, shrinking not needed at this size).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int = 15): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val smallDouble = Gen.choose(-1e6, 1e6)
+
+  test("affine composition law holds for random params and data") {
+    val cases = samples(for {
+      xs <- Gen.nonEmptyListOf(smallDouble)
+      a1 <- smallDouble; b1 <- smallDouble
+      a2 <- smallDouble; b2 <- smallDouble
+    } yield (xs.take(6), a1, b1, a2, b2))
+    cases.foreach { case (xs, a1, b1, a2, b2) =>
+      val composed = xs.toDF("v")
+        .transform(CoreOps.scaleOffset(Seq("v"), a1, b1))
+        .transform(CoreOps.scaleOffset(Seq("v"), a2, b2))
+        .as[Double].collect().toSeq
+      val manual = xs.map(x => (x * a1 + b1) * a2 + b2)
+      assert(composed == manual)
+    }
+  }
+
+  test("assetFilter is idempotent") {
+    samples(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))).foreach { as =>
+      val df = as.zipWithIndex.map { case (a, i) => (a, i.toLong) }.toDF("asset_code", "v")
+      val once = df.transform(CoreOps.assetFilter("asset_code", Seq("a", "b")))
+      val twice = once.transform(CoreOps.assetFilter("asset_code", Seq("a", "b")))
+      assert(once.collect().toSeq == twice.collect().toSeq)
+    }
+  }
+
+  test("exact dedup conserves row count and is idempotent") {
+    samples(Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w"))).foreach { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val d1 = Dedup.exactKeepMin(df, col("text"), col("doc_id"))
+      assert(d1.agg(sum("n_copies")).as[Long].head() == ts.length.toLong)
+      val survivors = df.join(d1, df("doc_id") === d1("keep_id")).select("doc_id", "text")
+      val d2 = Dedup.exactKeepMin(survivors, col("text"), col("doc_id"))
+      assert(d2.filter(col("n_copies") =!= 1).count() == 0)
+    }
+  }
+
+  test("jaccard pairs are canonical (i < j) and within [0, 1]") {
+    val docGen = Gen.listOfN(6, Gen.listOfN(10, Gen.oneOf("p", "q", "r", "s", "t")))
+    samples(docGen, 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0)
+        .as[(Long, Long, Double)].collect()
+        .foreach { case (i, j, jac) => assert(i < j && jac >= 0.0 && jac <= 1.0) }
+    }
+  }
+
+  test("minhash signature is permutation-invariant in the shingle set") {
+    val fams = Seq((1664525L, 1013904223L), (22695477L, 1L))
+    def sig(ss: Seq[String]): Seq[Long] =
+      Seq(Tuple1(ss)).toDF("sh")
+        .select(graft.functions.HashExpressions
+          .minhashSignature(col("sh"), fams.map(_._1), fams.map(_._2)).as("sig"))
+        .as[Seq[Long]].head()
+    samples(Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd")), 8).foreach { sh =>
+      assert(sig(sh) == sig(scala.util.Random.shuffle(sh)))
+    }
+  }
+}

@@ -64,6 +64,41 @@ object Similarity {
       .select(col("block").as("label"), col("i"), col("j"), col("cos"))
   }
 
+  /** IVF coarse quantization with a deterministic quantizer: the first
+    * `nCentroids` vectors act as cell centroids; every vector joins the cell
+    * of its max-cosine centroid (ties → lowest centroid id). Centroids are
+    * broadcast; assignment is a map-side pass — the standard two-level ANN
+    * at scale (cells bound the candidate space like LSH buckets, but
+    * data-adaptively).
+    */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val c = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    e.crossJoin(broadcast(c))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("v"))
+  }
+
+  /** IVF top-k: exact cosine top-k restricted to the query's cell. */
+  def ivfTopK(emb: DataFrame, nCentroids: Int, k: Int, queryPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(emb, nCentroids).cache()
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+    val n = assigned.select(col("vec_id").as("nid"), col("cell"), col("v").as("nv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    q.join(n, Seq("cell")).filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "nid", "cos")
+  }
+
   /** Deterministic ±1 random-hyperplane signatures (seeded), `bits` wide.
     * Signature equality is the LSH bucket key — the scale path for ANN when
     * brute force is too wide. Approximate by construction (no oracle).

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe two-phase aggregation. A straight `groupBy(hotKey)` puts every
+  * row of a hot key in one task; salting fans each key over `buckets`
+  * partial groups (map-side + salted partials), then merges the partials —
+  * the standard skew pattern at 1000-executor scale, expressed once here
+  * instead of per query.
+  *
+  * Results are identical to the unsalted aggregate for any algebraic
+  * aggregate decomposed into (partial, merge) pairs below.
+  */
+object Salt {
+
+  /** Salted sum/count/min/max aggregation: `aggs` maps output name ->
+    * (partial aggregate over raw rows, merge aggregate over partials).
+    * The salt is deterministic (hash of all columns mod buckets), so plans
+    * stay reproducible.
+    */
+  def saltedAgg(df: DataFrame, key: Column, buckets: Int,
+                aggs: Seq[(String, Column, Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
+    val partial = salted.groupBy(key.as("__k"), col("__salt"))
+      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
+           aggs.tail.map(a => a._2.as(s"__p_${a._1}")): _*)
+    val renamed = aggs.foldLeft(partial) { (d, a) =>
+      d.withColumnRenamed(s"__p_${a._1}", a._1)
+    }
+    renamed.groupBy(col("__k"))
+      .agg(aggs.head._3.as(aggs.head._1), aggs.tail.map(a => a._3.as(a._1)): _*)
+  }
+}

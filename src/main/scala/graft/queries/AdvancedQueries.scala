@@ -150,6 +150,56 @@ object AdvancedQueries {
         |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY event_id""".stripMargin)),
 
+    // ---- IVF coarse-quantized ANN (deterministic quantizer -> exact oracle) ----
+    QueryDef("q51_ivf_ann_topk",
+      (s, dir) => graft.ext.Similarity
+        .ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, k = 3,
+          queryPred = col("vec_id") % 50 === 0)
+        .orderBy("qid", "rn"),
+      Some {
+        val cos = (a: String, b: String) =>
+          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          |assigned AS (
+          |  SELECT vec_id, cid AS cell, v FROM (
+          |    SELECT e.vec_id, c.cid, e.v,
+          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS crn
+          |    FROM e CROSS JOIN c)
+          |  WHERE crn = 1),
+          |scored AS (
+          |  SELECT q.vec_id AS qid, n.vec_id AS nid, ${cos("q.v", "n.v")} AS cos
+          |  FROM assigned q JOIN assigned n ON q.cell = n.cell
+          |  WHERE q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id),
+          |ranked AS (SELECT qid, nid, cos,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
+          |  FROM scored)
+          |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 3
+          |ORDER BY qid, rn""".stripMargin
+      }),
+
+    // ---- skew-safe salted aggregation (identical results to plain groupBy) ----
+    QueryDef("q52_salted_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val out = graft.ops.Salt.saltedAgg(Tables.events(s, dir), col("event_type"), buckets = 16,
+          aggs = Seq(
+            ("sum_dec", sum(col("value").cast(DecimalType(27, 6))), sum(col("sum_dec"))),
+            ("n", count(lit(1)), sum(col("n"))),
+            ("min_v", min(col("value")), min(col("min_v"))),
+            ("max_v", max(col("value")), max(col("max_v")))))
+        out.select(col("__k").as("event_type"),
+            col("sum_dec").cast("double").as("sum_value"),
+            col("n"), col("min_v"), col("max_v"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, ${sqlDsum("value")} AS sum_value,
+        |COUNT(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
     // ---- sketch aggregates (engine-specific estimates -> no SQL oracle) ----
     QueryDef("q50_sketches",
       (s, dir) => Tables.lineitem(s, dir)

@@ -206,6 +206,35 @@ object TextQueries {
     QueryDef("q34_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 3)
         .orderBy("i", "j"),
-      Some(simhashOracle(3)))
+      Some(simhashOracle(3))),
+
+    // ---- custom expressions through the SQL surface (SparkSessionExtensions) ----
+    QueryDef("q53_sql_custom_functions",
+      (s, dir) => {
+        graft.GraftExtensions.registerAll(s)
+        Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+        s.sql("""SELECT doc_id,
+          |  size(distinct_word_shingles(text, 3)) AS n_shingles,
+          |  simhash60(split(text, ' ')) AS fp
+          |FROM documents_v ORDER BY doc_id""".stripMargin)
+      },
+      Some {
+        val sTerms = (0 until Dedup.SimhashBits)
+          .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS s$b").mkString(", ")
+        val fpExpr = (0 until Dedup.SimhashBits)
+          .map(b => s"(CASE WHEN s$b >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)").mkString(" + ")
+        s"""WITH tf AS (SELECT doc_id, w, count(*) AS cnt
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          |  GROUP BY 1, 2),
+          |h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tf),
+          |bits AS (SELECT doc_id, $sTerms FROM h GROUP BY doc_id),
+          |fp AS (SELECT doc_id, $fpExpr AS simhash FROM bits),
+          |sh AS (SELECT doc_id,
+          |  CAST(len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS INTEGER) AS n_shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+          |SELECT sh.doc_id AS doc_id, sh.n_shingles, fp.simhash AS fp
+          |FROM sh JOIN fp ON sh.doc_id = fp.doc_id
+          |ORDER BY sh.doc_id""".stripMargin
+      })
   )
 }

@@ -92,6 +92,29 @@ object Streams {
         })
   }
 
+  /** O9 — hot reconfigure. The reference swaps config + reloads the script
+    * under a mutex, LOSING any state buffered in module globals
+    * (`/root/reference/python35_filter.cpp:310-436, 375-388`). The Spark
+    * pattern: stop the StreamingQuery, rebuild the pipeline from the new
+    * config, restart against the SAME checkpoint — offsets and operator
+    * state are restored, so a reconfigure costs seconds and loses nothing
+    * (strictly stronger than the reference).
+    *
+    * @param current       running query to replace (None on first start)
+    * @param rebuilt       the pipeline rebuilt from the new configuration
+    * @param checkpointDir checkpoint shared across restarts (state lives here)
+    */
+  def reconfigure(current: Option[org.apache.spark.sql.streaming.StreamingQuery],
+                  rebuilt: DataFrame, checkpointDir: String,
+                  sinkTable: String, mode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    current.foreach(_.stop())
+    rebuilt.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .format("memory").queryName(sinkTable).outputMode(mode)
+      .start()
+  }
+
   /** O7 error-passthrough host around a per-batch pipeline: on any failure
     * the ORIGINAL batch is forwarded untouched (batch-atomic), mirroring
     * `/root/reference/plugin.cpp:295-310`. For streaming use inside

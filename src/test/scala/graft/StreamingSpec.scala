@@ -88,4 +88,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "v")) // original, not the failed pipeline
     assert(out.count() == 2)
   }
+
+  test("O9 hot reconfigure: checkpointed state survives a config swap (vs reference losing globals)") {
+    implicit val sc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(String, Double)]
+    def pipeline(allow: Seq[String]) = mem.toDF().toDF("asset_code", "v")
+      .filter(col("asset_code").isin(allow: _*))
+      .groupBy("asset_code").agg(count(lit(1)).as("n"))
+    // start with allowlist {a, b}
+    var q = Streams.reconfigure(None, pipeline(Seq("a", "b")), ckpt, "recfg_test",
+      OutputMode.Complete())
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 3.0), ("c", 4.0))
+      q.processAllAvailable()
+      val before = spark.table("recfg_test").as[(String, Long)].collect().toMap
+      assert(before == Map("a" -> 2L, "b" -> 1L)) // c filtered by config
+      // hot swap: narrow the allowlist to {a}; same checkpoint
+      q = Streams.reconfigure(Some(q), pipeline(Seq("a")), ckpt, "recfg_test",
+        OutputMode.Complete())
+      mem.addData(("a", 5.0), ("b", 6.0))
+      q.processAllAvailable()
+      val after = spark.table("recfg_test").as[(String, Long)].collect().toMap
+      // b's count SURVIVES the reconfigure (checkpointed state), new b rows
+      // are filtered by the new config; a keeps accumulating
+      assert(after == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
 }

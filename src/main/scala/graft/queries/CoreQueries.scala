@@ -173,27 +173,37 @@ object CoreQueries {
 
     // ---- analytic window: running sum + lag delta ----
     QueryDef("q09_running_supplier_quantity",
+      // (l_orderkey, l_linenumber) is NOT unique in the corpus, so the window
+      // order adds every value column: ties that remain are full duplicates,
+      // whose lag/running outputs are interchangeable — a total order in
+      // effect, deterministic on both engines.
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.types.DecimalType
         val ord = Window.partitionBy("l_suppkey")
-          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+            col("l_quantity").asc, col("l_extendedprice").asc, col("l_discount").asc,
+            col("l_tax").asc)
         val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.lineitem(s, dir)
           .withColumn("running_qty",
             sum(col("l_quantity").cast(DecimalType(25, 10))).over(run).cast("double"))
           .withColumn("delta_price", col("l_extendedprice") - lag("l_extendedprice", 1).over(ord))
           .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty", "delta_price")
-          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
       },
       Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-        |  l_extendedprice - LAG(l_extendedprice, 1) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS delta_price
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) OVER wr AS DOUBLE) AS running_qty,
+        |  l_extendedprice - LAG(l_extendedprice, 1) OVER wo AS delta_price
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)),
+        |WINDOW wo AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+        |    l_quantity ASC, l_extendedprice ASC, l_discount ASC, l_tax ASC),
+        |wr AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+        |    l_quantity ASC, l_extendedprice ASC, l_discount ASC, l_tax ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_qty""".stripMargin)),
 
     // ---- rollup hierarchy ----
     QueryDef("q10_rollup_returns",

@@ -200,6 +200,51 @@ object AdvancedQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 
+    // ---- typed Aggregator (custom UDAF surface), exact-decimal buffer ----
+    QueryDef("q54_typed_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val wm = udaf(graft.functions.TypedAggregators.WeightedMean)
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("double") + 1.0)
+          .groupBy("event_type")
+          .agg(wm(col("value"), col("k")).as("weighted_mean_value"),
+               count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+        |(CAST(SUM(CAST(value * (CAST(json_extract_string(props, '$.k') AS DOUBLE) + 1.0) AS DECIMAL(27,6))) AS DOUBLE)
+        | / CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) + 1.0 AS DECIMAL(27,6))) AS DOUBLE)) AS weighted_mean_value,
+        |COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- interval (range) join: orders within a lookback window per event ----
+    // key equality blocks the pair space; the range predicate prunes within
+    // the block -- the scalable shape for range joins (no cross product).
+    QueryDef("q55_interval_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        e.join(o, col("user_id") === col("o_custkey")
+            && col("o_orderdate") >= col("ts") - expr("INTERVAL 10000 DAYS")
+            && col("o_orderdate") <= col("ts"), "left")
+          .groupBy("event_id", "user_id")
+          .agg(count(col("o_orderdate")).as("n_orders"),
+               dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_spend"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+        |COUNT(o_orderdate) AS n_orders,
+        |${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS sum_spend
+        |FROM events e LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        |  AND o.o_orderdate >= e.ts - INTERVAL 10000 DAY
+        |  AND o.o_orderdate <= e.ts
+        |GROUP BY event_id, user_id
+        |ORDER BY event_id""".stripMargin)),
+
     // ---- sketch aggregates (engine-specific estimates -> no SQL oracle) ----
     QueryDef("q50_sketches",
       (s, dir) => Tables.lineitem(s, dir)

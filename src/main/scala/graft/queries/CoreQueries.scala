@@ -54,12 +54,14 @@ object CoreQueries {
           to_timestamp(lit("1996-01-01 00:00:00")), to_timestamp(lit("1996-12-31 23:59:59")))
           && col("l_quantity") >= 45)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is not unique in the corpus: order by
+        // every output column so the ordering is total on both engines
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
         |  AND l_quantity >= 45
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate""".stripMargin)),
 
     // ---- equi-join chain, small dim broadcast ----
     QueryDef("q03_join_revenue_by_segment",
@@ -334,7 +336,8 @@ object CoreQueries {
           round(col("l_extendedprice"), 2).as("price_r2"),
           ceil(col("l_quantity") / 7).as("qty_ceil7"),
           floor(col("l_extendedprice") / 1000).as("price_k"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // total order despite duplicate (l_orderkey, l_linenumber) keys
+        .orderBy("l_orderkey", "l_linenumber", "sqrt_qty", "ln_price", "price_r2"),
       Some("""SELECT l_orderkey, l_linenumber,
         |sqrt(l_quantity) AS sqrt_qty,
         |round(ln(l_extendedprice), 6) AS ln_price,
@@ -347,7 +350,7 @@ object CoreQueries {
         |CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
         |FROM lineitem
         |WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+        |ORDER BY l_orderkey, l_linenumber, sqrt_qty, ln_price, price_r2""".stripMargin)),
 
     // ---- conditional aggregation ----
     QueryDef("q17_conditional_agg",

@@ -34,21 +34,22 @@ object Multimodal {
     *
     * STUB: a real implementation would decode `payload` with an image/audio
     * codec here; this deterministic fake folds bytes into a fixed-width
-    * float vector so downstream plumbing (schema, similarity, storage) is
-    * fully exercised.
+    * float vector (integer lane sums — exact in Float below 2^24, so the
+    * output is bit-reproducible cross-engine) so downstream plumbing
+    * (schema, similarity, storage) is fully exercised.
     */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val feat = new Array[Float](dim)
+        val lanes = new Array[Long](dim)
         var i = 0
         while (i < m.payload.length) {
-          feat(i % dim) += (m.payload(i) & 0xff) / 255.0f
+          lanes(i % dim) += (m.payload(i) & 0xff)
           i += 1
         }
-        MediaFeatures(m.media_id, m.payload.length, feat)
+        MediaFeatures(m.media_id, m.payload.length, lanes.map(_.toFloat))
       }
     }
   }

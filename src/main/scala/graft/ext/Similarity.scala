@@ -99,27 +99,39 @@ object Similarity {
       .select("qid", "rn", "nid", "cos")
   }
 
-  /** Deterministic ±1 random-hyperplane signatures (seeded), `bits` wide.
-    * Signature equality is the LSH bucket key — the scale path for ANN when
-    * brute force is too wide. Approximate by construction (no oracle).
+  /** md5 of `s`, first 15 hex chars as a long — the same stable-hash recipe
+    * the dedup oracles use (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`).
     */
-  def hyperplaneSignature(v: Column, dim: Int, bits: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    planes.zipWithIndex.map { case (p, i) =>
+  private def md5Long15(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
+  /** Deterministic ±1 hyperplanes: component (bit i, dim j) is +1 iff
+    * md5("i_j") is odd. Content-addressed, no RNG — every engine (and the
+    * DuckDB oracle) derives bit-identical planes from the same recipe.
+    */
+  def md5Planes(bits: Int, dim: Int): Seq[Array[Double]] =
+    (0 until bits).map(i =>
+      Array.tabulate(dim)(j => if ((md5Long15(s"${i}_${j}") & 1L) == 1L) 1.0 else -1.0))
+
+  /** ±1 random-hyperplane signatures, `bits` wide. Signature equality is the
+    * LSH bucket key — the scale path for ANN when brute force is too wide.
+    */
+  def hyperplaneSignature(v: Column, dim: Int, bits: Int): Column =
+    md5Planes(bits, dim).zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
       when(dot(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ + _)
-  }
 
   /** LSH-bucketed approximate top-k: candidates share the signature bucket;
-    * scoring/top-k as in brute force. Recall < 1 by design — the cheap first
-    * pass of a two-stage ANN at scale.
+    * scoring/top-k as in brute force. Bucket recall < 1 by design, but the
+    * md5-derived planes make the result fully deterministic → oracle-checked.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              dim: Int = 64, bits: Int = 8, seed: Long = 42L): DataFrame = {
+              dim: Int = 64, bits: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = (v: Column) => hyperplaneSignature(v, dim, bits, seed)
+    val sig = (v: Column) => hyperplaneSignature(v, dim, bits)
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .withColumn("bucket", sig(col("qv")))
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))

@@ -245,14 +245,51 @@ object AdvancedQueries {
         |GROUP BY event_id, user_id
         |ORDER BY event_id""".stripMargin)),
 
-    // ---- sketch aggregates (engine-specific estimates -> no SQL oracle) ----
+    // ---- distinct-count sketch: deterministic KMV (k minimum values) ----
+    // The mergeable-sketch story at scale: per partition keep the k smallest
+    // stable hashes, merge by re-min — here expressed relationally (distinct
+    // hash -> per-group rank <= k -> estimate (k-1)/u_k). md5-derived 48-bit
+    // hashes are exactly reproducible in the DuckDB oracle, unlike engine-
+    // specific HLL registers (approx_count_distinct stays spec-only).
     QueryDef("q50_sketches",
-      (s, dir) => Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
-             count(lit(1)).as("n"))
-        .orderBy("l_returnflag"),
-      None)
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+          .cast("long")
+        val dist = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), h.as("h")).distinct()
+        val w = Window.partitionBy("l_returnflag").orderBy("h")
+        val kmv = dist.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("kmv_k"), max(col("h")).as("kth"))
+          .withColumn("kmv_est",
+            when(col("kmv_k") < k, col("kmv_k").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 48)) / col("kth").cast("double")))
+        val exact = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_exact"))
+        exact.join(kmv, "l_returnflag")
+          .select("l_returnflag", "n_exact", "kmv_k", "kmv_est")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+        |kmv AS (
+        |  SELECT l_returnflag, COUNT(*) AS kmv_k, MAX(h) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag, n_exact, CAST(kmv_k AS BIGINT) AS kmv_k,
+        |  CASE WHEN kmv_k < 64 THEN CAST(kmv_k AS DOUBLE)
+        |       ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(kth AS DOUBLE) END AS kmv_est
+        |FROM ex JOIN kmv USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin))
   )
 }

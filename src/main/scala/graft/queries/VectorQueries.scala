@@ -65,16 +65,38 @@ object VectorQueries {
         |ORDER BY label""".stripMargin)),
 
     // ---- LSH-bucketed approximate top-k (the ANN scale path) ----
-    // Approximate by construction (bucket recall < 1) → no SQL oracle;
-    // driver records the weaker rows-present check. Correctness of the
-    // bucketing is covered by SimilaritySpec.
+    // Approximate (bucket recall < 1) but fully deterministic: hyperplanes
+    // are md5-parity-derived, so the DuckDB oracle rebuilds the identical
+    // planes/buckets and the result is hash-checked end-to-end.
     QueryDef("q38_ann_lsh_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, 5)
           .orderBy("qid", "rn")
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planes AS (
+        |  SELECT b.range AS bit,
+        |    list(CASE WHEN (CAST(('0x' || substr(md5(CAST(b.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
+        |         THEN 1.0 ELSE -1.0 END ORDER BY d.range) AS pv
+        |  FROM range(8) b, range(64) d
+        |  GROUP BY b.range),
+        |sig AS (
+        |  SELECT e.vec_id, e.v,
+        |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+        |         THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e CROSS JOIN planes p
+        |  GROUP BY e.vec_id, e.v),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket
+        |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+        |ranked AS (SELECT qid, nid, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin)),
 
     // ---- multimodal binary plumbing: payloads + metadata (oracle-checked) ----
     QueryDef("q39_multimodal_binary",
@@ -103,10 +125,19 @@ object VectorQueries {
         val media = Multimodal.asMedia(Tables.documents(s, dir))
         val feats = Multimodal.extractFeatures(media).toDF()
         feats.select(col("media_id"), col("n_bytes"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
+          element_at(col("feature"), 1).cast("double").as("f0"),
+          aggregate(col("feature"), lit(0.0d), (acc, x) => acc + x).as("f_sum"),
           size(col("feature")).as("dim"))
           .orderBy("media_id")
       },
-      None)
+      // the stub's integer lane sums are exact in Float/DOUBLE, so the whole
+      // mapPartitions decode path is oracle-checked (text is ASCII: byte i of
+      // the utf-8 payload == ascii(char i+1))
+      Some("""SELECT doc_id AS media_id, CAST(length(text) AS INTEGER) AS n_bytes,
+        |CAST(list_sum([ascii(text[i]) for i in range(1, length(text) + 1) if (i - 1) % 8 = 0]) AS DOUBLE) AS f0,
+        |CAST(list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]) AS DOUBLE) AS f_sum,
+        |8 AS dim
+        |FROM documents
+        |ORDER BY media_id""".stripMargin))
   )
 }

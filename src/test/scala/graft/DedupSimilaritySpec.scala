@@ -103,7 +103,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(f => f.media_id -> f).toMap
     assert(feats(7L).n_bytes == 3 && feats(8L).n_bytes == 4)
     assert(feats(7L).feature.length == 4)
-    // deterministic: 'a'=97 -> 97/255 in slot 0
-    assert(math.abs(feats(7L).feature(0) - 97 / 255.0f) < 1e-6)
+    // deterministic: 'a'=97 -> lane-0 byte sum 97
+    assert(feats(7L).feature(0) == 97.0f)
   }
 }

@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every registered capability (SURVEY.md §2), grouped by domain. */
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
-      VectorQueries.defs ++ StreamQueries.defs ++ AdvancedQueries.defs
+      VectorQueries.defs ++ StreamQueries.defs ++ AdvancedQueries.defs ++
+      RelationalExtras.defs ++ PipelineQueries.defs ++ SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * E1+E4 reference semantics over the events stream: affine scale/offset,

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.ext.Dedup
+
+/** Training-data pipeline plumbing beyond dedup/similarity: deterministic
+  * corpus splits, stratified sampling, and text normalization.
+  *
+  * Split/sample discipline at scale: assignment must be a pure function of
+  * the row key (content-addressed via a stable hash), never of partition
+  * layout, row order, or an RNG — so re-runs, backfills, and incremental
+  * appends land every document in the same split on any cluster size.
+  */
+object PipelineQueries {
+
+  /** 48-bit stable hash of a column's string form (md5 prefix) — the split/
+    * sample randomness source, reproducible on any engine.
+    */
+  private def h48(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  private val sqlH48 = (e: String) =>
+    s"CAST(('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- deterministic train/test split (hash-mod buckets, 80/20) ----
+    QueryDef("q62_train_test_split",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (h48(col("doc_id")) % 10).as("bucket"))
+        .withColumn("split", when(col("bucket") < 8, "train").otherwise("test"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, ${sqlH48("doc_id")} % 10 AS bucket,
+        |CASE WHEN ${sqlH48("doc_id")} % 10 < 8 THEN 'train' ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- stratified 20% sample: per-language hash-rank quota ----
+    // rank-by-stable-hash within each stratum = a deterministic "random"
+    // sample whose per-stratum fraction is exact, not expected-value
+    QueryDef("q63_stratified_sample",
+      (s, dir) => {
+        val byHash = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        val stratum = Window.partitionBy("lang")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"), h48(col("doc_id")).as("h"))
+          .withColumn("rn", row_number().over(byHash))
+          .withColumn("n_stratum", count(lit(1)).over(stratum))
+          .filter(col("rn") <= ceil(col("n_stratum") * 0.2))
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ${sqlH48("doc_id")}, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars
+        |FROM ranked
+        |WHERE rn <= ceil(n_stratum * 0.2)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- text normalization: case-fold, strip punctuation, collapse ws ----
+    QueryDef("q64_text_normalize",
+      (s, dir) => {
+        val normed = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(col("text")).as("len_raw"),
+            length(normed).as("len_norm"),
+            size(split(normed, " ")).as("n_tokens_norm"),
+            md5(normed).as("norm_md5"))
+          .orderBy("doc_id")
+      },
+      // DuckDB regexp_replace is first-match unless the 'g' flag is given
+      Some("""WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS normed
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(text) AS INTEGER) AS len_raw,
+        |  CAST(length(normed) AS INTEGER) AS len_norm,
+        |  CAST(len(string_split(normed, ' ')) AS INTEGER) AS n_tokens_norm,
+        |  md5(normed) AS norm_md5
+        |FROM n
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup clustering: connected components over near-dup pairs ----
+    // LSH/Jaccard emits PAIRS; a usable dedup needs CLUSTERS (keep one doc
+    // per component). Min-label propagation over the pair graph; oracle is
+    // a recursive-CTE reachability closure over the same exact pairs.
+    QueryDef("q65_dedup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+        Dedup.connectedComponents(pairs)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+          .orderBy("label")
+      },
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) ds
+        |  FROM docs),
+        |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n FROM sh WHERE len(ds) > 0),
+        |cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (SELECT i, j FROM cand
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |edges AS (SELECT i AS src, j AS dst FROM jpairs
+        |  UNION ALL SELECT j, i FROM jpairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT label, COUNT(*) AS n_members, max(id) AS max_id
+        |FROM comp
+        |GROUP BY label
+        |ORDER BY label""".stripMargin))
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.util.OracleSafe._
+
+/** Third-wave relational coverage: pivot/unpivot reshaping, moment
+  * statistics (variance/correlation from exact component sums), correlated
+  * EXISTS/IN subqueries, lateral explode, and RANGE-interval window frames.
+  *
+  * Scale notes: pivot compiles to a single hash aggregate (one shuffle);
+  * unpivot is a generate (no shuffle); the moment statistics reduce to one
+  * partial+final aggregate over decimal accumulators (order-independent at
+  * any parallelism); the range-frame query shuffles once on the partition
+  * key and sorts within partitions — the same plan shape a 1000-executor
+  * cluster wants.
+  */
+object RelationalExtras {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- pivot (long -> wide): quantity by returnflag x linestatus ----
+    QueryDef("q56_pivot",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(27,6)) END) AS DOUBLE) AS qty_f,
+        |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(27,6)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- unpivot (wide -> long, a.k.a. melt) + per-metric profile ----
+    QueryDef("q57_unpivot",
+      (s, dir) => Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), dsum(col("val")).as("sum_val"),
+             min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+        .orderBy("metric"),
+      Some(s"""WITH melted AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, COUNT(*) AS n, ${sqlDsum("val")} AS sum_val,
+        |  min(val) AS min_val, max(val) AS max_val
+        |FROM melted
+        |GROUP BY metric
+        |ORDER BY metric""".stripMargin)),
+
+    // ---- moment statistics from exact component sums ----
+    // stddev/variance/correlation computed from decimal-exact (sum, sum of
+    // squares, cross sum) components, then identical double expression trees
+    // on both engines — deterministic at any parallelism, unlike the
+    // built-in one-pass var_samp whose merge order varies run to run.
+    QueryDef("q58_stats_moments",
+      (s, dir) => {
+        val x = col("l_quantity"); val y = col("l_discount")
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+               dsum(x).as("sx"), dsum(x * x).as("sxx"),
+               dsum(y).as("sy"), dsum(y * y).as("syy"),
+               dsum(x * y).as("sxy"))
+          .select(col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            (col("sx") / col("n")).as("mean_x"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("var_x"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("std_x"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1.0)).as("covar_xy"),
+            (((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1.0))
+              / (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0))
+                 * sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1.0)))).as("corr_xy"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val sx = sqlDsum("l_quantity"); val sxx = sqlDsum("l_quantity * l_quantity")
+        val sy = sqlDsum("l_discount"); val syy = sqlDsum("l_discount * l_discount")
+        val sxy = sqlDsum("l_quantity * l_discount")
+        s"""WITH comp AS (
+          |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+          |    $sx AS sx, $sxx AS sxx, $sy AS sy, $syy AS syy, $sxy AS sxy
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+          |  (sx / n) AS mean_x,
+          |  ((sxx - sx * sx / n) / (n - 1.0)) AS var_x,
+          |  sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_x,
+          |  ((sxy - sx * sy / n) / (n - 1.0)) AS covar_xy,
+          |  (((sxy - sx * sy / n) / (n - 1.0))
+          |    / (sqrt((sxx - sx * sx / n) / (n - 1.0))
+          |       * sqrt((syy - sy * sy / n) / (n - 1.0)))) AS corr_xy
+          |FROM comp
+          |ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // ---- correlated EXISTS / NOT EXISTS / IN subqueries ----
+    // Catalyst rewrites these to semi/anti joins — no per-row subquery
+    // execution, so the shape scales like any other join.
+    QueryDef("q59_exists_subquery",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        s.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v o2
+          |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+          |  AND c_nationkey IN (SELECT n_nationkey FROM nation_v WHERE n_regionkey <= 3)
+          |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 3)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- lateral explode with position (UDTF-shaped row expansion) ----
+    QueryDef("q60_lateral_explode",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5)).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(r.range AS INTEGER) AS pos, w[r.range + 1] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+        |CROSS JOIN range(5) r
+        |WHERE r.range < len(w)
+        |ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---- RANGE frame over event time: rolling 90-day spend per customer ----
+    // RANGE (not ROWS) so duplicate order dates contribute symmetrically —
+    // the frame is a time predicate, deterministic under any tie order.
+    QueryDef("q61_range_frame",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, o_orderdate,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+          |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          |          RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d,
+          |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          |          RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS n_90d
+          |FROM orders_v
+          |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |          RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |          RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin))
+  )
+}

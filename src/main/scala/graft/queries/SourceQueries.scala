@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.util.OracleSafe._
+
+/** Source/sink format coverage beyond parquet: CSV and JSON round-trips
+  * (write + schema-explicit read-back), and bucketed tables joined without
+  * a shuffle — the co-location story for repeated large joins at scale.
+  *
+  * Round-trip artifacts land under java.io.tmpdir (scratch space, not the
+  * corpus). Values chosen so text round-trips are exact: Spark writes
+  * shortest-round-trip doubles, so read-back is bit-identical.
+  */
+object SourceQueries {
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- CSV sink + source round-trip, then a join-aggregate over it ----
+    QueryDef("q66_csv_roundtrip",
+      (s, dir) => {
+        val nation = Tables.nation(s, dir)
+        val out = scratch("nation_csv")
+        nation.write.mode("overwrite").option("header", "true").csv(out)
+        val back = s.read.schema(nation.schema).option("header", "true").csv(out)
+        back.join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_nations, min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin)),
+
+    // ---- JSON lines sink + source round-trip incl. exact double re-read ----
+    QueryDef("q67_json_roundtrip",
+      (s, dir) => {
+        val slim = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val out = scratch("orders_json")
+        slim.write.mode("overwrite").json(out)
+        val back = s.read.schema(slim.schema).json(out)
+        back.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+               max(col("o_totalprice")).as("max_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        |${sqlDsum("o_totalprice")} AS sum_price,
+        |max(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- bucketed tables: co-located join with no exchange ----
+    // Both sides bucketed 8 ways on the join key at write time; the join
+    // plan then has NO shuffle on either side (SortMergeJoin over bucketed
+    // scans). At 100 TB this is the difference between re-shuffling the
+    // fact table on every join and reading it pre-partitioned.
+    QueryDef("q68_bucketed_join",
+      (s, dir) => {
+        val wh = scratch("bucketed")
+        s.sql("DROP TABLE IF EXISTS li_bucketed")
+        s.sql("DROP TABLE IF EXISTS ord_bucketed")
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/li").mode("overwrite").saveAsTable("li_bucketed")
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$wh/ord").mode("overwrite").saveAsTable("ord_bucketed")
+        s.table("li_bucketed")
+          .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |${sqlDsum("l_quantity")} AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin))
+  )
+}

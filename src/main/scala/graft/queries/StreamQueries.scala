@@ -37,6 +37,40 @@ object StreamQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 
+    // ---- watermarked sliding window (1h window, 30m slide) ----
+    QueryDef("q69_stream_sliding",
+      (s, dir) => Streams.runToTable(
+          Streams.slidingHalfHour(Streams.eventsStream(s, dir)),
+          "q69_sink", OutputMode.Complete())
+        .orderBy("win_start", "event_type"),
+      Some(s"""WITH slid AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM events)
+        |SELECT win_start, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM slid
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---- stream-stream inner join: purchase within 1h of a view ----
+    QueryDef("q70_stream_stream_join",
+      (s, dir) => Streams.runToTable(
+          Streams.viewPurchaseJoin(Streams.eventsStream(s, dir)),
+          "q70_sink", OutputMode.Append())
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+             min(col("view_id")).as("min_view_id"),
+             max(col("purchase_id")).as("max_purchase_id"))
+        .orderBy("user_id"),
+      Some("""SELECT v.user_id, COUNT(*) AS n_pairs,
+        |  min(v.event_id) AS min_view_id, max(p.event_id) AS max_purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |GROUP BY v.user_id
+        |ORDER BY v.user_id""".stripMargin)),
+
     // ---- custom cross-batch state: per-user session summaries ----
     QueryDef("q43_stream_user_sessions",
       (s, dir) => Streams.runToTable(

@@ -46,6 +46,37 @@ object Streams {
            graft.util.OracleSafe.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked sliding-window aggregate (1 h window, 30 min slide). */
+  def slidingHalfHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           graft.util.OracleSafe.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stream-stream inner join: each view paired with the same user's
+    * purchases within the following hour. Watermarks on both sides bound
+    * the join state (Spark evicts buffered rows once the watermark passes
+    * the time-condition range) — the state-bounded formulation that
+    * survives unbounded streams.
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    views.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+  }
+
   /** Streaming dedup on (user_id, event_type) + per-asset distinct counts. */
   def dedupCounts(events: DataFrame): DataFrame =
     events

@@ -30,11 +30,25 @@ object Streams {
   /** Drive a streaming DataFrame to completion through a memory sink and
     * return the materialized result — lets streaming operators flow through
     * the same verify/oracle gate as batch ones.
+    *
+    * Stateful streaming operators allocate one state store per shuffle
+    * partition per operator, each with its own checkpoint files — overhead
+    * that dwarfs the work when state is small. `statePartitions` pins the
+    * stream's shuffle width independently of the session's batch setting
+    * (state partitioning is fixed by the first run of a checkpoint anyway,
+    * so at scale this must be sized to key cardinality explicitly, not
+    * inherited from whatever the session last set).
     */
-  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+  def runToTable(df: DataFrame, name: String, mode: OutputMode,
+                 statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Watermarked tumbling-window aggregate (1 hour) per asset key. */

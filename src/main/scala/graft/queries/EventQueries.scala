@@ -168,6 +168,41 @@ object EventQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 
+    // ---- permissive decode: corrupt-record routing (O6 validation path) ----
+    // The reference rejects a whole batch when one element is malformed
+    // (python35_filter.cpp:142-173); the Spark-native analog is per-row
+    // routing: from_json in PERMISSIVE mode lands bad rows in a corrupt-
+    // record column instead of failing the batch — strictly finer-grained.
+    // A deterministic 10% of payloads are mangled to exercise the path.
+    QueryDef("q71_permissive_decode",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val raw = when(col("event_id") % 10 === 0,
+          concat(substring(col("props"), 1, 3), lit("x"))).otherwise(col("props"))
+        val schema = StructType(Seq(
+          StructField("k", LongType), StructField("_corrupt", StringType)))
+        Tables.events(s, dir)
+          .withColumn("parsed",
+            from_json(raw, schema, Map("columnNameOfCorruptRecord" -> "_corrupt")))
+          .groupBy("event_type")
+          .agg(count(col("parsed._corrupt")).as("n_corrupt"),
+               count(col("parsed.k")).as("n_valid"),
+               sum(col("parsed.k")).as("sum_k"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3) || 'x' ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(CASE WHEN NOT json_valid(raw) THEN 1 END) AS n_corrupt,
+        |  COUNT(CASE WHEN json_valid(raw) THEN 1 END) AS n_valid,
+        |  CAST(SUM(CASE WHEN json_valid(raw)
+        |       THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k
+        |FROM r
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
     // ---- variant-map Reading model round-trip: faithful mode transform ----
     // events → Dataset[Reading] (dynamic map) → scaleOffsetMap (E1 on every
     // numeric datapoint, transform_values) → explode back to rows.

@@ -159,6 +159,50 @@ object RelationalExtras {
         |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
         |          RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d
         |FROM orders
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- full outer join with per-side match accounting ----
+    QueryDef("q72_full_outer_join",
+      (s, dir) => {
+        val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+        Tables.customer(s, dir)
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+          .groupBy(coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"))
+          .agg(count(lit(1)).as("n_rows"),
+               count(when(col("o_orderkey").isNull, 1)).as("n_left_only"),
+               count(when(col("c_custkey").isNull, 1)).as("n_right_only"),
+               count(when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull, 1))
+                 .as("n_matched"))
+          .orderBy("segment")
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'NO_CUSTOMER') AS segment,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_left_only,
+        |  COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_right_only,
+        |  COUNT(CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL THEN 1 END) AS n_matched
+        |FROM customer FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1
+        |ORDER BY segment""".stripMargin)),
+
+    // ---- multiplicity-preserving set ops (EXCEPT ALL / INTERSECT ALL) ----
+    QueryDef("q73_setops_all",
+      (s, dir) => {
+        val a = Tables.orders(s, dir).filter(col("o_totalprice") > 100000).select("o_custkey")
+        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "O").select("o_custkey")
+        val ea = a.exceptAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        val ia = a.intersectAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val ed = a.except(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except_distinct"))
+        ea.unionByName(ia).unionByName(ed).select("op", "n").orderBy("op")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |counts AS (
+        |  SELECT 'except_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'intersect_all', COUNT(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'except_distinct', COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |SELECT op, n FROM counts ORDER BY op""".stripMargin))
   )
 }

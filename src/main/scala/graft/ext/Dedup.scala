@@ -39,6 +39,13 @@ object Dedup {
     // join on xxhash64 of the shingle, not the string: 8-byte shuffle keys
     // instead of ~20-char strings; collision odds (~pairs/2^64) are
     // negligible against set sizes in the hundreds
+    // NOTE on a rejected "optimization": prefiltering postings to shingles
+    // with document frequency > 1 (unique shingles can never pair) sounds
+    // right for web corpora, but measured 50% SLOWER here — the extra
+    // aggregate + filter join only pays when most shingles are unique,
+    // which a low-entropy corpus (like this synthetic one) violates badly.
+    // The unconditional self-join is the robust default; df-prefiltering
+    // belongs behind corpus statistics, not hardcoded.
     val ex = sets.select(col("sid"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("sid"), col("n_sh"), xxhash64(col("s")).as("sk"))
       .cache() // both sides of the self-join read this
@@ -87,9 +94,13 @@ object Dedup {
     * signatures.
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    // band key = xxhash64(band index, band rows): an 8-byte join key instead
+    // of a concatenated string. A hash collision can only ADD a candidate
+    // pair, and candidates are exactly verified downstream — so correctness
+    // is unaffected while the banded shuffle carries fixed-width keys.
     val bandCols = (0 until bands).map { k =>
-      val rows = (0 until rowsPerBand).map(r => col(s"m${k * rowsPerBand + r}").cast("string"))
-      struct(lit(k).as("band"), concat_ws(",", rows: _*).as("sig"))
+      val rows = (0 until rowsPerBand).map(r => col(s"m${k * rowsPerBand + r}"))
+      xxhash64(lit(k) +: rows: _*)
     }
     val banded = sigs.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
     val l = banded.select(col("sid").as("i"), col("bk"))
@@ -170,24 +181,36 @@ object Dedup {
     * shape holds (keyed joins only); for adversarially long chains switch
     * to the large-star/small-star doubling variant (O(log n) rounds).
     */
-  def connectedComponents(pairs: DataFrame, iterations: Int = 8): DataFrame = {
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .localCheckpoint(true) // computed once, re-read every iteration
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    for (_ <- 1 to iterations) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      // materialize each round: the update references `labels` twice, so an
-      // unbroken lineage doubles per iteration (2^k plan blowup — measured
-      // 132 s vs ~2 s at sf0.1). Iterative dataflows MUST truncate lineage;
-      // on a cluster use checkpoint() to a fault-tolerant store instead.
-      labels = labels.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-    }
-    labels
+  /** @param partitions parallelism for the propagation joins. The pair
+    *   graph is orders of magnitude smaller than the corpus (that is the
+    *   point of LSH blocking), so label propagation should NOT inherit the
+    *   corpus-sized shuffle width — size it to the edge count.
+    */
+  def connectedComponents(pairs: DataFrame, iterations: Int = 8,
+                          partitions: Int = 4): DataFrame = {
+    val spark = pairs.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try {
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+        .repartition(partitions)
+        .localCheckpoint(true) // computed once, re-read every iteration
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      for (_ <- 1 to iterations) {
+        val prop = edges.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+        // materialize each round: the update references `labels` twice, so an
+        // unbroken lineage doubles per iteration (2^k plan blowup — measured
+        // 132 s vs ~2 s at sf0.1). Iterative dataflows MUST truncate lineage;
+        // on a cluster use checkpoint() to a fault-tolerant store instead.
+        labels = labels.join(prop, col("id") === col("dst"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

@@ -72,16 +72,21 @@ object Similarity {
     * data-adaptively).
     */
   def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val c = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    // argmax as a hash aggregate (max_by on (cos, -cid)), not a window:
+    // row_number needs a full sort shuffle of |vectors|×|centroids|, while
+    // max_by partial-aggregates map-side — one tiny shuffle of |vectors|.
+    // Struct comparison is lexicographic, so (ccos, -cid) = highest cosine,
+    // ties to the lowest centroid id — identical to the old window order.
     e.crossJoin(broadcast(c))
       .withColumn("ccos", cosine(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"), col("v"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("neg")))
+             .as("cell"),
+           first(col("v")).as("v"))
+      .select(col("vec_id"), col("cell"), col("v"))
   }
 
   /** IVF top-k: exact cosine top-k restricted to the query's cell. */

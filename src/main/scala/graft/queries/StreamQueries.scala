@@ -37,6 +37,23 @@ object StreamQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 
+    // ---- the reference's flagship E1 pipeline AS A STREAM ----
+    // scale/offset + asset allowlist + hourly tumbling aggregate over the
+    // event stream — the reference's primary deployment shape
+    // (plugin_ingest batches through a user transform), expressed as
+    // watermarked Structured Streaming; same oracle as batch q18.
+    QueryDef("q74_stream_scale_offset",
+      (s, dir) => Streams.runToTable(
+          Streams.scaledHourly(Streams.eventsStream(s, dir)),
+          "q74_sink", OutputMode.Complete())
+        .orderBy("hour", "event_type"),
+      Some(s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+        |${sqlDsum("value * 5.0 + 10.0")} AS sum_scaled, COUNT(*) AS n
+        |FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin)),
+
     // ---- watermarked sliding window (1h window, 30m slide) ----
     QueryDef("q69_stream_sliding",
       (s, dir) => Streams.runToTable(

@@ -60,6 +60,25 @@ object Streams {
            graft.util.OracleSafe.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** The reference's E1/E4 pipeline (scale/offset + asset allowlist,
+    * SURVEY.md §2.2) composed with a watermarked hourly aggregate — the
+    * streaming form of the engine's flagship batch query (q18). CoreOps
+    * transformations compose onto streams unchanged: they are plain
+    * `DataFrame => DataFrame` functions.
+    */
+  def scaledHourly(events: DataFrame): DataFrame = {
+    val cfg = graft.ops.FilterConfig()
+    events
+      .transform(graft.ops.CoreOps.scaleOffset(Seq("value"), cfg.scale, cfg.offset))
+      .transform(graft.ops.CoreOps.assetFilter("event_type", Seq("view", "click", "purchase")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.util.OracleSafe.dsum(col("value")).as("sum_scaled"),
+           count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("sum_scaled"), col("n"))
+  }
+
   /** Watermarked sliding-window aggregate (1 h window, 30 min slide). */
   def slidingHalfHour(events: DataFrame): DataFrame =
     events

@@ -77,6 +77,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark evicts dedup state past the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "user_id", "ts")
+    val q = df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("ddw_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 1, 0), ev(1, 1, 1))      // in-watermark dup suppressed
+      q.processAllAvailable()
+      mem.addData(ev(2, 1, 60))                  // watermark -> 50min, evicts id 1
+      q.processAllAvailable()
+      mem.addData(ev(1, 1, 61))                  // same id AFTER eviction: re-emitted
+      q.processAllAvailable()
+      // 3 emissions: id1 (once), id2, id1 again after state eviction —
+      // bounded-state dedup trades exactness beyond the watermark for
+      // state that cannot grow without bound (the only viable contract
+      // on an unbounded stream)
+      assert(spark.table("ddw_test").count() == 3)
+    } finally q.stop()
+  }
+
   test("guardedBatch falls back to the original batch on runtime error") {
     val batch = Seq(("a", 1.0), ("b", 0.0)).toDF("k", "v")
     val out = Streams.guardedBatch { df =>

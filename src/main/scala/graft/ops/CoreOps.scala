@@ -90,6 +90,22 @@ object CoreOps {
              v.getField("doubleV") * scale + offset).as("doubleV"),
         v.getField("stringV").as("stringV"))))
 
+  /** Variant-map projection ops — the script-expressible add/remove/rename
+    * of datapoints (`/root/reference/python35_filter.cpp:180-217`) on the
+    * faithful dynamic `reading` map. Map higher-order functions are
+    * CodegenFallback, so these belong to the fidelity path; fixed-schema
+    * pipelines should promote columns (§1.3) and use the column ops above.
+    */
+  def dropDatapointMap(name: String)(df: DataFrame): DataFrame =
+    df.withColumn("reading", map_filter(col("reading"), (k, _) => k =!= name))
+
+  def renameDatapointMap(from: String, to: String)(df: DataFrame): DataFrame =
+    df.withColumn("reading", transform_keys(col("reading"), (k, _) =>
+      when(k === from, to).otherwise(k)))
+
+  def addDatapointMap(name: String, value: Column)(df: DataFrame): DataFrame =
+    df.withColumn("reading", map_concat(col("reading"), map(lit(name), value)))
+
   /** Empty-reading drop — the reference deletes a row whose returned reading
     * dict is empty (`/root/reference/python35_filter.cpp:206, 250-254`).
     */

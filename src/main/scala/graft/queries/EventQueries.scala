@@ -168,6 +168,36 @@ object EventQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 
+    // ---- variant-map datapoint ops: drop / rename / add (map HOF family) ----
+    // the reference's script dict surgery (delete a key, rename a key, add a
+    // synthesized key — python35_filter.cpp:180-217) on the faithful dynamic
+    // map: map_filter + transform_keys + map_concat, then exploded flat.
+    QueryDef("q75_map_datapoint_ops",
+      (s, dir) => {
+        val readings = graft.model.Reading.fromEvents(Tables.events(s, dir)).toDF()
+        val plusOne = struct(
+          lit(null).cast("long").as("longV"),
+          (element_at(col("reading"), "value").getField("doubleV") + 1.0).as("doubleV"),
+          lit(null).cast("string").as("stringV"))
+        readings
+          .transform(CoreOps.addDatapointMap("val_plus", plusOne))
+          .transform(CoreOps.dropDatapointMap("user_id"))
+          .transform(CoreOps.renameDatapointMap("value", "val"))
+          .select(col("id").as("event_id"),
+            explode(col("reading")).as(Seq("dp_name", "dp_value")))
+          .select(col("event_id"), col("dp_name"),
+            coalesce(col("dp_value.doubleV"),
+                     col("dp_value.longV").cast("double")).as("dp_num"))
+          .orderBy("event_id", "dp_name")
+      },
+      Some("""WITH exploded AS (
+        |  SELECT event_id, 'val' AS dp_name, value AS dp_num FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'val_plus', value + 1.0 FROM events)
+        |SELECT event_id, dp_name, dp_num
+        |FROM exploded
+        |ORDER BY event_id, dp_name""".stripMargin)),
+
     // ---- permissive decode: corrupt-record routing (O6 validation path) ----
     // The reference rejects a whole batch when one element is malformed
     // (python35_filter.cpp:142-173); the Spark-native analog is per-row

@@ -64,6 +64,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(2, 14)
+      edges <- Gen.listOfN(n, for {
+        i <- Gen.choose(0L, 11L); j <- Gen.choose(0L, 11L) if i != j
+      } yield (math.min(i, j), math.max(i, j)))
+    } yield edges.distinct
+    samples(graphGen, 6).filter(_.nonEmpty).foreach { edges =>
+      // union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (i, j) => parent(find(i)) = find(j) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = nodes.groupBy(find).values
+        .map(g => g.min -> g.toSet).toMap
+      val got = Dedup.connectedComponents(edges.toDF("i", "j"))
+        .as[(Long, Long)].collect().groupBy(_._2)
+        .map { case (lbl, xs) => lbl -> xs.map(_._1).toSet }
+      assert(got == truth)
+    }
+  }
+
   test("minhash signature is permutation-invariant in the shingle set") {
     val fams = Seq((1664525L, 1013904223L), (22695477L, 1L))
     def sig(ss: Seq[String]): Seq[Long] =

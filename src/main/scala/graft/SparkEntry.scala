@@ -10,7 +10,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
       VectorQueries.defs ++ StreamQueries.defs ++ AdvancedQueries.defs ++
-      RelationalExtras.defs ++ PipelineQueries.defs ++ SourceQueries.defs
+      RelationalExtras.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
+      ScaleOpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * E1+E4 reference semantics over the events stream: affine scale/offset,

@@ -59,6 +59,29 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Incremental dedup: exact Jaccard pairs BETWEEN two corpora (indexed
+    * corpus × incoming batch), never within either side — the production
+    * flow where new documents are screened against an existing index
+    * without re-pairing the index against itself. Output one row per
+    * (corpus i, incoming j) pair at or above the threshold.
+    */
+  def crossCorpusJaccardPairs(corpus: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int, threshold: Double): DataFrame = {
+    def postings(df: DataFrame, as: String, nAs: String) =
+      shingleSets(df, idCol, textCol, k)
+        .select(col("sid").as(as), col("n_sh").as(nAs), explode(col("sh")).as("s"))
+        .select(col(as), col(nAs), xxhash64(col("s")).as("sk"))
+    val a = postings(corpus, "i", "na")
+    val b = postings(incoming, "j", "nb")
+    a.join(b, "sk")
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
   // MinHash universe: Mersenne prime 2^31-1 keeps a*x+b within Long range.
   private val MinhashPrime = 2147483647L
 

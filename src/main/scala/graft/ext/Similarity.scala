@@ -89,6 +89,35 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("v"))
   }
 
+  /** IVF with nprobe > 1: each query searches its `nprobe` closest cells
+    * (not just the argmax cell), trading candidate volume for recall — the
+    * standard IVF recall knob. Corpus vectors stay single-cell; only the
+    * (small) query side fans out, so cost grows with |queries|·nprobe.
+    */
+  def ivfProbeTopK(emb: DataFrame, nCentroids: Int, k: Int,
+                   queryPred: Column, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(emb, nCentroids).cache()
+    val c = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("ccos", cosine(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"), col("qv"))
+    val n = assigned.select(col("vec_id").as("nid"), col("cell"), col("v").as("nv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    q.join(n, Seq("cell")).filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "nid", "cos")
+  }
+
   /** IVF top-k: exact cosine top-k restricted to the query's cell. */
   def ivfTopK(emb: DataFrame, nCentroids: Int, k: Int, queryPred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

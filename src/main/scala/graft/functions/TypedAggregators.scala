@@ -35,4 +35,29 @@ object TypedAggregators {
     override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  case class LineRank(price: Double, okey: Long, lnum: Int)
+
+  /** Bounded top-k per group as a typed Aggregator: the buffer never holds
+    * more than k rows, partials merge as sorted-list merges — the constant-
+    * memory formulation of "top-k per key" for groups too large to
+    * collect_list and too numerous for a global sort. Ordering matches q08:
+    * price DESC, then okey ASC, lnum ASC.
+    */
+  class TopKLines(k: Int) extends Aggregator[LineRank, Seq[LineRank], Seq[LineRank]] {
+    private val ord: Ordering[LineRank] =
+      Ordering.by((r: LineRank) => (-r.price, r.okey, r.lnum))
+
+    override def zero: Seq[LineRank] = Vector.empty
+    override def reduce(b: Seq[LineRank], a: LineRank): Seq[LineRank] =
+      if (b.size == k && ord.lteq(b.last, a)) b // below the cut: O(1) reject
+      else ((b :+ a).sorted(ord)).take(k)
+    override def merge(b1: Seq[LineRank], b2: Seq[LineRank]): Seq[LineRank] =
+      (b1 ++ b2).sorted(ord).take(k)
+    override def finish(b: Seq[LineRank]): Seq[LineRank] = b
+    override def bufferEncoder: Encoder[Seq[LineRank]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[LineRank]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

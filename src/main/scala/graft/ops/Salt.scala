@@ -32,4 +32,25 @@ object Salt {
     renamed.groupBy(col("__k"))
       .agg(aggs.head._3.as(aggs.head._1), aggs.tail.map(a => a._3.as(a._1)): _*)
   }
+
+  /** Skew-safe equi-join: salt the (large, skewed) left side into `buckets`
+    * sub-keys and replicate every right-side row across all buckets, so a
+    * hot join key fans over `buckets` tasks instead of one straggler.
+    * Row-identical to `left.join(right, leftKey === rightKey, "inner")`.
+    *
+    * This is the manual form of what AQE's skew-join split does at runtime;
+    * it exists for the cases AQE can't see (first shuffle of a stage,
+    * pre-AQE plan reuse) and as the deterministic-plan variant. Replication
+    * multiplies the right side by `buckets` — use only when right ≪ left.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column, buckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    saltedLeft.join(replicated,
+        leftKey === rightKey && saltedLeft("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.util.OracleSafe._
+
+/** Scale-pattern operators: bounded-memory top-k aggregation, skew-salted
+  * joins, multi-probe IVF, incremental cross-corpus dedup, and corpus
+  * profiling (vocabulary, histograms, per-column profiles).
+  */
+object ScaleOpsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- top-k per group via bounded typed Aggregator (no sort shuffle) ----
+    // same contract as the window-based q08, but state is O(k) per group:
+    // the formulation that survives groups too large to sort or collect
+    QueryDef("q76_topk_aggregator",
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TypedAggregators.TopKLines(3),
+          org.apache.spark.sql.Encoders.product[graft.functions.TypedAggregators.LineRank])
+        Tables.lineitem(s, dir)
+          .groupBy("l_suppkey")
+          .agg(topk(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).as("top"))
+          .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "r")))
+          .select(col("l_suppkey"), (col("pos") + 1).as("rn"),
+            col("r.okey").as("l_orderkey"), col("r.lnum").as("l_linenumber"),
+            col("r.price").as("l_extendedprice"))
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""SELECT l_suppkey, CAST(rn AS INTEGER) AS rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // ---- skew-salted join (identical rows to the plain join) ----
+    QueryDef("q77_salted_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("event_id", "event_type", "value")
+        val dim = Tables.events(s, dir).groupBy(col("event_type").as("et"))
+          .agg(davg(col("value")).as("type_avg"))
+        graft.ops.Salt.saltedJoin(e, dim, col("event_type"), col("et"), buckets = 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               dsum(col("value") - col("type_avg")).as("sum_dev"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH dim AS (SELECT event_type AS et, ${sqlDavg("value")} AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, COUNT(*) AS n, ${sqlDsum("value - type_avg")} AS sum_dev
+        |FROM events JOIN dim ON event_type = et
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- IVF multi-probe ANN (nprobe = 2 recall knob) ----
+    QueryDef("q78_ivf_nprobe",
+      (s, dir) => graft.ext.Similarity
+        .ivfProbeTopK(Tables.embeddings(s, dir), nCentroids = 8, k = 3,
+          queryPred = col("vec_id") % 50 === 0, nprobe = 2)
+        .orderBy("qid", "rn"),
+      Some {
+        val cos = (a: String, b: String) =>
+          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          |assigned AS (
+          |  SELECT vec_id, cid AS cell, v FROM (
+          |    SELECT e.vec_id, c.cid, e.v,
+          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS crn
+          |    FROM e CROSS JOIN c)
+          |  WHERE crn = 1),
+          |probes AS (
+          |  SELECT qid, cid AS cell, qv FROM (
+          |    SELECT e.vec_id AS qid, c.cid, e.v AS qv,
+          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS crn
+          |    FROM e CROSS JOIN c WHERE e.vec_id % 50 = 0)
+          |  WHERE crn <= 2),
+          |scored AS (
+          |  SELECT q.qid, n.vec_id AS nid, ${cos("q.qv", "n.v")} AS cos
+          |  FROM probes q JOIN assigned n ON q.cell = n.cell
+          |  WHERE n.vec_id <> q.qid),
+          |ranked AS (SELECT qid, nid, cos,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
+          |  FROM scored)
+          |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 3
+          |ORDER BY qid, rn""".stripMargin
+      }),
+
+    // ---- incremental dedup: incoming batch screened against the corpus ----
+    QueryDef("q79_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+        graft.ext.Dedup
+          .crossCorpusJaccardPairs(corpus, incoming, "doc_id", "text", 3, 0.5)
+          .groupBy("j")
+          .agg(count(lit(1)).as("n_matches"), min(col("i")).as("first_match"),
+               max(col("jaccard")).as("best_jaccard"))
+          .orderBy("j")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) ds
+        |  FROM docs),
+        |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n FROM sh WHERE len(ds) > 0),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT i, j, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |  FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
+        |SELECT j, COUNT(*) AS n_matches, min(i) AS first_match, max(jaccard) AS best_jaccard
+        |FROM jp
+        |GROUP BY j
+        |ORDER BY j""".stripMargin)),
+
+    // ---- vocabulary statistics (the corpus-profiling pass before training) ----
+    QueryDef("q80_vocab_stats",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("tf"))
+        tf.orderBy(col("tf").desc, col("token").asc).limit(20)
+      },
+      Some("""SELECT token, COUNT(*) AS tf
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY tf DESC, token ASC
+        |LIMIT 20""".stripMargin)),
+
+    // ---- value histogram (fixed-width buckets) per asset key ----
+    QueryDef("q81_histogram",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy("event_type", "bucket"),
+      Some("""SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |COUNT(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin))
+  )
+}

@@ -27,10 +27,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal values keep the whole line inside the driver's tail-capture
-    // window (full-precision doubles overflowed it in round 1 → parse fail)
+    // The driver parses this line from a 2000-char stdout tail: short keys
+    // (the qNN prefix, per the contract's {"q1":sec} example) + 3-decimal
+    // values keep 100+ queries well inside the window. Full query names
+    // live in CORRECTNESS_r{N}.json.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

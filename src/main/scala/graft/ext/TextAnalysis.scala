@@ -30,9 +30,12 @@ object TextAnalysis {
 
   /** OpenRefine-style key-collision fingerprint: md5 of the sorted distinct
     * token set. Identical word sets collide regardless of order/repetition.
+    * The token-set string is a single native expression (SortedDistinctTokens)
+    * — the array_sort/array_distinct composition materializes three arrays
+    * per row on the dedup hot path.
     */
   def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
+    md5(graft.functions.TextExpressions.sortedDistinctTokens(text))
 
   /** Count of non-overlapping occurrences of a literal pattern. */
   def occurrences(text: Column, pat: String): Column =

@@ -52,8 +52,45 @@ case class DistinctWordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** One-pass "case-folded sorted distinct token set, space-joined" — the
+  * string under a key-collision fingerprint. Equivalent to
+  * `array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')`
+  * but a single native eval: one tokenize pass into a TreeSet of
+  * UTF8Strings (binary comparison = Spark's StringType sort order) and one
+  * join, instead of four array-materializing expressions per row.
+  */
+case class SortedDistinctTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sorted_distinct_tokens"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split(' ')
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < toks.length) { set.add(UTF8String.fromString(toks(i))); i += 1 }
+    val sb = new java.lang.StringBuilder(32 * set.size)
+    val it = set.iterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(' ')
+      sb.append(it.next().toString)
+      first = false
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct word-k-shingles of a text column (native single-pass). */
   def distinctShingles(text: Column, k: Int): Column =
     GraftBridge.column(DistinctWordShingles(GraftBridge.expression(text), k))
+
+  /** Sorted distinct lowercased tokens, space-joined (native single-pass). */
+  def sortedDistinctTokens(text: Column): Column =
+    GraftBridge.column(SortedDistinctTokens(GraftBridge.expression(text)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DistinctWordShingles, DotProduct, SimHash60}
+import graft.functions.{DistinctWordShingles, DotProduct, SimHash60, SortedDistinctTokens}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so the library surface is reachable from
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DistinctWordShingles].getName, "distinct_word_shingles"),
       (args: Seq[Expression]) =>
         DistinctWordShingles(args(0), intArg(args(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_distinct_tokens"),
+      new ExpressionInfo(classOf[SortedDistinctTokens].getName, "sorted_distinct_tokens"),
+      (args: Seq[Expression]) => SortedDistinctTokens(args.head)))
   }
 }
 
@@ -50,5 +54,7 @@ object GraftExtensions {
         case Literal(k: Int, _) => DistinctWordShingles(args(0), k)
         case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_distinct_tokens",
+      (args: Seq[Expression]) => SortedDistinctTokens(args.head), "scala_udf")
   }
 }

@@ -14,8 +14,10 @@ import graft.util.OracleSafe._
   */
 object SourceQueries {
 
+  // pid-scoped so concurrent sessions (verify + bench) never overwrite each
+  // other's round-trip artifacts
   private def scratch(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
+    s"${sys.props("java.io.tmpdir")}/graft_scratch_${ProcessHandle.current().pid()}/$name"
 
   val defs: Seq[QueryDef] = Seq(
 

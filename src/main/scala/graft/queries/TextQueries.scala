@@ -215,7 +215,8 @@ object TextQueries {
         Tables.documents(s, dir).createOrReplaceTempView("documents_v")
         s.sql("""SELECT doc_id,
           |  size(distinct_word_shingles(text, 3)) AS n_shingles,
-          |  simhash60(split(text, ' ')) AS fp
+          |  simhash60(split(text, ' ')) AS fp,
+          |  sorted_distinct_tokens(text) AS tokset
           |FROM documents_v ORDER BY doc_id""".stripMargin)
       },
       Some {
@@ -230,9 +231,10 @@ object TextQueries {
           |bits AS (SELECT doc_id, $sTerms FROM h GROUP BY doc_id),
           |fp AS (SELECT doc_id, $fpExpr AS simhash FROM bits),
           |sh AS (SELECT doc_id,
-          |  CAST(len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS INTEGER) AS n_shingles
-          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-          |SELECT sh.doc_id AS doc_id, sh.n_shingles, fp.simhash AS fp
+          |  CAST(len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS INTEGER) AS n_shingles,
+          |  array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS tokset
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+          |SELECT sh.doc_id AS doc_id, sh.n_shingles, fp.simhash AS fp, sh.tokset
           |FROM sh JOIN fp ON sh.doc_id = fp.doc_id
           |ORDER BY sh.doc_id""".stripMargin
       })

@@ -47,6 +47,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"no SMJ expected in the star join:\n$plan")
   }
 
+  test("as-of join is a single keyed shuffle (union-merge, no range explosion)") {
+    val df = graft.queries.EventQueries.defs
+      .find(_.name == "q22_asof_join_last_order").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    // one hash exchange for the union-merge window; the trailing orderBy
+    // adds a range exchange — anything more means the as-of degenerated
+    // into a join + per-key re-shuffles
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"as-of join should shuffle once:\n$plan")
+  }
+
   test("filter + projection reach the parquet scan (pushdown/pruning)") {
     val df = graft.queries.CoreQueries.defs
       .find(_.name == "q02_filter_project").get.fn(spark, dir)

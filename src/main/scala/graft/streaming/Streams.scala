@@ -40,7 +40,7 @@ object Streams {
     * inherited from whatever the session last set).
     */
   def runToTable(df: DataFrame, name: String, mode: OutputMode,
-                 statePartitions: Int = 8): DataFrame = {
+                 statePartitions: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)

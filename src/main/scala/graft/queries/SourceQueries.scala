@@ -58,6 +58,51 @@ object SourceQueries {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- partitioned parquet write + partition-pruned read-back ----
+    // partitionBy at write time is THE 100 TB scan-cost lever: a reader
+    // filtering on the partition column touches only matching directories
+    // (PartitionFilters in the scan, zero data files read for pruned keys).
+    QueryDef("q82_partitioned_write",
+      (s, dir) => {
+        val out = scratch("events_by_type")
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+               countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+        |COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- last-state compaction (CDC-style upsert collapse per key) ----
+    // one hash aggregate with max_by on the (ts, event_id) version tuple —
+    // the scalable "latest row per key" (no window sort over the full log)
+    QueryDef("q83_last_state_compaction",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
+             max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+             max(col("ts")).as("last_ts"),
+             count(lit(1)).as("n_versions"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, last_value, last_type, last_ts, n_versions FROM (
+        |  SELECT user_id,
+        |    value AS last_value, event_type AS last_type,
+        |    max(ts) OVER (PARTITION BY user_id) AS last_ts,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin)),
+
     // ---- bucketed tables: co-located join with no exchange ----
     // Both sides bucketed 8 ways on the join key at write time; the join
     // plan then has NO shuffle on either side (SortMergeJoin over bucketed

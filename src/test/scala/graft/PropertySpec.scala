@@ -89,6 +89,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted join returns exactly the plain join's rows on random data") {
+    val gen = for {
+      left <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 5L), Gen.choose(-100, 100)))
+      right <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 5L), Gen.alphaStr.map(_.take(4))))
+    } yield (left.take(30), right.take(8))
+    samples(gen, 5).foreach { case (l, r) =>
+      val left = l.toDF("k", "v")
+      val right = r.toDF("rk", "w")
+      val plain = left.join(right, col("k") === col("rk"))
+        .select("k", "v", "rk", "w").collect().toSeq.sortBy(_.toString)
+      val salted = graft.ops.Salt.saltedJoin(left, right, col("k"), col("rk"), buckets = 4)
+        .select("k", "v", "rk", "w").collect().toSeq.sortBy(_.toString)
+      assert(salted == plain)
+    }
+  }
+
+  test("IVF nprobe=2 top-k scores dominate nprobe=1 (superset candidate space)") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 3 + d).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val pred = col("vec_id") % 5 === 0
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.groupBy("qid").agg(sum("cos").as("s")).as[(Long, Double)].collect().toMap
+    val one = scores(graft.ext.Similarity.ivfTopK(vecs, 3, 2, pred))
+    val two = scores(graft.ext.Similarity.ivfProbeTopK(vecs, 3, 2, pred, nprobe = 2))
+    one.foreach { case (qid, s1) =>
+      assert(two(qid) >= s1 - 1e-12, s"nprobe=2 must not lose recall for q$qid")
+    }
+  }
+
   test("minhash signature is permutation-invariant in the shingle set") {
     val fams = Seq((1664525L, 1013904223L), (22695477L, 1L))
     def sig(ss: Seq[String]): Seq[Long] =

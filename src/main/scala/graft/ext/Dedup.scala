@@ -46,14 +46,23 @@ object Dedup {
     // which a low-entropy corpus (like this synthetic one) violates badly.
     // The unconditional self-join is the robust default; df-prefiltering
     // belongs behind corpus statistics, not hardcoded.
-    val ex = sets.select(col("sid"), col("n_sh"), explode(col("sh")).as("s"))
-      .select(col("sid"), col("n_sh"), xxhash64(col("s")).as("sk"))
-      .cache() // both sides of the self-join read this
-    val a = ex.select(col("sid").as("i"), col("n_sh").as("na"), col("sk"))
-    val b = ex.select(col("sid").as("j"), col("n_sh").as("nb"), col("sk"))
+    //
+    // The exploded postings carry ONLY (sid, sk) — 16 bytes/row through the
+    // self-join shuffle; per-document set sizes rejoin onto the (tiny)
+    // intersection-counted pair set afterwards.
+    val ex = sets.select(col("sid"), explode(col("sh")).as("s"))
+      .select(col("sid"), xxhash64(col("s")).as("sk"))
+      .cache() // both sides of the self-join + the size aggregate read this
+    // set size == postings count (shingles are distinct): derived from the
+    // cached postings, not by re-extracting shingles
+    val sizes = ex.groupBy("sid").agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("sid").as("i"), col("sk"))
+    val b = ex.select(col("sid").as("j"), col("sk"))
     a.join(b, a("sk") === b("sk") && col("i") < col("j"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("sid").as("i"), col("n_sh").as("na"))), "i")
+      .join(broadcast(sizes.select(col("sid").as("j"), col("n_sh").as("nb"))), "j")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("i", "j", "jaccard")

@@ -61,8 +61,11 @@ object Dedup {
     a.join(b, a("sk") === b("sk") && col("i") < col("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("sid").as("i"), col("n_sh").as("na"))), "i")
-      .join(broadcast(sizes.select(col("sid").as("j"), col("n_sh").as("nb"))), "j")
+      // plain joins, no broadcast hint: sizes is O(|corpus|) rows, which must
+      // never be forced driver-side; the pair side is tiny, so AQE broadcasts
+      // whichever side actually fits at runtime
+      .join(sizes.select(col("sid").as("i"), col("n_sh").as("na")), "i")
+      .join(sizes.select(col("sid").as("j"), col("n_sh").as("nb")), "j")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("i", "j", "jaccard")
@@ -77,15 +80,20 @@ object Dedup {
   def crossCorpusJaccardPairs(corpus: DataFrame, incoming: DataFrame,
                               idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
-    def postings(df: DataFrame, as: String, nAs: String) =
+    // same narrow-postings discipline as ngramJaccardPairs: only (sid, sk)
+    // rides the big shuffle; set sizes rejoin onto the counted pair set
+    def postings(df: DataFrame, as: String) =
       shingleSets(df, idCol, textCol, k)
-        .select(col("sid").as(as), col("n_sh").as(nAs), explode(col("sh")).as("s"))
-        .select(col(as), col(nAs), xxhash64(col("s")).as("sk"))
-    val a = postings(corpus, "i", "na")
-    val b = postings(incoming, "j", "nb")
+        .select(col("sid").as(as), explode(col("sh")).as("s"))
+        .select(col(as), xxhash64(col("s")).as("sk"))
+    val a = postings(corpus, "i").cache()
+    val b = postings(incoming, "j").cache()
+    val na = a.groupBy("i").agg(count(lit(1)).as("na"))
+    val nb = b.groupBy("j").agg(count(lit(1)).as("nb"))
     a.join(b, "sk")
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(na, "i").join(nb, "j")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("i", "j", "jaccard")
@@ -218,7 +226,7 @@ object Dedup {
     *   point of LSH blocking), so label propagation should NOT inherit the
     *   corpus-sized shuffle width — size it to the edge count.
     */
-  def connectedComponents(pairs: DataFrame, iterations: Int = 8,
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
                           partitions: Int = 4): DataFrame = {
     val spark = pairs.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -230,17 +238,35 @@ object Dedup {
         .localCheckpoint(true) // computed once, re-read every iteration
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-      for (_ <- 1 to iterations) {
+        .localCheckpoint(true)
+      var changed = 1L
+      var round = 0
+      // Pregel-style convergence loop: each round takes one neighbor hop
+      // then one pointer jump (label := label of label), so reach DOUBLES
+      // per round — any diameter converges in O(log d) rounds, and the
+      // fixpoint check exits after ~2 rounds on the quasi-clique components
+      // near-dup pairs actually form. maxRounds is a runaway backstop.
+      while (changed > 0 && round < maxRounds) {
         val prop = edges.join(labels, col("src") === col("id"))
           .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-        // materialize each round: the update references `labels` twice, so an
-        // unbroken lineage doubles per iteration (2^k plan blowup — measured
-        // 132 s vs ~2 s at sf0.1). Iterative dataflows MUST truncate lineage;
-        // on a cluster use checkpoint() to a fault-tolerant store instead.
-        labels = labels.join(prop, col("id") === col("dst"), "left")
+        // materialize each round: the update references the previous round
+        // twice, so an unbroken lineage doubles per iteration (2^k plan
+        // blowup — measured 132 s vs ~2 s at sf0.1). Iterative dataflows
+        // MUST truncate lineage; on a cluster use checkpoint() instead.
+        val propagated = labels.join(prop, col("id") === col("dst"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
           .localCheckpoint(true)
+        val byLabel = propagated
+          .select(col("id").as("jid"), col("label").as("jlabel"))
+        val next = propagated.join(byLabel, col("label") === col("jid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        round += 1
       }
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -53,7 +53,10 @@ object TextAnalysis {
     * quality-filter hot path.
     */
   def stopwordRatio(text: Column): Column = {
-    val pat = "(?<=^| )(" + StopWords.mkString("|") + ")(?= |$)"
+    // \z (absolute end), not $: Java's $ also matches before a final line
+    // terminator, which would count a stopword followed by a trailing
+    // newline — the token filter this replaces would not
+    val pat = "(?<=^| )(" + StopWords.mkString("|") + ")(?= |\\z)"
     regexp_count(text, lit(pat)) / size(tokens(text)).cast("double")
   }
 

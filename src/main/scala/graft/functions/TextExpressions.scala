@@ -66,7 +66,10 @@ case class SortedDistinctTokens(child: Expression)
   override def prettyName: String = "sorted_distinct_tokens"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split(' ')
+    // split(" ", -1): keep trailing empty tokens — Spark's split() and
+    // DuckDB's string_split both keep them, and the fingerprint must hash
+    // the identical token set (Scala's default split drops trailing empties)
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split(" ", -1)
     val set = new java.util.TreeSet[UTF8String]()
     var i = 0
     while (i < toks.length) { set.add(UTF8String.fromString(toks(i))); i += 1 }

@@ -104,7 +104,11 @@ object CoreOps {
       when(k === from, to).otherwise(k)))
 
   def addDatapointMap(name: String, value: Column)(df: DataFrame): DataFrame =
-    df.withColumn("reading", map_concat(col("reading"), map(lit(name), value)))
+    // remove-then-concat: the reference's dict assignment OVERWRITES an
+    // existing key; a bare map_concat would instead throw Duplicate map key
+    // under the default spark.sql.mapKeyDedupPolicy=EXCEPTION
+    df.withColumn("reading", map_concat(
+      map_filter(col("reading"), (k, _) => k =!= name), map(lit(name), value)))
 
   /** Empty-reading drop — the reference deletes a row whose returned reading
     * dict is empty (`/root/reference/python35_filter.cpp:206, 250-254`).

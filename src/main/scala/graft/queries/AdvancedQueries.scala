@@ -255,8 +255,7 @@ object AdvancedQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val k = 64
-        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
-          .cast("long")
+        val h = graft.util.StableHash.h48(col("l_partkey"))
         val dist = Tables.lineitem(s, dir)
           .select(col("l_returnflag"), h.as("h")).distinct()
         val w = Window.partitionBy("l_returnflag").orderBy("h")
@@ -274,9 +273,9 @@ object AdvancedQueries {
           .select("l_returnflag", "n_exact", "kmv_k", "kmv_est")
           .orderBy("l_returnflag")
       },
-      Some("""WITH h AS (
+      Some(s"""WITH h AS (
         |  SELECT DISTINCT l_returnflag,
-        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |    ${graft.util.StableHash.sql48("l_partkey")} AS h
         |  FROM lineitem),
         |r AS (SELECT l_returnflag, h,
         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),

@@ -15,14 +15,7 @@ import graft.ext.Dedup
   */
 object PipelineQueries {
 
-  /** 48-bit stable hash of a column's string form (md5 prefix) — the split/
-    * sample randomness source, reproducible on any engine.
-    */
-  private def h48(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
-
-  private val sqlH48 = (e: String) =>
-    s"CAST(('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 12)) AS BIGINT)"
+  import graft.util.StableHash.{h48, sql48 => sqlH48}
 
   val defs: Seq[QueryDef] = Seq(
 

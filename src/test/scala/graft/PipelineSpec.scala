@@ -14,9 +14,10 @@ class PipelineSpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
-  test("connectedComponents: long chain converges within iteration bound") {
-    // path graph 0-1-2-...-7: worst-case diameter for the default bound
-    val pairs = (0L until 7L).map(i => (i, i + 1)).toDF("i", "j")
+  test("connectedComponents: 40-node chain converges (pointer jumping)") {
+    // path graph 0-1-...-39: diameter 39 ≫ the 8 default rounds — covered
+    // because each round also jumps label-of-label (doubling reach)
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("i", "j")
     val labels = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(0L))

@@ -31,6 +31,21 @@ class ReadingModelSpec extends SparkSpec {
     assert(out.reading("state") == DatapointValue.ofString("on"))
   }
 
+  test("map datapoint surgery: add overwrites an existing key, drop/rename compose") {
+    val out = spark.createDataset(Seq(sample.head)).toDF()
+      // "add a key that already exists" must OVERWRITE like the reference's
+      // dict assignment, not throw Duplicate map key
+      .transform(CoreOps.addDatapointMap("power",
+        struct(lit(null).cast("long").as("longV"), lit(7.5).as("doubleV"),
+          lit(null).cast("string").as("stringV"))))
+      .transform(CoreOps.renameDatapointMap("count", "n"))
+      .transform(CoreOps.dropDatapointMap("state"))
+      .as[Reading].collect().head
+    assert(out.reading("power") == DatapointValue.ofDouble(7.5))
+    assert(out.reading("n") == DatapointValue.ofLong(10))
+    assert(!out.reading.contains("state") && !out.reading.contains("count"))
+  }
+
   test("empty reading map drops the row (python35_filter.cpp:206,250-254)") {
     val out = spark.createDataset(sample).toDF()
       .transform(CoreOps.dropEmptyReadings).as[Reading].collect()

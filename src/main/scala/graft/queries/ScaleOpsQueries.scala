@@ -136,6 +136,54 @@ object ScaleOpsQueries {
         |ORDER BY tf DESC, token ASC
         |LIMIT 20""".stripMargin)),
 
+    // ---- count-min sketch: bounded-memory frequency estimates ----
+    // d=4 hash rows x w=256 counters (md5-derived row hashes, the same
+    // stable recipe as everywhere else); estimate = min over rows. The
+    // sketch tables are 4 tiny aggregates that merge by addition — the
+    // mergeable-frequency-summary shape for streams/partitions at scale.
+    // Estimates are >= true counts by construction; the oracle rebuilds the
+    // identical sketch, so even the collision error is hash-checked.
+    QueryDef("q84_count_min",
+      (s, dir) => {
+        val w = 256
+        val tokens = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+        def rowHash(r: Int) =
+          conv(substring(md5(concat(lit(s"$r:"), col("token"))), 1, 12), 16, 10)
+            .cast("long") % w
+        val sketch = (0 until 4).map { r =>
+          tokens.groupBy(rowHash(r).as("bucket")).agg(count(lit(1)).as(s"c$r"))
+            .withColumnRenamed("bucket", s"b$r")
+        }
+        val top = tokens.groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token").asc).limit(10)
+        val withBuckets = top.select(
+          Seq(col("token"), col("tf")) ++ (0 until 4).map(r => rowHash(r).as(s"qb$r")): _*)
+        (0 until 4).foldLeft(withBuckets) { (df, r) =>
+            df.join(sketch(r), col(s"qb$r") === col(s"b$r"))
+          }
+          .select(col("token"), col("tf"),
+            least((0 until 4).map(r => col(s"c$r")): _*).as("cm_est"))
+          .orderBy(col("tf").desc, col("token").asc)
+      },
+      Some {
+        val rowHash = (r: Int, e: String) =>
+          s"CAST(('0x' || substr(md5('$r:' || $e), 1, 12)) AS BIGINT) % 256"
+        val sketches = (0 until 4).map(r =>
+          s"s$r AS (SELECT ${rowHash(r, "token")} AS b$r, COUNT(*) AS c$r FROM toks GROUP BY 1)")
+          .mkString(",\n")
+        val joins = (0 until 4).map(r =>
+          s"JOIN s$r ON ${rowHash(r, "token")} = b$r").mkString("\n")
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+          |top AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+          |        ORDER BY tf DESC, token ASC LIMIT 10),
+          |$sketches
+          |SELECT token, tf, least(c0, c1, c2, c3) AS cm_est
+          |FROM top
+          |$joins
+          |ORDER BY tf DESC, token ASC""".stripMargin
+      }),
+
     // ---- value histogram (fixed-width buckets) per asset key ----
     QueryDef("q81_histogram",
       (s, dir) => Tables.events(s, dir)

@@ -50,6 +50,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.contains((1L, 4L)))
   }
 
+  test("SortedDistinctTokens matches the composable formulation on edge cases") {
+    // trailing/leading/double spaces produce empty tokens that Spark's
+    // split() keeps — the native expression must hash the identical set
+    val tricky = Seq("a b ", " a b", "a  b", "A mixed CASE", "single", "")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val both = tricky.select(
+        graft.functions.TextExpressions.sortedDistinctTokens(col("text")).as("native"),
+        array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " ").as("composed"))
+      .as[(String, String)].collect()
+    both.foreach { case (n, c) => assert(n == c, s"native [$n] != composed [$c]") }
+  }
+
   test("fingerprint collides on same word set regardless of order/repetition") {
     val df = Seq(
       (1L, "alpha beta gamma"),

@@ -32,21 +32,40 @@ object Similarity {
   /** cosine = dot/(|a|·|b|) with the exact association the oracle uses. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Rank scored (qid, nid, cos) pairs to per-query top-k via the bounded
+    * [[graft.functions.TypedAggregators.TopKNeighbors]] aggregate: partials
+    * keep only k rows per query per partition (map-side combine), so the
+    * shuffle carries |queries|·k rows — never the full scored pair set the
+    * row_number-window formulation would sort. Ties break on nid ASC,
+    * identical to `ROW_NUMBER() OVER (ORDER BY cos DESC, nid ASC)`.
+    *
+    * Measured trade (sf0.1, 500k scored pairs): ~1 s slower than the window
+    * locally — the typed aggregate pays a per-row encoder conversion the
+    * codegen'd sort does not. Kept anyway: the window SORTS THE ENTIRE
+    * scored set through one shuffle, which is the part that cannot survive
+    * a billion-vector corpus; the aggregate's shuffle is O(|queries|·k).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TypedAggregators.TopKNeighbors(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.TypedAggregators.Neighbor])
+    scored.groupBy("qid")
+      .agg(topk(col("cos"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.nid").as("nid"), col("n.cos").as("cos"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ties broken by neighbor id. Query side is
-    * broadcast → BroadcastNestedLoopJoin, corpus side never shuffles until
-    * the final per-query top-k (a tiny aggregate).
+    * broadcast → BroadcastNestedLoopJoin, corpus side never shuffles; the
+    * per-query top-k is a bounded aggregate (O(|queries|·k) shuffle).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    c.join(broadcast(q), col("nid") =!= col("qid"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "rn", "nid", "cos")
+    topKPerQuery(scored.select("qid", "nid", "cos"), k)
   }
 
   /** Near-dup pairs within a blocking partition (label): the IVF-coarse
@@ -110,27 +129,20 @@ object Similarity {
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("cid").as("cell"), col("qv"))
     val n = assigned.select(col("vec_id").as("nid"), col("cell"), col("v").as("nv"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    q.join(n, Seq("cell")).filter(col("nid") =!= col("qid"))
+    val scored = q.join(n, Seq("cell")).filter(col("nid") =!= col("qid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "rn", "nid", "cos")
+    topKPerQuery(scored.select("qid", "nid", "cos"), k)
   }
 
   /** IVF top-k: exact cosine top-k restricted to the query's cell. */
   def ivfTopK(emb: DataFrame, nCentroids: Int, k: Int, queryPred: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssign(emb, nCentroids).cache()
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
     val n = assigned.select(col("vec_id").as("nid"), col("cell"), col("v").as("nv"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    q.join(n, Seq("cell")).filter(col("nid") =!= col("qid"))
+    val scored = q.join(n, Seq("cell")).filter(col("nid") =!= col("qid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "rn", "nid", "cos")
+    topKPerQuery(scored.select("qid", "nid", "cos"), k)
   }
 
   /** md5 of `s`, first 15 hex chars as a long — the same stable-hash recipe
@@ -164,17 +176,13 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               dim: Int = 64, bits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sig = (v: Column) => hyperplaneSignature(v, dim, bits)
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .withColumn("bucket", sig(col("qv")))
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
       .withColumn("bucket", sig(col("nv")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    q.join(c, Seq("bucket")).filter(col("nid") =!= col("qid"))
+    val scored = q.join(c, Seq("bucket")).filter(col("nid") =!= col("qid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "rn", "nid", "cos")
+    topKPerQuery(scored.select("qid", "nid", "cos"), k)
   }
 }

@@ -46,10 +46,9 @@ object Similarity {
     * a billion-vector corpus; the aggregate's shuffle is O(|queries|·k).
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new graft.functions.TypedAggregators.TopKNeighbors(k),
-      org.apache.spark.sql.Encoders.product[graft.functions.TypedAggregators.Neighbor])
     scored.groupBy("qid")
-      .agg(topk(col("cos"), col("nid")).as("top"))
+      .agg(graft.functions.TopKNeighborsAgg
+        .topkNeighbors(col("cos"), col("nid"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "n")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
         col("n.nid").as("nid"), col("n.cos").as("cos"))

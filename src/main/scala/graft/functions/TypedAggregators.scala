@@ -36,32 +36,6 @@ object TypedAggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  case class Neighbor(cos: Double, nid: Long)
-
-  /** Bounded top-k nearest neighbors per query (cosine DESC, id ASC ties):
-    * the aggregation form of ANN ranking. A row_number window over the
-    * scored pairs sort-shuffles |queries|x|candidates| rows; this buffer
-    * holds k rows per query and partial-aggregates map-side, so only
-    * |queries|·k rows ever cross the wire — the shape that survives a
-    * billion-vector corpus.
-    */
-  class TopKNeighbors(k: Int) extends Aggregator[Neighbor, Seq[Neighbor], Seq[Neighbor]] {
-    private val ord: Ordering[Neighbor] =
-      Ordering.by((n: Neighbor) => (-n.cos, n.nid))
-
-    override def zero: Seq[Neighbor] = Vector.empty
-    override def reduce(b: Seq[Neighbor], a: Neighbor): Seq[Neighbor] =
-      if (b.size == k && ord.lteq(b.last, a)) b
-      else ((b :+ a).sorted(ord)).take(k)
-    override def merge(b1: Seq[Neighbor], b2: Seq[Neighbor]): Seq[Neighbor] =
-      (b1 ++ b2).sorted(ord).take(k)
-    override def finish(b: Seq[Neighbor]): Seq[Neighbor] = b
-    override def bufferEncoder: Encoder[Seq[Neighbor]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    override def outputEncoder: Encoder[Seq[Neighbor]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-  }
-
   case class LineRank(price: Double, okey: Long, lnum: Int)
 
   /** Bounded top-k per group as a typed Aggregator: the buffer never holds

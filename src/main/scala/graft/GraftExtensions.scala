@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DistinctWordShingles, DotProduct, SimHash60, SortedDistinctTokens}
+import graft.functions.{DistinctWordShingles, DotProduct, SimHash60, SortedDistinctTokens, TopKNeighborsAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so the library surface is reachable from
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_distinct_tokens"),
       new ExpressionInfo(classOf[SortedDistinctTokens].getName, "sorted_distinct_tokens"),
       (args: Seq[Expression]) => SortedDistinctTokens(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("topk_neighbors"),
+      new ExpressionInfo(classOf[TopKNeighborsAgg].getName, "topk_neighbors"),
+      (args: Seq[Expression]) =>
+        TopKNeighborsAgg(args(0), args(1), intArg(args(2), "k"))))
   }
 }
 
@@ -56,5 +61,10 @@ object GraftExtensions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("sorted_distinct_tokens",
       (args: Seq[Expression]) => SortedDistinctTokens(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("topk_neighbors",
+      (args: Seq[Expression]) => args(2) match {
+        case Literal(k: Int, _) => TopKNeighborsAgg(args(0), args(1), k)
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }, "scala_udf")
   }
 }

@@ -108,6 +108,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.exists(_._1 != -1))
   }
 
+  test("topk_neighbors aggregate is callable from SQL (registry wraps it)") {
+    graft.GraftExtensions.registerAll(spark)
+    vecs.createOrReplaceTempView("vecs_v")
+    val top = spark.sql(
+      """SELECT topk_neighbors(CAST(vec_id AS DOUBLE), vec_id, 2) AS top
+        |FROM vecs_v""".stripMargin)
+      .selectExpr("inline(top)").as[(Long, Double)].collect().toSeq
+    // scores are the ids themselves: best-first = (3, 3.0), (2, 2.0)
+    assert(top == Seq((3L, 3.0), (2L, 2.0)))
+  }
+
   test("multimodal stub: partition-wise feature extraction preserves ids and byte counts") {
     val media = graft.ext.Multimodal.asMedia(
       Seq((7L, "abc"), (8L, "defg")).toDF("doc_id", "text"))

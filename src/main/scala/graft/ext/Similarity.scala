@@ -33,7 +33,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Rank scored (qid, nid, cos) pairs to per-query top-k via the bounded
-    * [[graft.functions.TypedAggregators.TopKNeighbors]] aggregate: partials
+    * [[graft.functions.TopKNeighborsAgg]] aggregate: partials
     * keep only k rows per query per partition (map-side combine), so the
     * shuffle carries |queries|·k rows — never the full scored pair set the
     * row_number-window formulation would sort. Ties break on nid ASC,

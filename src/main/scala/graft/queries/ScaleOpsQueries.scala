@@ -148,19 +148,27 @@ object ScaleOpsQueries {
         val w = 256
         val tokens = Tables.documents(s, dir)
           .select(explode(split(col("text"), " ")).as("token"))
+          .cache() // one tokenize pass feeds the sketch AND the top-10
         def rowHash(r: Int) =
           conv(substring(md5(concat(lit(s"$r:"), col("token"))), 1, 12), 16, 10)
             .cast("long") % w
-        val sketch = (0 until 4).map { r =>
-          tokens.groupBy(rowHash(r).as("bucket")).agg(count(lit(1)).as(s"c$r"))
-            .withColumnRenamed("bucket", s"b$r")
-        }
+        // all 4 sketch rows in ONE aggregate: explode each token into its
+        // (row, bucket) cells then count — a single pass over the postings,
+        // which is also the mergeable-summary shape the sketch exists for
+        val sketchAll = tokens
+          .select(explode(array((0 until 4).map(r =>
+            struct(lit(r).as("r"), rowHash(r).as("b"))): _*)).as("rb"))
+          .select(col("rb.r").as("r"), col("rb.b").as("b"))
+          .groupBy("r", "b").agg(count(lit(1)).as("c"))
+          .cache()
         val top = tokens.groupBy("token").agg(count(lit(1)).as("tf"))
           .orderBy(col("tf").desc, col("token").asc).limit(10)
         val withBuckets = top.select(
           Seq(col("token"), col("tf")) ++ (0 until 4).map(r => rowHash(r).as(s"qb$r")): _*)
         (0 until 4).foldLeft(withBuckets) { (df, r) =>
-            df.join(sketch(r), col(s"qb$r") === col(s"b$r"))
+            df.join(sketchAll.filter(col("r") === r)
+              .select(col("b").as(s"b$r"), col("c").as(s"c$r")),
+              col(s"qb$r") === col(s"b$r"))
           }
           .select(col("token"), col("tf"),
             least((0 until 4).map(r => col(s"c$r")): _*).as("cm_est"))

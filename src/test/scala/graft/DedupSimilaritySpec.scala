@@ -108,6 +108,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.exists(_._1 != -1))
   }
 
+  test("topk_neighbors ranks NaN scores like the row_number window (NaN greatest)") {
+    import org.apache.spark.sql.expressions.Window
+    // NaN cosine = zero-norm vector; Spark sorts NaN above every double,
+    // so DESC ranks it first — the aggregate must agree, and a NaN in the
+    // buffer tail must not reject later real candidates
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.95), (1L, 13L, 0.1)
+    ).toDF("qid", "nid", "cos")
+    val viaWindow = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rn") <= 2).select("rn", "nid")
+      .as[(Int, Long)].collect().toSet
+    val viaAgg = scored.groupBy("qid")
+      .agg(graft.functions.TopKNeighborsAgg
+        .topkNeighbors(col("cos"), col("nid"), 2).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "n")))
+      .select((col("pos") + 1).cast("int"), col("n.nid"))
+      .as[(Int, Long)].collect().toSet
+    assert(viaAgg == viaWindow && viaAgg == Set((1, 11L), (2, 12L)))
+  }
+
   test("topk_neighbors aggregate is callable from SQL (registry wraps it)") {
     graft.GraftExtensions.registerAll(spark)
     vecs.createOrReplaceTempView("vecs_v")

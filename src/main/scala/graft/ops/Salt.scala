@@ -14,15 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** Row-position-derived salt: spreads a hot key uniformly regardless of
+    * row CONTENT — content hashing would land byte-identical duplicate rows
+    * (the classic skew shape) in one bucket, and fails outright on MapType
+    * columns (unhashable since Spark 3.0, e.g. the variant reading map).
+    * Salt values vary with partition layout, which is fine: every salted
+    * operator here is salt-agnostic in its results.
+    */
+  private def rowSalt(buckets: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(buckets))
+
+  private def requireSaltable(df: DataFrame, buckets: Int): Unit = {
+    require(buckets >= 1, s"salting requires buckets >= 1, got $buckets")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column; rename it before salting")
+  }
+
   /** Salted sum/count/min/max aggregation: `aggs` maps output name ->
     * (partial aggregate over raw rows, merge aggregate over partials).
-    * The salt is deterministic (hash of all columns mod buckets), so plans
-    * stay reproducible.
     */
   def saltedAgg(df: DataFrame, key: Column, buckets: Int,
                 aggs: Seq[(String, Column, Column)]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
+    requireSaltable(df, buckets)
+    val salted = df.withColumn("__salt", rowSalt(buckets))
     val partial = salted.groupBy(key.as("__k"), col("__salt"))
       .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
            aggs.tail.map(a => a._2.as(s"__p_${a._1}")): _*)
@@ -45,8 +59,9 @@ object Salt {
     */
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: Column, rightKey: Column, buckets: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets)))
+    requireSaltable(left, buckets)
+    requireSaltable(right, buckets)
+    val saltedLeft = left.withColumn("__salt", rowSalt(buckets))
     val replicated = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     saltedLeft.join(replicated,

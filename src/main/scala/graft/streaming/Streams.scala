@@ -38,6 +38,11 @@ object Streams {
     * (state partitioning is fixed by the first run of a checkpoint anyway,
     * so at scale this must be sized to key cardinality explicitly, not
     * inherited from whatever the session last set).
+    *
+    * Scope caveat: shuffle-partitions is a SESSION conf — the set/restore
+    * window is not safe under concurrent queries on the same SparkSession.
+    * The verify/bench harness runs queries sequentially; concurrent
+    * callers should run streams on `spark.newSession()`.
     */
   def runToTable(df: DataFrame, name: String, mode: OutputMode,
                  statePartitions: Int = 4): DataFrame = {
@@ -51,43 +56,49 @@ object Streams {
     spark.table(name)
   }
 
-  /** Watermarked tumbling-window aggregate (1 hour) per asset key. */
-  def tumblingHourly(events: DataFrame): DataFrame =
+  /** Shared skeleton: watermark → (tumbling | sliding) event-time window →
+    * count + deterministic sum per asset key. All windowed stream operators
+    * here are this shape with different slide/start naming.
+    */
+  private def windowedAgg(events: DataFrame, slide: Option[String],
+                          startName: String): DataFrame = {
+    val win = slide.fold(window(col("ts"), "1 hour"))(s => window(col("ts"), "1 hour", s))
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n"),
            graft.util.OracleSafe.dsum(col("value")).as("sum_value"))
-      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .select(col("window.start").as(startName), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Watermarked tumbling-window aggregate (1 hour) per asset key. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    windowedAgg(events, None, "hour")
+
+  /** Watermarked sliding-window aggregate (1 h window, 30 min slide). */
+  def slidingHalfHour(events: DataFrame): DataFrame =
+    windowedAgg(events, Some("30 minutes"), "win_start")
 
   /** The reference's E1/E4 pipeline (scale/offset + asset allowlist,
     * SURVEY.md §2.2) composed with a watermarked hourly aggregate — the
     * streaming form of the engine's flagship batch query (q18). CoreOps
     * transformations compose onto streams unchanged: they are plain
-    * `DataFrame => DataFrame` functions.
+    * `DataFrame => DataFrame` functions, and the whole pipeline is
+    * config-driven (enable gate, scale/offset, allowlist) like the
+    * reference's O8 contract.
     */
-  def scaledHourly(events: DataFrame): DataFrame = {
-    val cfg = graft.ops.FilterConfig()
-    events
-      .transform(graft.ops.CoreOps.scaleOffset(Seq("value"), cfg.scale, cfg.offset))
-      .transform(graft.ops.CoreOps.assetFilter("event_type", Seq("view", "click", "purchase")))
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(graft.util.OracleSafe.dsum(col("value")).as("sum_scaled"),
-           count(lit(1)).as("n"))
-      .select(col("window.start").as("hour"), col("event_type"),
-        col("sum_scaled"), col("n"))
-  }
-
-  /** Watermarked sliding-window aggregate (1 h window, 30 min slide). */
-  def slidingHalfHour(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           graft.util.OracleSafe.dsum(col("value")).as("sum_value"))
-      .select(col("window.start").as("win_start"), col("event_type"),
-        col("n"), col("sum_value"))
+  def scaledHourly(events: DataFrame,
+                   cfg: graft.ops.FilterConfig = graft.ops.FilterConfig(
+                     assetAllowlist = Some(Seq("view", "click", "purchase")))): DataFrame =
+    windowedAgg(
+      events.transform(graft.ops.CoreOps.guarded(cfg, df =>
+        df.transform(graft.ops.CoreOps.scaleOffset(Seq("value"), cfg.scale, cfg.offset))
+          .transform(graft.ops.CoreOps.assetFilter("event_type",
+            cfg.assetAllowlist.getOrElse(Seq.empty))))),
+      None, "hour")
+      .withColumnsRenamed(Map("sum_value" -> "sum_scaled"))
+      .select("hour", "event_type", "sum_scaled", "n")
 
   /** Stream-stream inner join: each view paired with the same user's
     * purchases within the following hour. Watermarks on both sides bound

@@ -44,6 +44,14 @@ class ReadingModelSpec extends SparkSpec {
     assert(out.reading("power") == DatapointValue.ofDouble(7.5))
     assert(out.reading("n") == DatapointValue.ofLong(10))
     assert(!out.reading.contains("state") && !out.reading.contains("count"))
+
+    // rename onto an EXISTING key overwrites it (dict d[to] = d.pop(from))
+    val clobbered = spark.createDataset(Seq(sample.head)).toDF()
+      .transform(CoreOps.renameDatapointMap("count", "state"))
+      .as[Reading].collect().head
+    assert(clobbered.reading("state") == DatapointValue.ofLong(10))
+    assert(!clobbered.reading.contains("count"))
+    assert(clobbered.reading.size == 2)
   }
 
   test("empty reading map drops the row (python35_filter.cpp:206,250-254)") {

@@ -29,10 +29,11 @@ object Bench {
         .outputMode("complete").start()
       q.processAllAvailable(); q.stop()
     }
-    // dev loop: SPARK_GRAFT_ONLY=q41,q70 benches a subset
+    // dev loop: SPARK_GRAFT_ONLY=q41,q70 benches a subset. Match on the qNN
+    // prefix EXACTLY (startsWith would make q4 also select q40-q49).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
       .map { case (name, fn) =>
       spark.catalog.clearCache() // isolate per-query caches between timings
       val t0 = System.nanoTime()
@@ -44,8 +45,11 @@ object Bench {
     // values keep 100+ queries well inside the window. Full query names
     // live in CORRECTNESS_r{N}.json.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      "duplicate qNN bench keys: " + shortKeys.diff(shortKeys.distinct).mkString(","))
+    val qs = shortKeys.zip(results.map(_._2))
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -228,12 +228,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
                           partitions: Int = 4): DataFrame = {
-    val spark = pairs.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", partitions)
-    try {
-      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+    // Run the propagation loop on a CHILD session (own conf, shared
+    // SparkContext/cache) with the narrow shuffle width pinned at session
+    // scope: no set/restore window on the caller's conf for concurrent
+    // queries to race with. The pair graph crosses sessions via its RDD —
+    // the localCheckpoint below materializes it anyway.
+    val spark = pairs.sparkSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    locally {
+      val edgesSrc = pairs.select(col("i").as("src"), col("j").as("dst"))
         .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      val edges = spark.createDataFrame(edgesSrc.rdd, edgesSrc.schema)
         .repartition(partitions)
         .localCheckpoint(true) // computed once, re-read every iteration
       var labels = edges.select(col("src").as("id")).distinct()
@@ -269,6 +274,6 @@ object Dedup {
         round += 1
       }
       labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 }

@@ -100,13 +100,18 @@ object CoreOps {
     df.withColumn("reading", map_filter(col("reading"), (k, _) => k =!= name))
 
   def renameDatapointMap(from: String, to: String)(df: DataFrame): DataFrame =
-    // drop any existing `to` key first: the reference's dict rename
-    // (d[to] = d.pop(from)) overwrites, while a bare transform_keys would
-    // produce a duplicate key and crash under mapKeyDedupPolicy=EXCEPTION
-    df.withColumn("reading", transform_keys(
-      map_filter(col("reading"),
-        (k, _) => k =!= to || !map_contains_key(col("reading"), from)),
-      (k, _) => when(k === from, to).otherwise(k)))
+    // self-rename is a no-op (the reference's d[to] = d.pop(from) puts the
+    // value straight back); without the short-circuit the filter below
+    // would drop the key and the rename would silently DELETE the datapoint
+    if (from == to) df
+    else
+      // drop any existing `to` key first: the reference's dict rename
+      // (d[to] = d.pop(from)) overwrites, while a bare transform_keys would
+      // produce a duplicate key and crash under mapKeyDedupPolicy=EXCEPTION
+      df.withColumn("reading", transform_keys(
+        map_filter(col("reading"),
+          (k, _) => k =!= to || !map_contains_key(col("reading"), from)),
+        (k, _) => when(k === from, to).otherwise(k)))
 
   def addDatapointMap(name: String, value: Column)(df: DataFrame): DataFrame =
     // remove-then-concat: the reference's dict assignment OVERWRITES an

@@ -211,24 +211,34 @@ object EventQueries {
           concat(substring(col("props"), 1, 3), lit("x"))).otherwise(col("props"))
         val schema = StructType(Seq(
           StructField("k", LongType), StructField("_corrupt", StringType)))
+        // n_valid / n_corrupt count ONE shared predicate — "k extracted as a
+        // BIGINT" — so engine and oracle agree for valid-JSON-but-missing-k
+        // and malformed-k shapes that previously diverged (engine counted
+        // parsed.k, oracle counted json_valid(raw)). Sole remaining edge:
+        // a QUOTED number ("k":"7") — from_json is strict (corrupt) while
+        // TRY_CAST coerces; the corpus's k is always a bare JSON number.
         Tables.events(s, dir)
           .withColumn("parsed",
             from_json(raw, schema, Map("columnNameOfCorruptRecord" -> "_corrupt")))
           .groupBy("event_type")
-          .agg(count(col("parsed._corrupt")).as("n_corrupt"),
+          .agg(sum(when(col("parsed.k").isNull, 1L).otherwise(0L)).as("n_corrupt"),
                count(col("parsed.k")).as("n_valid"),
                sum(col("parsed.k")).as("sum_k"))
           .orderBy("event_type")
       },
       Some("""WITH r AS (
         |  SELECT event_type,
-        |    CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3) || 'x' ELSE props END AS raw
+        |    CASE WHEN json_valid(CASE WHEN event_id % 10 = 0
+        |                         THEN substr(props, 1, 3) || 'x' ELSE props END)
+        |         THEN TRY_CAST(json_extract_string(
+        |                CASE WHEN event_id % 10 = 0
+        |                THEN substr(props, 1, 3) || 'x' ELSE props END, '$.k') AS BIGINT)
+        |    END AS k
         |  FROM events)
         |SELECT event_type,
-        |  COUNT(CASE WHEN NOT json_valid(raw) THEN 1 END) AS n_corrupt,
-        |  COUNT(CASE WHEN json_valid(raw) THEN 1 END) AS n_valid,
-        |  CAST(SUM(CASE WHEN json_valid(raw)
-        |       THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k
+        |  COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_corrupt,
+        |  COUNT(k) AS n_valid,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM r
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),

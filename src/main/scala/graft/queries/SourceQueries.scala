@@ -15,9 +15,47 @@ import graft.util.OracleSafe._
 object SourceQueries {
 
   // pid-scoped so concurrent sessions (verify + bench) never overwrite each
-  // other's round-trip artifacts
-  private def scratch(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_scratch_${ProcessHandle.current().pid()}/$name"
+  // other's round-trip artifacts; the whole root is deleted on JVM exit so
+  // repeated runs don't accumulate artifacts under java.io.tmpdir
+  private val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_scratch_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    p
+  }
+
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
+  /** Write both join sides bucketed 8 ways on the join key and return the
+    * (lazy) join-aggregate over them. Exposed so PlanShapeSpec can assert
+    * the no-exchange plan on the same DataFrame q68 materializes.
+    */
+  def bucketedJoin(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val wh = scratch("bucketed")
+    dropBucketedTables(s)
+    Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li").mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord").mode("overwrite").saveAsTable("ord_bucketed")
+    s.table("li_bucketed")
+      .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  def dropBucketedTables(s: org.apache.spark.sql.SparkSession): Unit = {
+    s.sql("DROP TABLE IF EXISTS li_bucketed")
+    s.sql("DROP TABLE IF EXISTS ord_bucketed")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -110,20 +148,15 @@ object SourceQueries {
     // fact table on every join and reading it pre-partitioned.
     QueryDef("q68_bucketed_join",
       (s, dir) => {
-        val wh = scratch("bucketed")
-        s.sql("DROP TABLE IF EXISTS li_bucketed")
-        s.sql("DROP TABLE IF EXISTS ord_bucketed")
-        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$wh/li").mode("overwrite").saveAsTable("li_bucketed")
-        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$wh/ord").mode("overwrite").saveAsTable("ord_bucketed")
-        s.table("li_bucketed")
-          .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
-          .orderBy("o_orderstatus")
+        val joined = bucketedJoin(s, dir)
+        // materialize the (tiny) aggregate, then DROP the bucketed tables so
+        // they don't linger in the shared catalog; return the collected rows
+        // so downstream consumers never re-scan the dropped tables
+        val rows = joined.collect()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), joined.schema)
+        dropBucketedTables(s)
+        out
       },
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
         |${sqlDsum("l_quantity")} AS sum_qty

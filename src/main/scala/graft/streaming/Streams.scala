@@ -16,43 +16,43 @@ object Streams {
   /** The events table as a file-source stream (schema fixed up front, ns
     * timestamps handled as in Tables.events).
     */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    eventsStreamIsolated(s, dir, statePartitions = 4)
+
+  /** Build the stream on a CHILD session (`newSession`: own conf + catalog,
+    * shared SparkContext and cache) with the stream's state width pinned at
+    * session scope. Stateful operators allocate one state store (with its
+    * own checkpoint files) per shuffle partition per operator — overhead
+    * that dwarfs the work when state is small, so the width must be sized
+    * to key cardinality, not inherited from the batch session. Doing it on
+    * an isolated session (instead of set/restore on the caller's conf)
+    * means concurrent batch queries on the caller's session can never
+    * observe the temporary width, and nothing needs restoring.
+    */
+  def eventsStreamIsolated(s: SparkSession, dir: String, statePartitions: Int): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = s2.read.parquet(path).schema
     // the corpus table is a single parquet file; the file stream source
     // accepts it only as a glob pattern (a bare file path fails basePath
     // validation)
-    s.readStream.schema(schema).parquet(path + "*")
+    s2.readStream.schema(schema).parquet(path + "*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Drive a streaming DataFrame to completion through a memory sink and
     * return the materialized result — lets streaming operators flow through
-    * the same verify/oracle gate as batch ones.
-    *
-    * Stateful streaming operators allocate one state store per shuffle
-    * partition per operator, each with its own checkpoint files — overhead
-    * that dwarfs the work when state is small. `statePartitions` pins the
-    * stream's shuffle width independently of the session's batch setting
-    * (state partitioning is fixed by the first run of a checkpoint anyway,
-    * so at scale this must be sized to key cardinality explicitly, not
-    * inherited from whatever the session last set).
-    *
-    * Scope caveat: shuffle-partitions is a SESSION conf — the set/restore
-    * window is not safe under concurrent queries on the same SparkSession.
-    * The verify/bench harness runs queries sequentially; concurrent
-    * callers should run streams on `spark.newSession()`.
+    * the same verify/oracle gate as batch ones. Runs with whatever session
+    * the stream was built on — pair with [[eventsStreamIsolated]] (or any
+    * `newSession()`-built stream) so the state width is session-scoped
+    * instead of a set/restore window on a shared conf.
     */
-  def runToTable(df: DataFrame, name: String, mode: OutputMode,
-                 statePartitions: Int = 4): DataFrame = {
+  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
 

@@ -27,8 +27,7 @@ class PlanShapeSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = graft.queries.SourceQueries.defs
-        .find(_.name == "q68_bucketed_join").get.fn(spark, dir)
+      val df = graft.queries.SourceQueries.bucketedJoin(spark, dir)
       val plan = finalPlanString(df)
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
       assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
@@ -36,7 +35,10 @@ class PlanShapeSpec extends SparkSpec {
       // join inputs themselves read pre-bucketed (no exchange below the SMJ)
       val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
       assert(hashExchanges <= 1, s"join inputs re-shuffled:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      graft.queries.SourceQueries.dropBucketedTables(spark)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("star join broadcasts the dimension tables (no dimension shuffle)") {

@@ -52,6 +52,13 @@ class ReadingModelSpec extends SparkSpec {
     assert(clobbered.reading("state") == DatapointValue.ofLong(10))
     assert(!clobbered.reading.contains("count"))
     assert(clobbered.reading.size == 2)
+
+    // self-rename is a no-op (d[to] = d.pop(from) with to == from), NOT a
+    // delete — regression for the map_filter dropping k == to
+    val self = spark.createDataset(Seq(sample.head)).toDF()
+      .transform(CoreOps.renameDatapointMap("count", "count"))
+      .as[Reading].collect().head
+    assert(self.reading == sample.head.reading)
   }
 
   test("empty reading map drops the row (python35_filter.cpp:206,250-254)") {

@@ -11,7 +11,7 @@ object SparkEntry {
     CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
       VectorQueries.defs ++ StreamQueries.defs ++ AdvancedQueries.defs ++
       RelationalExtras.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
-      ScaleOpsQueries.defs
+      ScaleOpsQueries.defs ++ TimeSeriesQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * E1+E4 reference semantics over the events stream: affine scale/offset,

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.OracleSafe._
+
+/** Time-series filter operators — the computations FogLAMP deployments run
+  * through the reference plugin's user-script surface (the reference's O5
+  * operator hosts arbitrary per-batch Python, `/root/reference/plugin.cpp:
+  * 285-287`, and its sibling filter plugins — ewma, delta, rms, rate,
+  * expression — are the canonical scripts users deploy on reading streams).
+  * Re-expressed Spark-first:
+  *
+  *  - Frame-free per-key recurrences (EWMA, deadband) use typed
+  *    `groupByKey.flatMapGroups`: one shuffle on the series key, bounded
+  *    per-group state, imperative only where the recurrence is genuinely
+  *    sequential — the honest analog of the reference's stateful script.
+  *  - Everything else (RMS downsample, rate-of-change, gap-fill, OHLC,
+  *    z-score) is declarative windows/aggregates that Catalyst plans with
+  *    partial aggregation and whole-stage codegen.
+  *
+  * Scale notes: per-key groups here are series chunks (one device/user), so
+  * group state is O(rows-per-key), not O(corpus). For keys too hot to sort
+  * in memory, switch the recurrence ops to chunked secondary sort
+  * (repartition + sortWithinPartitions + mapPartitions carrying state across
+  * rows of the same key); the declarative ops need nothing.
+  */
+object TimeSeriesOps {
+
+  case class TsRow(key: Long, id: Long, tsMicros: Long, value: Double)
+  case class SmoothedRow(user_id: Long, event_id: Long, value: Double, ewma: Double)
+  case class KeptRow(user_id: Long, event_id: Long, value: Double)
+
+  private def asTsRows(df: DataFrame, keyCol: String, idCol: String,
+                       tsCol: String, valueCol: String) = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).as("key"), col(idCol).as("id"),
+        unix_micros(col(tsCol)).as("tsMicros"), col(valueCol).as("value"))
+      .as[TsRow]
+  }
+
+  /** Per-key exponential moving average, seeded with the first value:
+    * e_1 = x_1; e_t = alpha*x_t + (1-alpha)*e_t. The recurrence is
+    * inherently sequential per key, so it runs as one pass over each
+    * sorted group. Use an alpha whose complement is exact in binary
+    * (0.25, 0.5, 0.125…) when cross-engine bit-parity matters.
+    */
+  def ewma(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+           valueCol: String, alpha: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val beta = 1.0 - alpha
+    asTsRows(df, keyCol, idCol, tsCol, valueCol)
+      .groupByKey(_.key)
+      .flatMapGroups { (k: Long, it: Iterator[TsRow]) =>
+        val sorted = it.toArray.sortBy(r => (r.tsMicros, r.id))
+        var e = 0.0
+        var first = true
+        sorted.iterator.map { r =>
+          e = if (first) { first = false; r.value } else alpha * r.value + beta * e
+          SmoothedRow(k, r.id, r.value, e)
+        }
+      }.toDF()
+  }
+
+  /** Deadband (delta) compression: emit a row only when |value − last
+    * EMITTED value| exceeds the tolerance; the first row per key always
+    * emits. This is the reference ecosystem's delta filter — the kept set
+    * depends on previously kept rows, so like [[ewma]] it is a sequential
+    * per-key pass, not a lag window.
+    */
+  def deadband(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+               valueCol: String, tolerance: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    asTsRows(df, keyCol, idCol, tsCol, valueCol)
+      .groupByKey(_.key)
+      .flatMapGroups { (k: Long, it: Iterator[TsRow]) =>
+        val sorted = it.toArray.sortBy(r => (r.tsMicros, r.id))
+        var lastEmitted = Double.NaN
+        sorted.iterator.flatMap { r =>
+          val emit = lastEmitted.isNaN || math.abs(r.value - lastEmitted) > tolerance
+          if (emit) { lastEmitted = r.value; Some(KeptRow(k, r.id, r.value)) }
+          else None
+        }
+      }.toDF()
+  }
+
+  /** RMS downsample: per key per time bucket, root-mean-square + peak-to-peak
+    * + count. One partial-aggregated shuffle; the mean-of-squares accumulates
+    * through an exact decimal (order-independent), so the result is
+    * deterministic on any cluster layout.
+    */
+  def rmsDownsample(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"),
+           sqrt(dsum(col(valueCol) * col(valueCol)) / count(lit(1))).as("rms"),
+           (max(col(valueCol)) - min(col(valueCol))).as("peak_to_peak"))
+
+  /** Rate of change per key: Δvalue/Δseconds between consecutive readings,
+    * with monotonic-counter semantics — a negative delta is a counter reset
+    * and yields NULL (as does a zero time step). One keyed window, no
+    * self-join.
+    */
+  def rateOfChange(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val dv = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val dtUs = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    df.select(col(keyCol), col(idCol), col(tsCol), col(valueCol))
+      .withColumn("rate_per_s",
+        when(dtUs > 0 && dv >= 0, round(dv / (dtUs / lit(1e6)), 6)))
+  }
+
+  /** Gap-fill to a regular 15-minute grid with forward fill: per-key grid
+    * from first to last observed slot, bucketed means joined on, missing
+    * slots carry the last observed value (`last` with ignoreNulls) and an
+    * `is_gap` flag. The grid explode is per key (bounded by the key's time
+    * span), the fill is one keyed window — no driver loops.
+    */
+  def gapFillForward(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String): DataFrame = {
+    // integer `div` keeps the slot arithmetic in exact long space (micros
+    // since epoch exceed 2^53, so double division would round); the floor
+    // grid matches DuckDB's time_bucket (whose 2000-01-01 origin is itself
+    // a multiple of 900 s)
+    val slot = expr(s"timestamp_seconds((unix_micros($tsCol) div 900000000) * 900)")
+    val bucketed = df
+      .groupBy(col(keyCol), slot.as("slot"))
+      .agg(round(davg(col(valueCol)), 6).as("v"))
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("slot")).as("mn"), max(col("slot")).as("mx"))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), expr("interval 15 minutes"))).as("slot"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq(keyCol, "slot"), "left")
+      .select(col(keyCol), col("slot"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
+        col("v").isNull.as("is_gap"))
+  }
+
+  /** OHLC compaction: per key per hour, open/high/low/close + count — the
+    * classic lossless-enough series summary. open/close are `min_by`/
+    * `max_by` on the (ts, id) version tuple: one hash aggregate, no window
+    * sort over the full series (same pattern as last-state compaction).
+    */
+  def ohlc(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+           valueCol: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+           max(col(valueCol)).as("high"),
+           min(col(valueCol)).as("low"),
+           max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
+           count(lit(1)).as("n"))
+
+  /** Per-key z-score anomaly counts against the key's GLOBAL mean/stddev,
+    * both derived from exact decimal sums (Σx, Σx²) so every engine/layout
+    * computes bit-identical statistics; the per-row flag then joins the
+    * (tiny) stats back — broadcast at any scale.
+    */
+  def zscoreAnomalies(df: DataFrame, keyCol: String, valueCol: String,
+                      zCut: Double): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), dsum(v).as("s1"), dsum(v * v).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("std",
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+    df.join(broadcast(stats), keyCol)
+      .groupBy(col(keyCol))
+      .agg(min(col("n")).as("n"),
+           sum(when(abs(v - col("mean")) / col("std") > zCut, 1L).otherwise(0L))
+             .as("n_anomalies"),
+           round(min(col("mean")), 6).as("mean"),
+           round(min(col("std")), 6).as("std"))
+  }
+}

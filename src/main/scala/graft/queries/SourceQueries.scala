@@ -39,7 +39,9 @@ object SourceQueries {
   def bucketedJoin(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val wh = scratch("bucketed")
     dropBucketedTables(s)
-    Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
+    // only the join key + aggregated column are written: at scale the
+    // bucketed copy is a materialized projection, not a full-table clone
+    Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/li").mode("overwrite").saveAsTable("li_bucketed")
     Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")

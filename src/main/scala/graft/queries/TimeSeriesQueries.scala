@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeriesOps
+import graft.sources.Tables
+import graft.util.OracleSafe._
+
+/** Time-series filter queries over the events table (user_id = series key,
+  * ts/event_id = version order) — the FogLAMP-ecosystem computations users
+  * run through the reference's script surface (SURVEY.md §2.2/§2.3),
+  * Spark-native. Sequential per-key recurrences (EWMA, deadband) are
+  * oracle-checked against DuckDB RECURSIVE CTEs computing the identical
+  * IEEE double sequence.
+  */
+object TimeSeriesQueries {
+
+  // shared oracle scaffold: per-user rows numbered in (ts, event_id) order —
+  // the same total order the Scala recurrences sort each group by
+  private val numberedBase =
+    """base AS (
+      |  SELECT user_id, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- per-key exponential smoothing (sequential recurrence) ----
+    // alpha = 0.25: the complement 0.75 is exact in binary, so Spark's
+    // sequential doubles and the recursive CTE's are bit-identical.
+    QueryDef("q85_ewma_smoothing",
+      (s, dir) => TimeSeriesOps.ewma(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value", alpha = 0.25)
+        .orderBy("user_id", "event_id"),
+      Some(s"""WITH RECURSIVE $numberedBase,
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, value AS ewma FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |         CAST(0.25 AS DOUBLE) * b.value + CAST(0.75 AS DOUBLE) * r.ewma
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value, ewma FROM r
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- deadband (delta) compression (sequential recurrence) ----
+    // emit iff |value - last EMITTED| > 200; first row per key always emits
+    QueryDef("q86_deadband_compression",
+      (s, dir) => TimeSeriesOps.deadband(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value", tolerance = 200.0)
+        .orderBy("user_id", "event_id"),
+      Some(s"""WITH RECURSIVE $numberedBase,
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, TRUE AS emitted, value AS last_emit
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |         abs(b.value - r.last_emit) > CAST(200 AS DOUBLE) AS emitted,
+        |         CASE WHEN abs(b.value - r.last_emit) > CAST(200 AS DOUBLE)
+        |              THEN b.value ELSE r.last_emit END AS last_emit
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value FROM r WHERE emitted
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- RMS + peak-to-peak hourly downsample ----
+    QueryDef("q87_rms_downsample",
+      (s, dir) => TimeSeriesOps.rmsDownsample(Tables.events(s, dir),
+          "event_type", "ts", "value")
+        .orderBy("event_type", "hour"),
+      Some(s"""SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        |  sqrt(${sqlDsum("value * value")} / COUNT(*)) AS rms,
+        |  max(value) - min(value) AS peak_to_peak
+        |FROM events
+        |GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin)),
+
+    // ---- rate of change with counter-reset semantics ----
+    QueryDef("q88_rate_of_change",
+      (s, dir) => TimeSeriesOps.rateOfChange(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value")
+        .orderBy("user_id", "event_id"),
+      Some("""SELECT user_id, event_id, ts, value,
+        |  CASE WHEN dt_us > 0 AND dv >= 0
+        |       THEN round(dv / (dt_us / CAST(1000000 AS DOUBLE)), 6) END AS rate_per_s
+        |FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |         value - lag(value) OVER w AS dv,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- gap-fill to a 15-minute grid with forward fill ----
+    QueryDef("q89_gapfill_forward",
+      (s, dir) => TimeSeriesOps.gapFillForward(Tables.events(s, dir)
+            .filter(col("event_type") === "purchase"),
+          "event_type", "ts", "value")
+        .withColumn("is_gap", col("is_gap").cast("int"))
+        .orderBy("event_type", "slot"),
+      Some("""WITH b AS (
+        |  SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS slot,
+        |         round(CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY event_type, slot),
+        |g AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(mn, mx, INTERVAL '15 minutes')) AS slot
+        |  FROM (SELECT event_type, min(slot) AS mn, max(slot) AS mx
+        |        FROM b GROUP BY event_type))
+        |SELECT g.event_type, g.slot,
+        |  last_value(b.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  CAST(b.v IS NULL AS INTEGER) AS is_gap
+        |FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.slot = b.slot
+        |ORDER BY g.event_type, g.slot""".stripMargin)),
+
+    // ---- OHLC hourly compaction ----
+    QueryDef("q90_ohlc_hourly",
+      (s, dir) => TimeSeriesOps.ohlc(Tables.events(s, dir),
+          "event_type", "event_id", "ts", "value")
+        .orderBy("event_type", "hour"),
+      Some("""WITH w AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+        |    first_value(value) OVER ohlc AS o,
+        |    last_value(value)  OVER ohlc AS c
+        |  FROM events
+        |  WINDOW ohlc AS (PARTITION BY event_type, date_trunc('hour', ts)
+        |                  ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour, min(o) AS open, max(value) AS high,
+        |       min(value) AS low, min(c) AS close, COUNT(*) AS n
+        |FROM w
+        |GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin)),
+
+    // ---- z-score anomaly counts from exact decimal moments ----
+    QueryDef("q91_zscore_anomalies",
+      (s, dir) => TimeSeriesOps.zscoreAnomalies(Tables.events(s, dir),
+          "event_type", "value", zCut = 2.5)
+        .orderBy("event_type"),
+      Some(s"""WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         ${sqlDsum("value")} AS s1, ${sqlDsum("value * value")} AS s2
+        |  FROM events GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type, n, s1 / n AS mean,
+        |         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+        |  FROM s)
+        |SELECT e.event_type, min(st.n) AS n,
+        |  CAST(SUM(CASE WHEN abs(e.value - st.mean) / st.std > CAST(2.5 AS DOUBLE)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  round(min(st.mean), 6) AS mean, round(min(st.std), 6) AS std
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin))
+  )
+}

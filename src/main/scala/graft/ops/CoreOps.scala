@@ -76,6 +76,30 @@ object CoreOps {
   def addDatapoint(name: String, value: Column)(df: DataFrame): DataFrame =
     df.withColumn(name, value)
 
+  /** Expression filter — the reference ecosystem's "user-supplied formula"
+    * surface (the script in O5 computes arbitrary per-reading expressions,
+    * `/root/reference/plugin.cpp:285-287`): a config-supplied SQL expression
+    * string compiled by Catalyst into the plan (codegen'd), instead of
+    * interpreted per row. `exprDatapoint` synthesizes a datapoint from a
+    * formula; `exprFilter` drops readings by a predicate string.
+    */
+  def exprDatapoint(name: String, formula: String)(df: DataFrame): DataFrame =
+    df.withColumn(name, expr(formula))
+
+  def exprFilter(predicate: String)(df: DataFrame): DataFrame =
+    df.filter(expr(predicate))
+
+  /** Asset-rename map — the asset-filter shape of the reference ecosystem
+    * (rename/redirect asset codes in flight): unmatched codes pass through.
+    */
+  def assetRename(assetCol: String, renames: Map[String, String])(df: DataFrame): DataFrame =
+    df.withColumn(assetCol,
+      coalesce(element_at(typedLit(renames), col(assetCol)), col(assetCol)))
+
+  /** Asset denylist — inverse of [[assetFilter]]. */
+  def assetExclude(assetCol: String, deny: Seq[String])(df: DataFrame): DataFrame =
+    df.filter(!col(assetCol).isin(deny: _*))
+
   /** Variant-map mode of E1: affine transform over every numeric datapoint of
     * a `reading` variant map (strings pass through untouched — the reference
     * applies its transform to whatever the script touches; numeric-only is

@@ -266,6 +266,43 @@ object EventQueries {
         |  SELECT event_id, event_type, 'value', value * 5.0 + 10.0 FROM events)
         |SELECT event_id, event_type, dp_name, dp_num
         |FROM exploded
-        |ORDER BY event_id, dp_name""".stripMargin))
+        |ORDER BY event_id, dp_name""".stripMargin)),
+
+    // ---- expression filter: config-supplied formula + predicate strings ----
+    // The reference's script surface computes arbitrary per-reading formulas
+    // (plugin.cpp:285-287); here the user's expression STRING compiles into
+    // the Catalyst plan (codegen'd, optimizer-visible) instead of running
+    // interpreted per row.
+    QueryDef("q96_expression_filter",
+      (s, dir) => Tables.events(s, dir)
+        .transform(CoreOps.exprDatapoint("derived", "value * 2.5 + 10.0"))
+        .transform(CoreOps.exprFilter("derived > 500.0 AND event_type <> 'error'"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("derived")).as("sum_derived"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        |${sqlDsum("value * 2.5 + 10.0")} AS sum_derived
+        |FROM events
+        |WHERE value * 2.5 + 10.0 > 500.0 AND event_type <> 'error'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- asset rename + denylist (asset-filter ops on the stream key) ----
+    QueryDef("q97_asset_rename",
+      (s, dir) => Tables.events(s, dir)
+        .transform(CoreOps.assetRename("event_type",
+          Map("view" -> "pageview", "click" -> "tap")))
+        .transform(CoreOps.assetExclude("event_type", Seq("error")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"),
+      Some("""SELECT CASE event_type WHEN 'view' THEN 'pageview'
+        |                            WHEN 'click' THEN 'tap'
+        |                            ELSE event_type END AS event_type,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE event_type <> 'error'
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.ext.Dedup
+import graft.util.OracleSafe.{dsum, sqlDsum}
 
 /** Training-data pipeline plumbing beyond dedup/similarity: deterministic
   * corpus splits, stratified sampling, and text normalization.
@@ -113,6 +114,37 @@ object PipelineQueries {
         |SELECT label, COUNT(*) AS n_members, max(id) AS max_id
         |FROM comp
         |GROUP BY label
-        |ORDER BY label""".stripMargin))
+        |ORDER BY label""".stripMargin)),
+
+    // ---- bloom-filter-pruned semi join ----
+    // The big-side scan is prefiltered by a compact bloom built over the
+    // small side's keys (treeAggregate under Dataset.stat.bloomFilter),
+    // then EXACTLY verified by the semi join — so bloom false positives
+    // never reach the result and the answer equals the plain semi join.
+    // At 100 TB this is the runtime-filter pattern: ship a few MB of bloom
+    // to every executor and drop non-matching fact rows AT THE SCAN,
+    // instead of shuffling the whole fact table into the join.
+    QueryDef("q92_bloom_semi_join",
+      (s, dir) => {
+        val hot = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"))
+        val bloom = hot.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+        val bloomBc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_returnflag", "l_extendedprice")
+          .filter(mightContain(col("l_orderkey"))) // probabilistic prefilter
+          .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi") // exact
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+        |${sqlDsum("l_extendedprice")} AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
   )
 }

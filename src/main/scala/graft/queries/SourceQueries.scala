@@ -164,6 +164,58 @@ object SourceQueries {
         |${sqlDsum("l_quantity")} AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin))
+        |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- ORC sink + source round-trip (third file format) ----
+    QueryDef("q95_orc_roundtrip",
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir)
+          .select("s_suppkey", "s_nationkey", "s_acctbal")
+        val out = scratch("supplier_orc")
+        sup.write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("sum_bal"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, COUNT(*) AS n_suppliers,
+        |${sqlDsum("s_acctbal")} AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)),
+
+    // ---- z-order (Morton) layout: 2-D clustering for range scans ----
+    // Write the events table sorted by the interleaved bits of
+    // (user_id, quantized value); a reader with range predicates on BOTH
+    // dimensions then touches a narrow band of row groups (parquet min/max
+    // pruning), instead of the full table for any 1-D sort. The result is
+    // layout-independent — the oracle is the plain filter.
+    QueryDef("q94_zorder_layout",
+      (s, dir) => {
+        import graft.ops.ZOrder
+        val out = scratch("events_zorder")
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "value")
+          .withColumn("zval", ZOrder.interleave16(col("user_id"),
+            ZOrder.quantize16(col("value"), 0.0, 512.0)))
+          .repartitionByRange(8, col("zval"))
+          .sortWithinPartitions("zval")
+          .drop("zval")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(col("user_id").between(100, 160)
+            && col("value").between(100.0, 200.0))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+               countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+        |COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 100.0 AND 200.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

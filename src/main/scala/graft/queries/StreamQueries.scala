@@ -107,6 +107,28 @@ object StreamQueries {
         |  COUNT(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         |FROM flagged
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin))
+        |ORDER BY user_id""".stripMargin)),
+
+    // ---- stream-static broadcast enrichment join ----
+    // The streaming side joins a STATIC dimension (customer → market
+    // segment) broadcast to every task: no stream-side state, no watermark
+    // needed — the standard "enrich readings with asset metadata" shape.
+    // The dim loads on the stream's own (isolated) session.
+    QueryDef("q93_stream_static_join",
+      (s, dir) => {
+        val st = graft.streaming.Streams.eventsStream(s, dir)
+        val dim = broadcast(graft.sources.Tables.customer(st.sparkSession, dir)
+          .select(col("c_custkey"), col("c_mktsegment")))
+        Streams.runToTable(
+            st.join(dim, st("user_id") === col("c_custkey"))
+              .groupBy("c_mktsegment")
+              .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+            "q93_sink", OutputMode.Complete())
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -60,6 +60,22 @@ class CoreOpsSpec extends SparkSpec {
     assert(composed == fused)
   }
 
+  test("expression filter compiles config formula/predicate strings into the plan") {
+    val df = Seq(("a", 10.0), ("b", 30.0)).toDF("asset_code", "v")
+    val out = df.transform(CoreOps.exprDatapoint("d", "v * 2.0 + 1.0"))
+      .transform(CoreOps.exprFilter("d > 22.0"))
+      .select("asset_code", "d").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("b", 61.0)))
+  }
+
+  test("asset rename maps listed codes, passes others; exclude drops denylisted") {
+    val df = Seq(("view", 1.0), ("click", 2.0), ("error", 3.0)).toDF("asset_code", "v")
+    val out = df.transform(CoreOps.assetRename("asset_code", Map("view" -> "pageview")))
+      .transform(CoreOps.assetExclude("asset_code", Seq("error")))
+      .select("asset_code").as[String].collect().sorted
+    assert(out.toSeq == Seq("click", "pageview"))
+  }
+
   test("O10 lineage: observe delivers in/out row + asset counts (plugin.cpp:245-253)") {
     import graft.ops.Lineage
     val sink = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{TimeSeriesOps, ZOrder}
+
+/** Golden tests for the time-series filter family on tiny hand-checked
+  * series (the oracle gate covers the corpus; these pin the semantics).
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  // one series (key=1): values 10, 20, 30 at t=0,60,120; key=2 single row
+  private def series = Seq(
+    (1L, 1L, ts(0), 10.0), (1L, 2L, ts(60), 20.0), (1L, 3L, ts(120), 30.0),
+    (2L, 4L, ts(0), 5.0)
+  ).toDF("user_id", "event_id", "ts", "value")
+
+  test("ewma seeds with the first value and applies the recurrence in ts order") {
+    val out = TimeSeriesOps.ewma(series, "user_id", "event_id", "ts", "value", 0.25)
+      .orderBy("user_id", "event_id").collect()
+    val e2 = 0.25 * 20.0 + 0.75 * 10.0            // 12.5
+    val e3 = 0.25 * 30.0 + 0.75 * e2              // 16.875
+    assert(out.map(_.getDouble(3)).toSeq == Seq(10.0, e2, e3, 5.0))
+  }
+
+  test("deadband emits first row and only >tolerance moves vs last EMITTED") {
+    // tol=12: 10 emits; 20 (|20-10|=10) suppressed; 30 (|30-10|=20) emits —
+    // the comparison is against the last EMITTED (10), not the last row (20)
+    val out = TimeSeriesOps.deadband(series, "user_id", "event_id", "ts", "value", 12.0)
+      .orderBy("user_id", "event_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("rate of change: Δv/Δs, NULL on first row and on negative delta") {
+    val df = Seq(
+      (1L, 1L, ts(0), 10.0), (1L, 2L, ts(10), 15.0), (1L, 3L, ts(20), 12.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeriesOps.rateOfChange(df, "user_id", "event_id", "ts", "value")
+      .orderBy("event_id").select("rate_per_s").collect()
+    assert(out(0).isNullAt(0))                     // no predecessor
+    assert(out(1).getDouble(0) == 0.5)             // +5 over 10s
+    assert(out(2).isNullAt(0))                     // counter reset (negative)
+  }
+
+  test("gap fill: missing 15-min slots appear forward-filled and flagged") {
+    // rows in slot 0 and slot 2 (t=0 and t=1800s); slot 1 (t=900) is a gap
+    val df = Seq(
+      (7L, 1L, ts(0), 10.0), (7L, 2L, ts(1800), 30.0)
+    ).toDF("key", "event_id", "ts", "value")
+    val out = TimeSeriesOps.gapFillForward(df, "key", "ts", "value")
+      .orderBy("slot").collect()
+    assert(out.length == 3)
+    assert(out(1).getTimestamp(1) == ts(900))
+    assert(out(1).getDouble(2) == 10.0 && out(1).getBoolean(3))   // filled, gap
+    assert(out(2).getDouble(2) == 30.0 && !out(2).getBoolean(3))
+  }
+
+  test("ohlc: open/close follow (ts, id) order, high/low are extremes") {
+    val out = TimeSeriesOps.ohlc(series.filter($"user_id" === 1),
+        "user_id", "event_id", "ts", "value")
+      .select("open", "high", "low", "close", "n").collect()
+    assert(out.toSeq.map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getLong(4))) == Seq((10.0, 30.0, 10.0, 30.0, 3L)))
+  }
+
+  test("zorder interleave16 is the Morton code; quantize16 clamps") {
+    val r = spark.range(1).select(
+      ZOrder.interleave16(lit(3L), lit(1L)).as("z"),   // x=0b11,y=0b1 → 0b111
+      ZOrder.quantize16(lit(-5.0), 0.0, 1.0).as("lo"),
+      ZOrder.quantize16(lit(99.0), 0.0, 1.0).as("hi")).head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 65535L)
+  }
+}

@@ -21,9 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit-identical to the SQL oracle's replica.
   */
 object Md5Hash60 {
+  // MessageDigest.getInstance is a provider lookup + allocation — far too
+  // expensive per shingle (tens of millions of calls per partition). One
+  // digest per thread, reset between uses.
+  private val localMd = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** First 15 hex chars of md5 as a 60-bit non-negative long. */
   def apply(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     // 15 hex chars = 7.5 bytes: top 60 bits of the digest
     var h = 0L
@@ -42,20 +49,31 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
     extends UnaryExpression with CodegenFallback {
 
   private val P = 2147483647L
+  // primitive arrays for the inner loop: Seq#apply on a List is O(j) boxed
+  // traversal, which turns the k-hash loop into O(k²) per shingle
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val k = as.length
+    val k = aArr.length
     val sig = Array.fill[Long](k)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val base = java.lang.Long.remainderUnsigned(Md5Hash60(arr.getUTF8String(i)), P)
       var j = 0
       while (j < k) {
-        val h = (as(j) * base + bs(j)) % P
+        // Mersenne-prime reduction of x = a*base + b (< 2^62): two
+        // fold-and-add steps + one conditional subtract ≡ x % (2^31-1),
+        // several times cheaper than the hardware 64-bit remainder
+        val x = aArr(j) * base + bArr(j)
+        var h = (x & P) + (x >>> 31)
+        h = (h & P) + (h >>> 31)
+        if (h >= P) h -= P
         if (h < sig(j)) sig(j) = h
         j += 1
       }

@@ -40,11 +40,18 @@ object SourceQueries {
     val wh = scratch("bucketed")
     dropBucketedTables(s)
     // only the join key + aggregated column are written: at scale the
-    // bucketed copy is a materialized projection, not a full-table clone
+    // bucketed copy is a materialized projection, not a full-table clone.
+    // Pre-repartition by the BUCKET id (pmod(hash(key), n) — the same
+    // murmur3 bucketing the writer applies): each task then writes exactly
+    // one bucket file instead of every task spraying all n buckets
+    // (tasks × n small files, the classic bucketed-write explosion).
+    def bucketId(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(8))
     Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      .repartition(8, bucketId(col("l_orderkey")))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/li").mode("overwrite").saveAsTable("li_bucketed")
     Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      .repartition(8, bucketId(col("o_orderkey")))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$wh/ord").mode("overwrite").saveAsTable("ord_bucketed")
     s.table("li_bucketed")

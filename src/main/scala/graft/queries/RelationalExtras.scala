@@ -203,6 +203,25 @@ object RelationalExtras {
         |  SELECT 'intersect_all', COUNT(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
         |  UNION ALL
         |  SELECT 'except_distinct', COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
-        |SELECT op, n FROM counts ORDER BY op""".stripMargin))
+        |SELECT op, n FROM counts ORDER BY op""".stripMargin)),
+
+    // ---- cartesian product + theta predicate (nested-loop join) ----
+    // The one join shape with no equi-key: Catalyst plans a
+    // BroadcastNestedLoopJoin. Legitimate ONLY when one side is tiny
+    // (here: 5 regions broadcast); an unblocked big×big cross join has no
+    // 100 TB-safe form — every other pair generator in this library blocks
+    // on a key first (see Dedup/Similarity).
+    QueryDef("q99_theta_cross_join",
+      (s, dir) => Tables.supplier(s, dir)
+        .crossJoin(Tables.region(s, dir))
+        .filter(col("s_acctbal") > col("r_regionkey") * 1500.0)
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("s_acctbal")).as("sum_bal"))
+        .orderBy("r_name"),
+      Some(s"""SELECT r_name, COUNT(*) AS n_pairs, ${sqlDsum("s_acctbal")} AS sum_bal
+        |FROM supplier CROSS JOIN region
+        |WHERE s_acctbal > r_regionkey * 1500.0
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin))
   )
 }

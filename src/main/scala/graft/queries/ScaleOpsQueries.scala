@@ -202,6 +202,30 @@ object ScaleOpsQueries {
         |COUNT(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY event_type, bucket""".stripMargin))
+        |ORDER BY event_type, bucket""".stripMargin)),
+
+    // ---- mergeable HLL sketches (Datasketches, Spark-native) ----
+    // Per-key HLL sketches + a union-merged overall estimate: the
+    // distributed distinct-count architecture at 100 TB — fixed-size
+    // register arrays combine associatively across partitions and groups,
+    // so re-aggregation needs sketch merges, not raw re-scans. Register
+    // contents are engine-specific, so there is no cross-engine oracle
+    // (rows-only driver check); HllSketchSpec pins the estimates against
+    // exact counts (<2% error at lgK=12) instead.
+    QueryDef("q98_hll_mergeable",
+      (s, dir) => {
+        val perType = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        perType
+          .select(col("event_type"),
+            hll_sketch_estimate(col("sk")).as("n_users_est"))
+          .unionByName(perType
+            .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+            .select(lit("__all__").as("event_type"),
+              hll_sketch_estimate(col("sk")).as("n_users_est")))
+          .orderBy("event_type")
+      },
+      None)
   )
 }

@@ -259,18 +259,23 @@ object Dedup {
         // blowup — measured 132 s vs ~2 s at sf0.1). Iterative dataflows
         // MUST truncate lineage; on a cluster use checkpoint() instead.
         val propagated = labels.join(prop, col("id") === col("dst"), "left")
-          .select(col("id"),
+          .select(col("id"), col("label").as("old_label"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
           .localCheckpoint(true)
         val byLabel = propagated
           .select(col("id").as("jid"), col("label").as("jlabel"))
+        // the pre-round label rides along as old_label, so convergence is a
+        // narrow filter-count over the (already materialized) round output —
+        // no extra join against the previous labels
         val next = propagated.join(byLabel, col("label") === col("jid"), "left")
-          .select(col("id"),
+          .select(col("id"), col("old_label"),
             least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
           .localCheckpoint(true)
-        changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels = next
+        // round 0 always changes something (or the graph is empty) — skip
+        // its convergence count and pay for it only from round 1 on
+        changed = if (round == 0) 1L
+                  else next.filter(col("label") =!= col("old_label")).count()
+        labels = next.select(col("id"), col("label"))
         round += 1
       }
       labels

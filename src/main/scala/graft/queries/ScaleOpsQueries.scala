@@ -146,23 +146,26 @@ object ScaleOpsQueries {
     QueryDef("q84_count_min",
       (s, dir) => {
         val w = 256
-        val tokens = Tables.documents(s, dir)
+        // aggregate to (token, tf) FIRST: the sketch's bucket counts are
+        // sums of term frequencies, so hashing each DISTINCT token once and
+        // weighting by tf is exactly equivalent to hashing every instance —
+        // 4 md5s per vocabulary entry instead of 4 per corpus token (the
+        // vocabulary is orders of magnitude smaller than the token stream)
+        val tf = Tables.documents(s, dir)
           .select(explode(split(col("text"), " ")).as("token"))
-          .cache() // one tokenize pass feeds the sketch AND the top-10
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+          .cache() // one tokenize+count pass feeds the sketch AND the top-10
         def rowHash(r: Int) =
           conv(substring(md5(concat(lit(s"$r:"), col("token"))), 1, 12), 16, 10)
             .cast("long") % w
-        // all 4 sketch rows in ONE aggregate: explode each token into its
-        // (row, bucket) cells then count — a single pass over the postings,
-        // which is also the mergeable-summary shape the sketch exists for
-        val sketchAll = tokens
-          .select(explode(array((0 until 4).map(r =>
+        // all 4 sketch rows in ONE aggregate over the vocabulary
+        val sketchAll = tf
+          .select(col("tf"), explode(array((0 until 4).map(r =>
             struct(lit(r).as("r"), rowHash(r).as("b"))): _*)).as("rb"))
-          .select(col("rb.r").as("r"), col("rb.b").as("b"))
-          .groupBy("r", "b").agg(count(lit(1)).as("c"))
+          .select(col("rb.r").as("r"), col("rb.b").as("b"), col("tf"))
+          .groupBy("r", "b").agg(sum(col("tf")).as("c"))
           .cache()
-        val top = tokens.groupBy("token").agg(count(lit(1)).as("tf"))
-          .orderBy(col("tf").desc, col("token").asc).limit(10)
+        val top = tf.orderBy(col("tf").desc, col("token").asc).limit(10)
         val withBuckets = top.select(
           Seq(col("token"), col("tf")) ++ (0 until 4).map(r => rowHash(r).as(s"qb$r")): _*)
         (0 until 4).foldLeft(withBuckets) { (df, r) =>

@@ -60,6 +60,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges == 1, s"as-of join should shuffle once:\n$plan")
   }
 
+  test("zorder read-back pushes both range predicates into the parquet scan") {
+    val df = graft.queries.SourceQueries.defs
+      .find(_.name == "q94_zorder_layout").get.fn(spark, dir)
+    // pre-AQE physical plan: at this tiny SF the filter selects nothing and
+    // AQE would collapse the executed plan to EmptyRelation, hiding the
+    // scan; read the scan's metadata map directly — the rendered string
+    // truncates the filter list
+    val pushed = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("PushedFilters") }
+      .getOrElse(fail("no parquet scan leaf found"))
+    assert(pushed.contains("GreaterThanOrEqual(user_id,100)") &&
+      pushed.contains("LessThanOrEqual(user_id,160)") &&
+      pushed.contains("GreaterThanOrEqual(value,100.0)") &&
+      pushed.contains("LessThanOrEqual(value,200.0)"),
+      s"expected both zorder dimensions pushed to the scan: $pushed")
+  }
+
+  test("ewma recurrence is one keyed shuffle feeding MapGroups (no joins)") {
+    val df = graft.ops.TimeSeriesOps.ewma(
+      graft.sources.Tables.events(spark, dir), "user_id", "event_id", "ts", "value", 0.25)
+    val plan = finalPlanString(df)
+    assert(plan.contains("MapGroups"), s"expected MapGroups:\n$plan")
+    assert(!plan.contains("Join"), s"recurrence must not join:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected exactly one keyed shuffle:\n$plan")
+  }
+
+  test("bloom-pruned semi join: scan-side filter precedes the exact join") {
+    val df = graft.queries.PipelineQueries.defs
+      .find(_.name == "q92_bloom_semi_join").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    // the probabilistic prefilter must sit on the fact-table side BELOW the
+    // (exact) semi join — i.e. the plan contains the UDF filter and a
+    // LeftSemi join above it
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+    assert("Filter.*UDF".r.findFirstIn(plan).isDefined,
+      s"expected bloom UDF prefilter in plan:\n$plan")
+  }
+
   test("filter + projection reach the parquet scan (pushdown/pruning)") {
     val df = graft.queries.CoreQueries.defs
       .find(_.name == "q02_filter_project").get.fn(spark, dir)

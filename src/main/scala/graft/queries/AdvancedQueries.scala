@@ -289,6 +289,27 @@ object AdvancedQueries {
         |  CASE WHEN kmv_k < 64 THEN CAST(kmv_k AS DOUBLE)
         |       ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(kth AS DOUBLE) END AS kmv_est
         |FROM ex JOIN kmv USING (l_returnflag)
-        |ORDER BY l_returnflag""".stripMargin))
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- rolling median (order statistic over a sliding row frame) ----
+    // percentile() as a WINDOW aggregate: exact order statistics per
+    // 10-row trailing frame, per key — the robust-smoothing counterpart of
+    // the mean-based windows in q23/q45.
+    QueryDef("q102_rolling_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            round(expr("percentile(value, 0.5)").over(w), 6).as("rolling_median"))
+          .orderBy("event_type", "event_id")
+      },
+      Some("""SELECT event_type, event_id,
+        |  round(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+        |FROM events
+        |ORDER BY event_type, event_id""".stripMargin))
   )
 }

@@ -18,6 +18,28 @@ object PipelineQueries {
 
   import graft.util.StableHash.{h48, sql48 => sqlH48}
 
+  // shared oracle scaffold for q65/q103: exact ngram-Jaccard pairs →
+  // reachability closure → min-label components (`comp(id, label)`)
+  private val ccOracleCte =
+    """docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) ds
+      |  FROM docs),
+      |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n FROM sh WHERE len(ds) > 0),
+      |cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+      |    any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (SELECT i, j FROM cand
+      |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+      |edges AS (SELECT i AS src, j AS dst FROM jpairs
+      |  UNION ALL SELECT j, i FROM jpairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- deterministic train/test split (hash-mod buckets, 80/20) ----
@@ -93,24 +115,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
           .orderBy("label")
       },
-      Some("""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) ds
-        |  FROM docs),
-        |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n FROM sh WHERE len(ds) > 0),
-        |cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
-        |    any_value(a.n) AS na, any_value(b.n) AS nb
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jpairs AS (SELECT i, j FROM cand
-        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
-        |edges AS (SELECT i AS src, j AS dst FROM jpairs
-        |  UNION ALL SELECT j, i FROM jpairs),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-        |comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+      Some(s"""WITH RECURSIVE $ccOracleCte
         |SELECT label, COUNT(*) AS n_members, max(id) AS max_id
         |FROM comp
         |GROUP BY label
@@ -145,6 +150,34 @@ object PipelineQueries {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin))
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- dedup survivorship: one canonical doc per near-dup cluster ----
+    // The end-to-end dedup flow: pairs → components → a deterministic
+    // survivor rule (longest text, then lowest id) applied as a single
+    // max_by aggregate over cluster members — no window sort of the corpus.
+    QueryDef("q103_cluster_canonical",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+        val members = Dedup.connectedComponents(pairs)
+        members.join(Tables.documents(s, dir), members("id") === col("doc_id"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+               max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("survivor_id"),
+               max(col("n_chars")).as("survivor_chars"))
+          .orderBy("label")
+      },
+      Some(s"""WITH RECURSIVE $ccOracleCte,
+        |ranked AS (
+        |  SELECT c.label, d.doc_id, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY c.label
+        |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+        |  FROM comp c JOIN documents d ON c.id = d.doc_id)
+        |SELECT label, COUNT(*) AS n_members,
+        |  min(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+        |  max(n_chars) AS survivor_chars
+        |FROM ranked
+        |GROUP BY label
+        |ORDER BY label""".stripMargin))
   )
 }

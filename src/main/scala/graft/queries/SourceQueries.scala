@@ -223,6 +223,63 @@ object SourceQueries {
         |FROM events
         |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 100.0 AND 200.0
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- schema evolution: mergeSchema over batches with drifting schemas ----
+    // An early batch lacks a column a later batch added — the reader merges
+    // the schemas (missing column → NULL), exactly the long-lived-pipeline
+    // reality where writers upgrade over time and 100 TB of history is not
+    // rewritten.
+    QueryDef("q100_schema_evolution",
+      (s, dir) => {
+        val out = scratch("events_evolving")
+        val ev = Tables.events(s, dir)
+        ev.filter(col("event_id") % 2 === 0)
+          .select("event_id", "user_id", "value")                  // v1 schema
+          .write.mode("overwrite").parquet(s"$out/v1")
+        ev.filter(col("event_id") % 2 === 1)
+          .select("event_id", "user_id", "value", "event_type")    // v2 adds a column
+          .write.mode("overwrite").parquet(s"$out/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+          .groupBy(coalesce(col("event_type"), lit("pre_upgrade")).as("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+        |            ELSE 'pre_upgrade' END AS event_type,
+        |COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- SCD2 dimension upsert (valid_from/valid_to versioning) ----
+    // Batch MERGE without a table format: changed keys close their current
+    // row and append the new version; unchanged keys pass through — one
+    // broadcastable join per branch, union of three keyed row sets.
+    QueryDef("q101_scd2_upsert",
+      (s, dir) => {
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        val upd = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 10 === 3)
+          .select(col("c_custkey"), lit("PROMO").as("segment"))
+        val t = lit(100L)
+        val unchanged = dim.join(upd.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        val closed = dim.join(upd.select("c_custkey"), Seq("c_custkey"), "left_semi")
+          .withColumn("valid_to", t)
+        val fresh = upd.select(col("c_custkey"), col("segment"),
+          t.as("valid_from"), lit(null).cast("long").as("valid_to"))
+        unchanged.unionByName(closed).unionByName(fresh)
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH upd AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 3)
+        |SELECT c_custkey, c_mktsegment AS segment, CAST(0 AS BIGINT) AS valid_from,
+        |       CASE WHEN c_custkey IN (SELECT c_custkey FROM upd)
+        |            THEN CAST(100 AS BIGINT) END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'PROMO', 100, NULL FROM upd
+        |ORDER BY c_custkey, valid_from""".stripMargin))
   )
 }

@@ -138,6 +138,52 @@ object VectorQueries {
         |CAST(list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]) AS DOUBLE) AS f_sum,
         |8 AS dim
         |FROM documents
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // ---- one k-means Lloyd iteration (M-step centroids + E-step dists) ----
+    // Centroids are per-(label, dim) exact-decimal means over the exploded
+    // coordinates — one partially-aggregated shuffle keyed on (label, dim),
+    // never a per-label collect; distances join coordinates back to their
+    // centroid (broadcastable: k × dims rows) and re-aggregate per vector.
+    // This is the building block an iterative clusterer repeats; every
+    // arithmetic step is order-independent (decimal sums), so results are
+    // layout-stable at any parallelism.
+    QueryDef("q104_kmeans_lloyd",
+      (s, dir) => {
+        val dims = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(Similarity.asDouble(col("embedding"))).as(Seq("pos", "v")))
+        val cent = dims.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+          .agg((dsum(col("v")) / count(lit(1))).as("c"))
+        val dist = dims
+          .join(broadcast(cent),
+            col("label") === col("c_label") && col("pos") === col("c_pos"))
+          .groupBy("vec_id", "label")
+          .agg(sqrt(dsum((col("v") - col("c")) * (col("v") - col("c")))).as("dist"))
+        dist.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+               round(dsum(col("dist")) / count(lit(1)), 6).as("avg_dist"),
+               round(max(col("dist")), 6).as("max_dist"))
+          .orderBy("label")
+      },
+      Some(s"""WITH dims AS (
+        |  SELECT vec_id, label,
+        |    unnest(embedding::DOUBLE[]) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos, ${sqlDsum("v")} / COUNT(*) AS c
+        |  FROM dims GROUP BY label, pos),
+        |dist AS (
+        |  SELECT d.vec_id, d.label,
+        |    sqrt(CAST(SUM(CAST(((d.v - c.c) * (d.v - c.c)) AS DECIMAL(27,6))) AS DOUBLE)) AS dist
+        |  FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+        |  GROUP BY d.vec_id, d.label)
+        |SELECT label, COUNT(*) AS n,
+        |  round(${sqlDsum("dist")} / COUNT(*), 6) AS avg_dist,
+        |  round(max(dist), 6) AS max_dist
+        |FROM dist
+        |GROUP BY label
+        |ORDER BY label""".stripMargin))
   )
 }

@@ -303,6 +303,29 @@ object EventQueries {
         |FROM events
         |WHERE event_type <> 'error'
         |GROUP BY 1
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- VARIANT-typed semi-structured payloads ----
+    // The reference's `reading` dict is schemaless (SURVEY.md §1.2); besides
+    // the map/struct encodings (q25) and from_json (q20/q71), Spark 4's
+    // VARIANT type covers the same surface with a binary-encoded dynamic
+    // value: parse once, extract typed paths lazily — no schema declared,
+    // columnar-friendly at scale.
+    QueryDef("q105_variant_props",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""WITH r AS (
+        |  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM r
+        |GROUP BY event_type
         |ORDER BY event_type""".stripMargin))
   )
 }

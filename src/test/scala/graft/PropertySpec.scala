@@ -130,4 +130,50 @@ class PropertySpec extends SparkSpec {
       assert(sig(sh) == sig(scala.util.Random.shuffle(sh)))
     }
   }
+
+  private def tsDf(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, new java.sql.Timestamp(i * 1000L), v)
+    }.toDF("k", "id", "ts", "v")
+
+  test("ewma stays within the running min/max envelope of its inputs") {
+    samples(Gen.nonEmptyListOf(smallDouble), 8).foreach { vs0 =>
+      val vs = vs0.take(12)
+      val out = graft.ops.TimeSeriesOps.ewma(tsDf(vs), "k", "id", "ts", "v", 0.25)
+        .orderBy("event_id").select("ewma").as[Double].collect()
+      out.zipWithIndex.foreach { case (e, i) =>
+        val seen = vs.take(i + 1)
+        assert(e >= seen.min - 1e-9 && e <= seen.max + 1e-9,
+          s"ewma $e escaped [${seen.min}, ${seen.max}]")
+      }
+    }
+  }
+
+  test("deadband output is a subset, keeps the first row, and consecutive kept values differ > tol") {
+    samples(for {
+      vs <- Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))
+      tol <- Gen.choose(1.0, 50.0)
+    } yield (vs.take(12), tol), 8).foreach { case (vs, tol) =>
+      val kept = graft.ops.TimeSeriesOps.deadband(tsDf(vs), "k", "id", "ts", "v", tol)
+        .orderBy("event_id").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(kept.head._1 == 0L)
+      assert(kept.forall { case (id, v) => vs(id.toInt) == v }) // subset of input
+      kept.sliding(2).foreach {
+        case Array((_, a), (_, b)) => assert(math.abs(b - a) > tol)
+        case _ =>
+      }
+    }
+  }
+
+  test("gap-fill emits a complete contiguous 15-minute grid per key") {
+    samples(Gen.nonEmptyListOf(Gen.choose(0, 40)), 8).foreach { slots =>
+      val df = slots.distinct.zipWithIndex.map { case (slot, i) =>
+        (1L, i.toLong, new java.sql.Timestamp(slot * 900000L), 1.0)
+      }.toDF("k", "id", "ts", "v")
+      val out = graft.ops.TimeSeriesOps.gapFillForward(df, "k", "ts", "v")
+        .orderBy("slot").select("slot").as[java.sql.Timestamp].collect()
+      val expected = (slots.min to slots.max).map(s => new java.sql.Timestamp(s * 900000L))
+      assert(out.toSeq == expected)
+    }
+  }
 }

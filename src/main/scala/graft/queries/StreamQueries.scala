@@ -129,6 +129,23 @@ object StreamQueries {
       Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin))
+        |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- transformWithState: typed named-state slots on RocksDB ----
+    // Spark 4's arbitrary-state API (successor to flatMapGroupsWithState):
+    // running per-asset stats in a ValueState slot. The statistics are
+    // order-independent (count / long-sum / max), so the single-batch run
+    // equals a plain GROUP BY — which is the oracle. Update mode: the
+    // memory sink keeps the latest row per key.
+    QueryDef("q106_transform_with_state",
+      (s, dir) => Streams.runToTable(
+          Streams.runningStats(Streams.eventsStream(s, dir)).toDF(),
+          "q106_sink", OutputMode.Update())
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid, max(value) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -167,6 +167,52 @@ object Streams {
         })
   }
 
+  case class EvT(event_type: String, user_id: Long, value: Double)
+  case class TypeStats(event_type: String, n: Long, sum_uid: Long, max_value: Double)
+
+  /** Per-asset running statistics via `transformWithState` — Spark 4's
+    * successor to (flat)MapGroupsWithState: typed named state slots
+    * (ValueState/ListState/MapState) in a versioned RocksDB store, with
+    * TTL and timer support. Statistics chosen to be order-independent
+    * (count, long sum, max) so results are layout- and batch-split-stable.
+    * Requires the RocksDB state-store provider (set by [[runningStats]]).
+    */
+  private class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, EvT, TypeStats] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var state: ValueState[(Long, Long, Double)] = _
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Double)]("stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[EvT],
+        timers: ss.TimerValues): Iterator[TypeStats] = {
+      var (n, s, m) = Option(state.get()).getOrElse((0L, 0L, Double.NegativeInfinity))
+      rows.foreach { e => n += 1; s += e.user_id; m = math.max(m, e.value) }
+      state.update((n, s, m))
+      Iterator(TypeStats(key, n, s, m))
+    }
+  }
+
+  /** Running per-asset stats stream (see [[RunningStatsProcessor]]). Sets the
+    * RocksDB state-store provider on the stream's (isolated) session —
+    * transformWithState does not run on the default HDFS-backed store.
+    */
+  def runningStats(events: DataFrame): Dataset[TypeStats] = {
+    val spark = events.sparkSession
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("event_type"), col("user_id"), col("value")).as[EvT]
+      .groupByKey(_.event_type)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[TypeStats]])
+  }
+
   /** O9 — hot reconfigure. The reference swaps config + reloads the script
     * under a mutex, LOSING any state buffered in module globals
     * (`/root/reference/python35_filter.cpp:310-436, 375-388`). The Spark

@@ -138,4 +138,30 @@ class StreamingSpec extends SparkSpec {
       assert(after == Map("a" -> 3L, "b" -> 1L))
     } finally q.stop()
   }
+
+  test("transformWithState carries ValueState across micro-batches (RocksDB store)") {
+    // isolated session so the RocksDB provider conf doesn't leak to the
+    // other streaming tests on the shared session
+    val s2 = spark.newSession()
+    implicit val sc = s2.sqlContext
+    import s2.implicits._
+    val mem = MemoryStream[(String, Long, Double)]
+    val df = mem.toDF().toDF("event_type", "user_id", "value")
+    val q = Streams.runningStats(df).toDF()
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(("a", 1L, 10.0), ("a", 2L, 5.0), ("b", 7L, 1.0))
+      q.processAllAvailable()
+      mem.addData(("a", 4L, 7.5))
+      q.processAllAvailable()
+      // update-mode memory sink appends each batch's updates; the LAST row
+      // per key is the running total — batch 2's "a" must include batch 1
+      val last = s2.table("tws_test")
+        .as[(String, Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.last }
+      assert(last("a") == (("a", 3L, 7L, 10.0)))   // 3 rows, uid sum 1+2+4, max 10
+      assert(last("b") == (("b", 1L, 7L, 1.0)))
+    } finally q.stop()
+  }
 }

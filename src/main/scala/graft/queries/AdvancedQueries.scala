@@ -310,6 +310,26 @@ object AdvancedQueries {
         |    PARTITION BY event_type ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS rolling_median
         |FROM events
-        |ORDER BY event_type, event_id""".stripMargin))
+        |ORDER BY event_type, event_id""".stripMargin)),
+
+    // ---- quantile sketch (approx_percentile, Greenwald-Khanna) ----
+    // Completes the sketch family (KMV distinct q50, count-min q84, HLL
+    // q98): bounded-memory quantiles with an explicit accuracy knob,
+    // mergeable across partitions. GK summaries are engine-specific, so no
+    // cross-engine oracle (rows-only check); QuantileSketchSpec pins the
+    // estimates inside the 1/accuracy rank-error bound against exact
+    // percentiles.
+    QueryDef("q107_quantile_sketch",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+               .as("approx_quartiles"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("approx_quartiles"), 1).as("p25"),
+          element_at(col("approx_quartiles"), 2).as("p50"),
+          element_at(col("approx_quartiles"), 3).as("p75"))
+        .orderBy("l_returnflag"),
+      None)
   )
 }

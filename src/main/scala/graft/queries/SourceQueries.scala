@@ -32,6 +32,37 @@ object SourceQueries {
 
   private def scratch(name: String): String = s"$scratchRoot/$name"
 
+  /** Partition-pruned fact ⋈ filtered dim — exposed so PlanShapeSpec can
+    * assert the dynamic-pruning subquery on the same DataFrame q108 runs.
+    * The fact side is events partitioned by event_type on disk; the dim
+    * carries per-type weights and a selective filter, so at plan time the
+    * matching partitions are unknown — dynamic partition pruning inserts a
+    * runtime subquery filter on the fact scan's partition column. At 100 TB
+    * this is what keeps "join the fact table to a filtered dimension" from
+    * scanning every partition.
+    */
+  def dppJoin(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val factPath = scratch("events_by_type_dpp")
+    val dimPath = scratch("type_weights")
+    Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(factPath)
+    import scala.jdk.CollectionConverters._
+    val dimSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("weight", org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(
+        Seq(org.apache.spark.sql.Row("click", 1.5), org.apache.spark.sql.Row("purchase", 2.5),
+          org.apache.spark.sql.Row("view", 0.5)).asJava, dimSchema)
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = s.read.parquet(factPath)
+    val dim = s.read.parquet(dimPath).filter(col("weight") > 1.0)
+    fact.join(dim, fact("event_type") === dim("w_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value") * col("weight")).as("weighted_sum"))
+      .orderBy("event_type")
+  }
+
   /** Write both join sides bucketed 8 ways on the join key and return the
     * (lazy) join-aggregate over them. Exposed so PlanShapeSpec can assert
     * the no-exchange plan on the same DataFrame q68 materializes.
@@ -280,6 +311,20 @@ object SourceQueries {
         |FROM customer
         |UNION ALL
         |SELECT c_custkey, 'PROMO', 100, NULL FROM upd
-        |ORDER BY c_custkey, valid_from""".stripMargin))
+        |ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // ---- dynamic partition pruning: fact ⋈ filtered dim ----
+    QueryDef("q108_dynamic_partition_pruning",
+      (s, dir) => dppJoin(s, dir),
+      Some(s"""WITH dim AS (
+        |  SELECT * FROM (VALUES ('click', CAST(1.5 AS DOUBLE)),
+        |                        ('purchase', CAST(2.5 AS DOUBLE)),
+        |                        ('view', CAST(0.5 AS DOUBLE))) AS t(w_type, weight)
+        |  WHERE weight > 1.0)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |${sqlDsum("e.value * d.weight")} AS weighted_sum
+        |FROM events e JOIN dim d ON e.event_type = d.w_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin))
   )
 }

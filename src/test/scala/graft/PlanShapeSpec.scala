@@ -100,6 +100,14 @@ class PlanShapeSpec extends SparkSpec {
       s"expected bloom UDF prefilter in plan:\n$plan")
   }
 
+  test("dpp join: fact scan carries a dynamic-pruning partition filter") {
+    val df = graft.queries.SourceQueries.dppJoin(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scans.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n$scans")
+  }
+
   test("filter + projection reach the parquet scan (pushdown/pruning)") {
     val df = graft.queries.CoreQueries.defs
       .find(_.name == "q02_filter_project").get.fn(spark, dir)

@@ -184,4 +184,61 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("nv")))
     topKPerQuery(scored.select("qid", "nid", "cos"), k)
   }
+
+  /** Iterative Lloyd k-means over an embedding column (Euclidean).
+    *
+    * Deterministic init (the k lowest-vec_id vectors — swap in k-means++
+    * sampling for production corpora), then `iterations` rounds of:
+    * E-step — assign each vector to its nearest centroid (argmin as a
+    * broadcast cross join + `min_by` hash aggregate: one |vectors|-row
+    * shuffle, never a |vectors|×k window sort); M-step — new centroids as
+    * per-(cluster, dim) means over exploded coordinates (one
+    * partially-aggregated shuffle keyed on (cluster, dim); centroids are
+    * re-assembled with `array_agg` over a deterministic dim sort).
+    *
+    * Iterative dataflow discipline (same as Dedup.connectedComponents):
+    * each round's centroids are TINY (k × dim) — they collect to the
+    * driver and re-broadcast, so the lineage never grows with iterations
+    * and no checkpointing is needed. Returns (vec_id, cluster, dist).
+    */
+  def kmeans(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+    val spark = emb.sparkSession
+    var centroids: Array[(Long, Seq[Double])] = e
+      .orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    val dim = centroids.head._2.length
+    var assigned: DataFrame = null
+    for (_ <- 0 until iterations) {
+      import spark.implicits._
+      val cdf = broadcast(centroids.toSeq.toDF("cid", "cv"))
+      // E-step: argmin distance, ties to the lowest cluster id
+      assigned = e.crossJoin(cdf)
+        .withColumn("d2", dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("v"), col("cv")) + dot(col("cv"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cluster"),
+             min(struct(col("d2"), col("cid"))).as("best"),
+             first(col("v")).as("v"))
+        .select(col("vec_id"), col("cluster"),
+          sqrt(greatest(col("best.d2"), lit(0.0))).as("dist"), col("v"))
+      // M-step: per-(cluster, dim) means, reassembled into centroid arrays
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        // exact-decimal mean: plain avg(double) is partial-order-dependent,
+        // which would make centroids (and boundary assignments) vary with
+        // cluster layout run-to-run
+        .agg(graft.util.OracleSafe.davg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cluster"), transform(col("ps"), _.getField("m")).as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      require(centroids.forall(_._2.length == dim))
+    }
+    assigned.select("vec_id", "cluster", "dist")
+  }
 }

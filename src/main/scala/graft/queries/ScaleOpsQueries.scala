@@ -136,6 +136,49 @@ object ScaleOpsQueries {
         |ORDER BY tf DESC, token ASC
         |LIMIT 20""".stripMargin)),
 
+    // ---- TF-IDF featurization: top weighted terms per document ----
+    // Classic text-featurization flow: per-doc term frequencies (one
+    // explode + aggregate), document frequencies + idf over the (small)
+    // vocabulary — broadcast back onto the postings — then a per-doc top-3
+    // by weight. ln() differs across engines in the last ulp, so the
+    // weight is rounded to 6 places on both sides (verify-gotcha list).
+    QueryDef("q109_tfidf_top_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
+        val weighted = tf.join(broadcast(idf), "token")
+          .withColumn("w", round(col("tf") * col("idf"), 6))
+        val rk = Window.partitionBy("doc_id")
+          .orderBy(col("w").desc, col("token").asc)
+        weighted
+          .withColumn("rk", row_number().over(rk)).filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("token"), col("w"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token, ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+        |                   / COUNT(DISTINCT doc_id)) AS idf
+        |  FROM tf GROUP BY token),
+        |w AS (
+        |  SELECT doc_id, token, round(tf * idf, 6) AS w,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY round(tf * idf, 6) DESC, token ASC) AS INTEGER) AS rk
+        |  FROM tf JOIN idf USING (token))
+        |SELECT doc_id, rk, token, w
+        |FROM w WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin)),
+
     // ---- count-min sketch: bounded-memory frequency estimates ----
     // d=4 hash rows x w=256 counters (md5-derived row hashes, the same
     // stable recipe as everywhere else); estimate = min over rows. The

@@ -184,6 +184,21 @@ object VectorQueries {
         |  round(max(dist), 6) AS max_dist
         |FROM dist
         |GROUP BY label
-        |ORDER BY label""".stripMargin))
+        |ORDER BY label""".stripMargin)),
+
+    // ---- full iterative k-means (unsupervised clustering) ----
+    // Three Lloyd rounds over the embeddings (q104 oracle-checks a single
+    // supervised iteration; the iterative loop is not SQL-expressible →
+    // rows-only driver check, semantics pinned in KMeansSpec: blob
+    // recovery + run-to-run determinism). Centroids collect+re-broadcast
+    // per round (k×dim doubles), so lineage stays flat at any iteration
+    // count and the corpus never leaves the executors.
+    QueryDef("q110_kmeans_clusters",
+      (s, dir) => Similarity.kmeans(Tables.embeddings(s, dir), k = 8, iterations = 3)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+             round(davg(col("dist")), 6).as("avg_dist"))
+        .orderBy("cluster"),
+      None)
   )
 }

@@ -143,6 +143,63 @@ object TimeSeriesOps {
         col("v").isNull.as("is_gap"))
   }
 
+  /** Linear-interpolation gap fill: like [[gapFillForward]] but missing
+    * slots take the straight line between the PREVIOUS and NEXT observed
+    * bucket means (endpoints and trailing gaps fall back to the nearest
+    * observed value). Two keyed windows (backward carry + forward carry),
+    * no self-joins.
+    */
+  def gapFillLinear(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val slot = expr(s"timestamp_seconds((unix_micros($tsCol) div 900000000) * 900)")
+    // bucket means stay UNROUNDED through the interpolation: interpolating
+    // two 6-dp-rounded endpoints at fraction 1/2 lands exactly on 7th-
+    // decimal midpoints, where Spark (rounds the shortest decimal repr)
+    // and other engines (round the exact binary expansion) disagree —
+    // round once, at the output
+    val bucketed = df
+      .groupBy(col(keyCol), slot.as("slot"))
+      .agg(davg(col(valueCol)).as("v"))
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("slot")).as("mn"), max(col("slot")).as("mx"))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), expr("interval 15 minutes"))).as("slot"))
+    val back = Window.partitionBy(col(keyCol)).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("slot"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sec = unix_micros(col("slot")) / lit(1e6)
+    grid.join(bucketed, Seq(keyCol, "slot"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(when(col("v").isNotNull, sec), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(when(col("v").isNotNull, sec), ignoreNulls = true).over(fwd))
+      .select(col(keyCol), col("slot"),
+        round(when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (sec - col("pt")) / (col("nt") - col("pt"))), 6)
+          .as("value_interp"),
+        col("v").isNull.cast("int").as("is_gap"))
+  }
+
+  /** Counter increase per key per hour: the sum of POSITIVE deltas between
+    * consecutive readings landing in the bucket — reconstructs monotonic
+    * counter growth across resets (a negative delta contributes nothing).
+    * One keyed lag window + one bucketed aggregate.
+    */
+  def counterIncrease(df: DataFrame, keyCol: String, idCol: String,
+                      tsCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val dv = col(valueCol) - lag(col(valueCol), 1).over(w)
+    df.select(col(keyCol), col(idCol), col(tsCol), col(valueCol))
+      .withColumn("dv", dv)
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(dsum(when(col("dv") > 0, col("dv")).otherwise(lit(0.0))).as("increase"),
+           count(col("dv")).as("n_deltas"))
+  }
+
   /** OHLC compaction: per key per hour, open/high/low/close + count — the
     * classic lossless-enough series summary. open/close are `min_by`/
     * `max_by` on the (ts, id) version tuple: one hash aggregate, no window

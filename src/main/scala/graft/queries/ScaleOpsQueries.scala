@@ -250,6 +250,43 @@ object ScaleOpsQueries {
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket""".stripMargin)),
 
+    // ---- equi-depth histogram (quantile-based bucket edges) ----
+    // Corpus profiling where fixed-width buckets (q81) mislead on skewed
+    // columns: edges from exact quartiles (one scalar aggregate, broadcast
+    // onto the scan), then a single re-aggregation — two passes total,
+    // no sort of the full column.
+    QueryDef("q113_equidepth_histogram",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val edges = li.agg(
+          expr("percentile(l_extendedprice, 0.25)").as("e1"),
+          expr("percentile(l_extendedprice, 0.5)").as("e2"),
+          expr("percentile(l_extendedprice, 0.75)").as("e3"))
+        li.select("l_extendedprice").crossJoin(broadcast(edges))
+          .withColumn("bucket",
+            when(col("l_extendedprice") <= col("e1"), 0)
+              .when(col("l_extendedprice") <= col("e2"), 1)
+              .when(col("l_extendedprice") <= col("e3"), 2)
+              .otherwise(3))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("lo"),
+               max(col("l_extendedprice")).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS e1,
+        |         quantile_cont(l_extendedprice, 0.50) AS e2,
+        |         quantile_cont(l_extendedprice, 0.75) AS e3
+        |  FROM lineitem)
+        |SELECT CASE WHEN l_extendedprice <= e1 THEN 0
+        |            WHEN l_extendedprice <= e2 THEN 1
+        |            WHEN l_extendedprice <= e3 THEN 2
+        |            ELSE 3 END AS bucket,
+        |  COUNT(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem, e
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin)),
+
     // ---- mergeable HLL sketches (Datasketches, Spark-native) ----
     // Per-key HLL sketches + a union-merged overall estimate: the
     // distributed distinct-count architecture at 100 TB — fixed-size

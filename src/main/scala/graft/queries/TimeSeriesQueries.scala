@@ -132,6 +132,59 @@ object TimeSeriesQueries {
         |GROUP BY event_type, hour
         |ORDER BY event_type, hour""".stripMargin)),
 
+    // ---- gap-fill with linear interpolation ----
+    QueryDef("q111_gapfill_linear",
+      (s, dir) => TimeSeriesOps.gapFillLinear(Tables.events(s, dir)
+            .filter(col("event_type") === "purchase"),
+          "event_type", "ts", "value")
+        .orderBy("event_type", "slot"),
+      Some("""WITH b AS (
+        |  SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS slot,
+        |         CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY event_type, slot),
+        |g AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(mn, mx, INTERVAL '15 minutes')) AS slot
+        |  FROM (SELECT event_type, min(slot) AS mn, max(slot) AS mx
+        |        FROM b GROUP BY event_type)),
+        |j AS (
+        |  SELECT g.event_type, g.slot, b.v,
+        |    last_value(b.v IGNORE NULLS) OVER back AS pv,
+        |    last_value(CASE WHEN b.v IS NOT NULL THEN epoch(g.slot) END IGNORE NULLS) OVER back AS pt,
+        |    first_value(b.v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN b.v IS NOT NULL THEN epoch(g.slot) END IGNORE NULLS) OVER fwd AS nt
+        |  FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.slot = b.slot
+        |  WINDOW back AS (PARTITION BY g.event_type ORDER BY g.slot
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fwd AS (PARTITION BY g.event_type ORDER BY g.slot
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, slot,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (epoch(slot) - pt) / (nt - pt)
+        |        END, 6) AS value_interp,
+        |  CAST(v IS NULL AS INTEGER) AS is_gap
+        |FROM j
+        |ORDER BY event_type, slot""".stripMargin)),
+
+    // ---- counter increase (positive-delta reconstruction across resets) ----
+    QueryDef("q112_counter_increase",
+      (s, dir) => TimeSeriesOps.counterIncrease(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value")
+        .orderBy("user_id", "hour"),
+      Some(s"""WITH d AS (
+        |  SELECT user_id, ts,
+        |         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+        |  FROM events)
+        |SELECT user_id, date_trunc('hour', ts) AS hour,
+        |  ${sqlDsum("CASE WHEN dv > 0 THEN dv ELSE 0 END")} AS increase,
+        |  COUNT(dv) AS n_deltas
+        |FROM d
+        |GROUP BY user_id, hour
+        |ORDER BY user_id, hour""".stripMargin)),
+
     // ---- z-score anomaly counts from exact decimal moments ----
     QueryDef("q91_zscore_anomalies",
       (s, dir) => TimeSeriesOps.zscoreAnomalies(Tables.events(s, dir),

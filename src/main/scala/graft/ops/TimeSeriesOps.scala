@@ -214,6 +214,28 @@ object TimeSeriesOps {
            max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
            count(lit(1)).as("n"))
 
+  /** Sliding-window pattern (motif) distance: squared Euclidean distance
+    * between each length-|pattern| window of the series and a fixed query
+    * pattern, as a SUM OF LEADS — pure window functions, no array
+    * materialization, no self-join (the time-series subsequence-search
+    * shape; windows shorter than the pattern, at each key's tail, yield
+    * NULL and are dropped). The explicit left-to-right term sum keeps the
+    * result bit-identical across engines.
+    */
+  def patternDistance(df: DataFrame, keyCol: String, idCol: String,
+                      tsCol: String, valueCol: String,
+                      pattern: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val leads = pattern.indices.map(j => lead(col(valueCol), j).over(w))
+    val d2 = pattern.zip(leads).map { case (p, lj) =>
+      (lj - lit(p)) * (lj - lit(p))
+    }.reduce(_ + _)
+    df.select(col(keyCol), col(idCol), col(tsCol), col(valueCol))
+      .withColumn("d2", round(d2, 6))
+      .filter(col("d2").isNotNull)
+      .drop(valueCol)
+  }
+
   /** Per-key z-score anomaly counts against the key's GLOBAL mean/stddev,
     * both derived from exact decimal sums (Σx, Σx²) so every engine/layout
     * computes bit-identical statistics; the per-row flag then joins the

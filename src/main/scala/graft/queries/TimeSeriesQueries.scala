@@ -185,6 +185,43 @@ object TimeSeriesQueries {
         |GROUP BY user_id, hour
         |ORDER BY user_id, hour""".stripMargin)),
 
+    // ---- sliding-window pattern match (subsequence similarity search) ----
+    // best-3 windows per key closest to a fixed "spike" motif
+    QueryDef("q114_pattern_match",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pattern = Seq(100.0, 150.0, 200.0, 250.0, 300.0, 250.0, 200.0, 150.0)
+        val rk = Window.partitionBy("event_type")
+          .orderBy(col("d2").asc, col("event_id").asc)
+        TimeSeriesOps.patternDistance(Tables.events(s, dir),
+            "event_type", "event_id", "ts", "value", pattern)
+          .withColumn("rk", row_number().over(rk)).filter(col("rk") <= 3)
+          .select(col("event_type"), col("rk"), col("event_id"), col("d2"))
+          .orderBy("event_type", "rk")
+      },
+      Some {
+        val terms = Seq(100, 150, 200, 250, 300, 250, 200, 150).zipWithIndex
+          .map { case (p, j) => s"(l$j - CAST($p AS DOUBLE)) * (l$j - CAST($p AS DOUBLE))" }
+          .mkString(" + ")
+        val leads = (0 until 8)
+          .map(j => s"lead(value, $j) OVER w AS l$j").mkString(", ")
+        s"""WITH l AS (
+          |  SELECT event_type, event_id, $leads
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+          |d AS (
+          |  SELECT event_type, event_id, round($terms, 6) AS d2
+          |  FROM l WHERE l7 IS NOT NULL),
+          |r AS (
+          |  SELECT event_type, event_id, d2,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+          |                            ORDER BY d2 ASC, event_id ASC) AS INTEGER) AS rk
+          |  FROM d)
+          |SELECT event_type, rk, event_id, d2
+          |FROM r WHERE rk <= 3
+          |ORDER BY event_type, rk""".stripMargin
+      }),
+
     // ---- z-score anomaly counts from exact decimal moments ----
     QueryDef("q91_zscore_anomalies",
       (s, dir) => TimeSeriesOps.zscoreAnomalies(Tables.events(s, dir),

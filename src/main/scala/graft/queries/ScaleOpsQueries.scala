@@ -258,10 +258,12 @@ object ScaleOpsQueries {
     QueryDef("q113_equidepth_histogram",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-        val edges = li.agg(
-          expr("percentile(l_extendedprice, 0.25)").as("e1"),
-          expr("percentile(l_extendedprice, 0.5)").as("e2"),
-          expr("percentile(l_extendedprice, 0.75)").as("e3"))
+        // one percentile buffer for all three edges (three separate
+        // percentile() aggs each collect the full column)
+        val edges = li
+          .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("es"))
+          .select(element_at(col("es"), 1).as("e1"),
+            element_at(col("es"), 2).as("e2"), element_at(col("es"), 3).as("e3"))
         li.select("l_extendedprice").crossJoin(broadcast(edges))
           .withColumn("bucket",
             when(col("l_extendedprice") <= col("e1"), 0)

@@ -16,13 +16,15 @@ object Bench {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1))).collect()
-      // text/vector path warmup: the alphabetically-first dedup query
-      // otherwise pays the one-time codegen/JIT of the shingle + hash
-      // expression stack (~1s of its number measured as warmup, not work)
-      graft.ext.Dedup.shingleSets(
-          spark.read.parquet(s"$sfDir/documents.parquet").limit(256),
-          "doc_id", "text", 3)
-        .select(xxhash64(col("sh")(0))).agg(count(lit(1))).collect()
+      // text/dedup path warmup: the alphabetically-first dedup query
+      // otherwise pays the one-time codegen/JIT of the shingle extraction,
+      // posting self-join, and pair-aggregation stack (measured ~1-2 s of
+      // its number as warmup, not work) — run the whole pair pipeline on a
+      // 64-doc sample
+      graft.ext.Dedup.ngramJaccardPairs(
+          spark.read.parquet(s"$sfDir/documents.parquet").limit(64),
+          "doc_id", "text", 3, 0.5)
+        .agg(count(lit(1))).collect()
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         .select(explode(col("embedding"))).agg(sum("col")).collect()
       // streaming machinery warmup (state store, sink, micro-batch planner):

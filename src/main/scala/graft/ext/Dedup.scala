@@ -233,9 +233,10 @@ object Dedup {
     // scope: no set/restore window on the caller's conf for concurrent
     // queries to race with. The pair graph crosses sessions via its RDD —
     // the localCheckpoint below materializes it anyway.
-    val spark = pairs.sparkSession.newSession()
+    val caller = pairs.sparkSession
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
-    locally {
+    val result = locally {
       val edgesSrc = pairs.select(col("i").as("src"), col("j").as("dst"))
         .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       val edges = spark.createDataFrame(edgesSrc.rdd, edgesSrc.schema)
@@ -281,5 +282,11 @@ object Dedup {
       }
       labels
     }
+    // hand the (checkpointed, tiny) labels back on the CALLER's session:
+    // returning the child-session DataFrame would silently run every
+    // downstream join/aggregate chained onto it at the narrow pair-graph
+    // width — exactly the corpus-scale-work-inherits-4-partitions hazard
+    // this function's width isolation exists to prevent
+    caller.createDataFrame(result.rdd, result.schema)
   }
 }

@@ -62,7 +62,7 @@ object TimeSeriesOps {
           e = if (first) { first = false; r.value } else alpha * r.value + beta * e
           SmoothedRow(k, r.id, r.value, e)
         }
-      }.toDF()
+      }.toDF(keyCol, idCol, valueCol, "ewma")
   }
 
   /** Deadband (delta) compression: emit a row only when |value − last
@@ -79,13 +79,20 @@ object TimeSeriesOps {
       .groupByKey(_.key)
       .flatMapGroups { (k: Long, it: Iterator[TsRow]) =>
         val sorted = it.toArray.sortBy(r => (r.tsMicros, r.id))
-        var lastEmitted = Double.NaN
+        // explicit first-row flag, NOT a NaN sentinel: a NaN sentinel would
+        // conflate "nothing emitted yet" with "last emitted value was NaN"
+        // and re-emit every row after a NaN reading (the SQL oracle's
+        // NaN-comparison semantics emit nothing after one — an explicit
+        // flag keeps |x - NaN| > tol falsy on both sides)
+        var first = true
+        var lastEmitted = 0.0
         sorted.iterator.flatMap { r =>
-          val emit = lastEmitted.isNaN || math.abs(r.value - lastEmitted) > tolerance
+          val emit = first || math.abs(r.value - lastEmitted) > tolerance
+          first = false
           if (emit) { lastEmitted = r.value; Some(KeptRow(k, r.id, r.value)) }
           else None
         }
-      }.toDF()
+      }.toDF(keyCol, idCol, valueCol)
   }
 
   /** RMS downsample: per key per time bucket, root-mean-square + peak-to-peak
@@ -115,6 +122,19 @@ object TimeSeriesOps {
         when(dtUs > 0 && dv >= 0, round(dv / (dtUs / lit(1e6)), 6)))
   }
 
+  /** Floor a timestamp to its 15-minute grid slot in exact long space
+    * (micros since epoch exceed 2^53, so double division would round).
+    * pmod-subtract, not `div`: `div` truncates toward zero, which for
+    * pre-epoch (negative-micros) timestamps rounds UP to the wrong slot,
+    * while pmod is always non-negative so the subtraction FLOORS — the
+    * same grid DuckDB's time_bucket produces (its 2000-01-01 origin is
+    * itself a multiple of 900 s).
+    */
+  private def slot15(tsCol: String): Column = {
+    val us = unix_micros(col(tsCol))
+    timestamp_micros(us - pmod(us, lit(900000000L)))
+  }
+
   /** Gap-fill to a regular 15-minute grid with forward fill: per-key grid
     * from first to last observed slot, bucketed means joined on, missing
     * slots carry the last observed value (`last` with ignoreNulls) and an
@@ -123,11 +143,7 @@ object TimeSeriesOps {
     */
   def gapFillForward(df: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String): DataFrame = {
-    // integer `div` keeps the slot arithmetic in exact long space (micros
-    // since epoch exceed 2^53, so double division would round); the floor
-    // grid matches DuckDB's time_bucket (whose 2000-01-01 origin is itself
-    // a multiple of 900 s)
-    val slot = expr(s"timestamp_seconds((unix_micros($tsCol) div 900000000) * 900)")
+    val slot = slot15(tsCol)
     val bucketed = df
       .groupBy(col(keyCol), slot.as("slot"))
       .agg(round(davg(col(valueCol)), 6).as("v"))
@@ -151,7 +167,7 @@ object TimeSeriesOps {
     */
   def gapFillLinear(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String): DataFrame = {
-    val slot = expr(s"timestamp_seconds((unix_micros($tsCol) div 900000000) * 900)")
+    val slot = slot15(tsCol)
     // bucket means stay UNROUNDED through the interpolation: interpolating
     // two 6-dp-rounded endpoints at fraction 1/2 lands exactly on 7th-
     // decimal midpoints, where Spark (rounds the shortest decimal repr)
@@ -251,9 +267,12 @@ object TimeSeriesOps {
         sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
     df.join(broadcast(stats), keyCol)
       .groupBy(col(keyCol))
+      // std > 0 guard: a single-row or zero-variance key divides by zero,
+      // where engines disagree (Spark non-ANSI → NULL, IEEE floats → inf);
+      // pin the semantics to "no anomalies without spread" on both sides
       .agg(min(col("n")).as("n"),
-           sum(when(abs(v - col("mean")) / col("std") > zCut, 1L).otherwise(0L))
-             .as("n_anomalies"),
+           sum(when(col("std") > 0 && abs(v - col("mean")) / col("std") > zCut,
+             1L).otherwise(0L)).as("n_anomalies"),
            round(min(col("mean")), 6).as("mean"),
            round(min(col("std")), 6).as("std"))
   }

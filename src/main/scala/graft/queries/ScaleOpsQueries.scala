@@ -299,9 +299,13 @@ object ScaleOpsQueries {
     // exact counts (<2% error at lgK=12) instead.
     QueryDef("q98_hll_mergeable",
       (s, dir) => {
+        // cache: both union branches read the per-type sketches — Spark
+        // does not dedupe common subplans across a union, so without this
+        // the events scan + sketch build runs twice
         val perType = Tables.events(s, dir)
           .groupBy("event_type")
           .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+          .cache()
         perType
           .select(col("event_type"),
             hll_sketch_estimate(col("sk")).as("n_users_est"))

@@ -134,13 +134,18 @@ object StreamQueries {
     // ---- transformWithState: typed named-state slots on RocksDB ----
     // Spark 4's arbitrary-state API (successor to flatMapGroupsWithState):
     // running per-asset stats in a ValueState slot. The statistics are
-    // order-independent (count / long-sum / max), so the single-batch run
-    // equals a plain GROUP BY — which is the oracle. Update mode: the
-    // memory sink keeps the latest row per key.
+    // order-independent (count / long-sum / max), so the final running
+    // values equal a plain GROUP BY — which is the oracle. The Update-mode
+    // memory sink APPENDS each batch's updated rows, so reduce to the
+    // latest row per key (all three stats are monotone non-decreasing —
+    // max picks the final batch) instead of assuming a single micro-batch.
     QueryDef("q106_transform_with_state",
       (s, dir) => Streams.runToTable(
           Streams.runningStats(Streams.eventsStream(s, dir)).toDF(),
           "q106_sink", OutputMode.Update())
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"), max(col("sum_uid")).as("sum_uid"),
+             max(col("max_value")).as("max_value"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid, max(value) AS max_value

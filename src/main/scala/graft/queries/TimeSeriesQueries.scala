@@ -236,7 +236,8 @@ object TimeSeriesQueries {
         |         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
         |  FROM s)
         |SELECT e.event_type, min(st.n) AS n,
-        |  CAST(SUM(CASE WHEN abs(e.value - st.mean) / st.std > CAST(2.5 AS DOUBLE)
+        |  CAST(SUM(CASE WHEN st.std > 0
+        |                 AND abs(e.value - st.mean) / st.std > CAST(2.5 AS DOUBLE)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |  round(min(st.mean), 6) AS mean, round(min(st.std), 6) AS std
         |FROM events e JOIN st ON e.event_type = st.event_type

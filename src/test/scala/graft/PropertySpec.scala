@@ -140,7 +140,7 @@ class PropertySpec extends SparkSpec {
     samples(Gen.nonEmptyListOf(smallDouble), 8).foreach { vs0 =>
       val vs = vs0.take(12)
       val out = graft.ops.TimeSeriesOps.ewma(tsDf(vs), "k", "id", "ts", "v", 0.25)
-        .orderBy("event_id").select("ewma").as[Double].collect()
+        .orderBy("id").select("ewma").as[Double].collect()
       out.zipWithIndex.foreach { case (e, i) =>
         val seen = vs.take(i + 1)
         assert(e >= seen.min - 1e-9 && e <= seen.max + 1e-9,
@@ -155,7 +155,7 @@ class PropertySpec extends SparkSpec {
       tol <- Gen.choose(1.0, 50.0)
     } yield (vs.take(12), tol), 8).foreach { case (vs, tol) =>
       val kept = graft.ops.TimeSeriesOps.deadband(tsDf(vs), "k", "id", "ts", "v", tol)
-        .orderBy("event_id").collect().map(r => (r.getLong(1), r.getDouble(2)))
+        .orderBy("id").collect().map(r => (r.getLong(1), r.getDouble(2)))
       assert(kept.head._1 == 0L)
       assert(kept.forall { case (id, v) => vs(id.toInt) == v }) // subset of input
       kept.sliding(2).foreach {

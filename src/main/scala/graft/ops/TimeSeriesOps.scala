@@ -95,6 +95,47 @@ object TimeSeriesOps {
       }.toDF(keyCol, idCol, valueCol)
   }
 
+  case class AlarmRow(user_id: Long, event_id: Long, value: Double, alarm: Boolean)
+
+  /** Throttle (rate-limit) filter: forward at most ONE reading per key per
+    * 15-minute slot — the first in (ts, id) order. A `min_by` hash
+    * aggregate on the version tuple: one partial-aggregated shuffle, no
+    * window sort (the FogLAMP-ecosystem rate filter shape).
+    */
+  def throttleFirstPerSlot(df: DataFrame, keyCol: String, idCol: String,
+                           tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol), slot15(tsCol).as("slot"))
+      .agg(min_by(col(idCol), struct(col(tsCol), col(idCol))).as(idCol),
+           min_by(col(valueCol), struct(col(tsCol), col(idCol))).as(valueCol),
+           count(lit(1)).as("n_suppressed"))
+      .withColumn("n_suppressed", col("n_suppressed") - 1)
+
+  /** Hysteresis threshold alarm: alarm turns ON when the value exceeds
+    * `hi`, OFF when it drops below `lo`, holds otherwise — the two-level
+    * state machine that de-chatters threshold alerts. Sequential per key
+    * (state depends on history), so a [[ewma]]-style sorted group pass;
+    * emits only the TRANSITIONS (alarm raised / cleared).
+    */
+  def hysteresisAlarms(df: DataFrame, keyCol: String, idCol: String,
+                       tsCol: String, valueCol: String,
+                       lo: Double, hi: Double): DataFrame = {
+    require(lo <= hi, s"hysteresis needs lo <= hi (got lo=$lo, hi=$hi)")
+    val s = df.sparkSession
+    import s.implicits._
+    asTsRows(df, keyCol, idCol, tsCol, valueCol)
+      .groupByKey(_.key)
+      .flatMapGroups { (k: Long, it: Iterator[TsRow]) =>
+        val sorted = it.toArray.sortBy(r => (r.tsMicros, r.id))
+        var alarm = false
+        sorted.iterator.flatMap { r =>
+          val next = if (alarm) !(r.value < lo) else r.value > hi
+          val transition = next != alarm
+          alarm = next
+          if (transition) Some(AlarmRow(k, r.id, r.value, next)) else None
+        }
+      }.toDF(keyCol, idCol, valueCol, "alarm")
+  }
+
   /** RMS downsample: per key per time bucket, root-mean-square + peak-to-peak
     * + count. One partial-aggregated shuffle; the mean-of-squares accumulates
     * through an exact decimal (order-independent), so the result is

@@ -185,6 +185,47 @@ object TimeSeriesQueries {
         |GROUP BY user_id, hour
         |ORDER BY user_id, hour""".stripMargin)),
 
+    // ---- throttle: at most one reading per user per 15-minute slot ----
+    QueryDef("q115_throttle_rate_limit",
+      (s, dir) => TimeSeriesOps.throttleFirstPerSlot(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value")
+        .orderBy("user_id", "slot"),
+      Some("""SELECT user_id, slot, event_id, value, n_suppressed FROM (
+        |  SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS slot,
+        |    event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, time_bucket(INTERVAL '15 minutes', ts)
+        |                       ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, time_bucket(INTERVAL '15 minutes', ts)) - 1
+        |      AS n_suppressed
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, slot""".stripMargin)),
+
+    // ---- hysteresis threshold alarm (two-level state machine) ----
+    // ON above 150, OFF below 20 — emits only the transitions (thresholds
+    // sit in the fat part of the right-skewed value distribution)
+    QueryDef("q116_hysteresis_alarm",
+      (s, dir) => TimeSeriesOps.hysteresisAlarms(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value", lo = 20.0, hi = 150.0)
+        .withColumn("alarm", col("alarm").cast("int"))
+        .orderBy("user_id", "event_id"),
+      Some(s"""WITH RECURSIVE $numberedBase,
+        |r AS (
+        |  SELECT user_id, event_id, value, rn,
+        |         value > CAST(150 AS DOUBLE) AS alarm,
+        |         value > CAST(150 AS DOUBLE) AS transition
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |         CASE WHEN r.alarm THEN NOT (b.value < CAST(20 AS DOUBLE))
+        |              ELSE b.value > CAST(150 AS DOUBLE) END AS alarm,
+        |         (CASE WHEN r.alarm THEN NOT (b.value < CAST(20 AS DOUBLE))
+        |               ELSE b.value > CAST(150 AS DOUBLE) END) <> r.alarm AS transition
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value, CAST(alarm AS INTEGER) AS alarm
+        |FROM r WHERE transition
+        |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- sliding-window pattern match (subsequence similarity search) ----
     // best-3 windows per key closest to a fixed "spike" motif
     QueryDef("q114_pattern_match",

@@ -66,6 +66,29 @@ class TimeSeriesSpec extends SparkSpec {
       r.getDouble(3), r.getLong(4))) == Seq((10.0, 30.0, 10.0, 30.0, 3L)))
   }
 
+  test("throttle keeps the first reading per 15-min slot and counts suppressed") {
+    val df = Seq(
+      (1L, 1L, ts(0), 10.0), (1L, 2L, ts(60), 20.0),   // same slot: keep id 1
+      (1L, 3L, ts(900), 30.0)                          // next slot: keep id 3
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeriesOps.throttleFirstPerSlot(df, "user_id", "event_id", "ts", "value")
+      .orderBy("slot").collect()
+    assert(out.map(r => (r.getLong(2), r.getLong(4))).toSeq == Seq((1L, 1L), (3L, 0L)))
+  }
+
+  test("hysteresis alarm raises above hi, holds between, clears below lo") {
+    // 5→60 (raise), 30 (hold: between lo and hi), 5 (clear), 70 (raise)
+    val df = Seq(
+      (1L, 1L, ts(0), 5.0), (1L, 2L, ts(1), 60.0), (1L, 3L, ts(2), 30.0),
+      (1L, 4L, ts(3), 5.0), (1L, 5L, ts(4), 70.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeriesOps.hysteresisAlarms(df, "user_id", "event_id", "ts", "value",
+        lo = 10.0, hi = 50.0)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(1), r.getBoolean(3)))
+    assert(out.toSeq == Seq((2L, true), (4L, false), (5L, true)))
+  }
+
   test("zorder interleave16 is the Morton code; quantize16 clamps") {
     val r = spark.range(1).select(
       ZOrder.interleave16(lit(3L), lit(1L)).as("z"),   // x=0b11,y=0b1 → 0b111

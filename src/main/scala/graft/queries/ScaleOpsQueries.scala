@@ -254,7 +254,10 @@ object ScaleOpsQueries {
     // Corpus profiling where fixed-width buckets (q81) mislead on skewed
     // columns: edges from exact quartiles (one scalar aggregate, broadcast
     // onto the scan), then a single re-aggregation — two passes total,
-    // no sort of the full column.
+    // no sort of the full column. Note the exact percentile's final merge
+    // concentrates all values on one reducer — at 100 TB swap the edge
+    // computation for the mergeable GK sketch (q107's approx_percentile);
+    // the bucket-assignment pass is unchanged.
     QueryDef("q113_equidepth_histogram",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)

@@ -237,6 +237,49 @@ object TextQueries {
           |SELECT sh.doc_id AS doc_id, sh.n_shingles, fp.simhash AS fp, sh.tokset
           |FROM sh JOIN fp ON sh.doc_id = fp.doc_id
           |ORDER BY sh.doc_id""".stripMargin
-      })
+      }),
+
+    // ---- bigram language-model scoring (perplexity-style quality filter) ----
+    // Train a corpus bigram model (two aggregates), then score every doc by
+    // its mean log-probability — the classic "drop gibberish by LM score"
+    // training-data op. The model tables are vocabulary-sized → broadcast;
+    // each ln term is rounded to 6 before the order-independent decimal sum
+    // (ln differs across engines in the last ulp — per-term rounding keeps
+    // the sum bit-stable; see the verify gotcha list).
+    QueryDef("q117_bigram_logprob",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bigrams = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+          .withColumn("w2", lead(col("w1"), 1).over(w))
+          .filter(col("w2").isNotNull)
+        val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val model = broadcast(c12.join(c1, "w1")
+          .withColumn("lp", round(log(col("c12") / col("c1")), 6)))
+        bigrams.join(model, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               round(dsum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |bigrams AS (
+        |  SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+        |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+        |model AS (
+        |  SELECT c12.w1, c12.w2, round(ln(c12.c12 / c1.c1), 6) AS lp
+        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  round(${sqlDsum("m.lp")} / COUNT(*), 6) AS avg_logprob
+        |FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin))
   )
 }

@@ -213,44 +213,47 @@ object Similarity {
       require(centroids.length == k, s"corpus has only ${centroids.length} vectors for k=$k")
       val dim = centroids.head._2.length
       var assigned: DataFrame = null
-      for (_ <- 0 until iterations) {
+      for (iter <- 0 until iterations) {
         import spark.implicits._
         val cdf = broadcast(centroids.toSeq.toDF("cid", "cv"))
-        // E-step: argmin distance, ties to the lowest cluster id
+        // E-step: argmin distance, ties to the lowest cluster id — one
+        // min(struct) aggregate; the winning cid rides along in the struct
         assigned = e.crossJoin(cdf)
           .withColumn("d2", dot(col("v"), col("v"))
             - lit(2.0) * dot(col("v"), col("cv")) + dot(col("cv"), col("cv")))
           .groupBy("vec_id")
-          .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cluster"),
-               min(struct(col("d2"), col("cid"))).as("best"),
+          .agg(min(struct(col("d2"), col("cid"))).as("best"),
                first(col("v")).as("v"))
-          .select(col("vec_id"), col("cluster"),
+          .select(col("vec_id"), col("best.cid").as("cluster"),
             sqrt(greatest(col("best.d2"), lit(0.0))).as("dist"), col("v"))
-        // M-step: per-(cluster, dim) means, reassembled into centroid arrays
-        val updated = assigned
-          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cluster", "pos")
-          // exact-decimal mean: plain avg(double) is partial-order-dependent,
-          // which would make centroids (and boundary assignments) vary with
-          // cluster layout run-to-run
-          .agg(graft.util.OracleSafe.davg(col("x")).as("m"))
-          .groupBy("cluster")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-          .select(col("cluster"), transform(col("ps"), _.getField("m")).as("cv"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1)))
-          .toMap
-        // a cluster that received no vectors this round KEEPS its previous
-        // centroid (standard Lloyd practice) — silently dropping it would
-        // shrink the clustering below k with no error
-        centroids = centroids.map { case (cid, old) =>
-          (cid, updated.getOrElse(cid, old))
+        // M-step: per-(cluster, dim) means, reassembled into centroid
+        // arrays. Skipped after the FINAL E-step — its centroids would be
+        // discarded (a full corpus-wide shuffle + collect for nothing).
+        if (iter < iterations - 1) {
+          val updated = assigned
+            .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("cluster", "pos")
+            // exact-decimal mean: plain avg(double) is partial-order-dependent,
+            // which would make centroids (and boundary assignments) vary with
+            // cluster layout run-to-run
+            .agg(graft.util.OracleSafe.davg(col("x")).as("m"))
+            .groupBy("cluster")
+            .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+            .select(col("cluster"), transform(col("ps"), _.getField("m")).as("cv"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1)))
+            .toMap
+          // a cluster that received no vectors this round KEEPS its previous
+          // centroid (standard Lloyd practice) — silently dropping it would
+          // shrink the clustering below k with no error
+          centroids = centroids.map { case (cid, old) =>
+            (cid, updated.getOrElse(cid, old))
+          }
+          require(centroids.forall(_._2.length == dim))
         }
-        require(centroids.forall(_._2.length == dim))
       }
-      // materialize the final E-step once: the last M-step already executed
-      // it, and a lazy return would re-run the |vectors|×k scoring on first
-      // use (after e is unpersisted below)
+      // materialize the final E-step (the only action that runs it), so the
+      // cached projection can be released below and downstream reads are free
       assigned.select("vec_id", "cluster", "dist").localCheckpoint(true)
     } finally e.unpersist()
   }

@@ -150,8 +150,11 @@ object ScaleOpsQueries {
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        // tf is already distinct per (doc_id, token), so document frequency
+        // is a plain count — countDistinct would force the two-phase
+        // distinct-aggregate expansion for nothing
         val idf = tf.groupBy("token")
-          .agg(countDistinct(col("doc_id")).as("df"))
+          .agg(count(lit(1)).as("df"))
           .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
         val weighted = tf.join(broadcast(idf), "token")
           .withColumn("w", round(col("tf") * col("idf"), 6))

@@ -47,14 +47,11 @@ object SourceQueries {
     Tables.events(s, dir)
       .select("event_id", "user_id", "event_type", "value")
       .write.mode("overwrite").partitionBy("event_type").parquet(factPath)
-    import scala.jdk.CollectionConverters._
-    val dimSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("w_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("weight", org.apache.spark.sql.types.DoubleType)))
-    s.createDataFrame(
-        Seq(org.apache.spark.sql.Row("click", 1.5), org.apache.spark.sql.Row("purchase", 2.5),
-          org.apache.spark.sql.Row("view", 0.5)).asJava, dimSchema)
-      .write.mode("overwrite").parquet(dimPath)
+    locally {
+      import s.implicits._
+      Seq(("click", 1.5), ("purchase", 2.5), ("view", 0.5)).toDF("w_type", "weight")
+        .write.mode("overwrite").parquet(dimPath)
+    }
     val fact = s.read.parquet(factPath)
     val dim = s.read.parquet(dimPath).filter(col("weight") > 1.0)
     fact.join(dim, fact("event_type") === dim("w_type"))

@@ -197,9 +197,17 @@ object Streams {
     }
   }
 
-  /** Running per-asset stats stream (see [[RunningStatsProcessor]]). Sets the
-    * RocksDB state-store provider on the stream's (isolated) session —
-    * transformWithState does not run on the default HDFS-backed store.
+  /** Running per-asset stats stream (see [[RunningStatsProcessor]]).
+    *
+    * Contract: pass a stream built on an ISOLATED session
+    * ([[eventsStreamIsolated]] or any `newSession()`-built stream). This
+    * sets the RocksDB state-store provider on the stream's own session —
+    * transformWithState does not run on the default HDFS-backed store, and
+    * an already-built streaming DataFrame cannot be moved to a fresh
+    * session here (no RDD bridge for streams), so the conf can only be as
+    * isolated as the session the caller built the stream on. On a shared
+    * session this would flip the store provider for every later streaming
+    * query.
     */
   def runningStats(events: DataFrame): Dataset[TypeStats] = {
     val spark = events.sparkSession

@@ -131,6 +131,27 @@ object StreamQueries {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin)),
 
+    // ---- the flagship time-series filter (EWMA) AS A STREAM ----
+    // same recurrence and oracle as batch q85; cross-batch state
+    // continuation is pinned in StreamingSpec
+    QueryDef("q118_stream_ewma",
+      (s, dir) => Streams.runToTable(
+          Streams.ewmaStream(Streams.eventsStream(s, dir), alpha = 0.25).toDF(),
+          "q118_sink", OutputMode.Append())
+        .orderBy("user_id", "event_id"),
+      Some("""WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, value AS ewma FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |         CAST(0.25 AS DOUBLE) * b.value + CAST(0.75 AS DOUBLE) * r.ewma
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value, ewma FROM r
+        |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- transformWithState: typed named-state slots on RocksDB ----
     // Spark 4's arbitrary-state API (successor to flatMapGroupsWithState):
     // running per-asset stats in a ValueState slot. The statistics are

@@ -167,6 +167,37 @@ object Streams {
         })
   }
 
+  case class EvV(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  case class Smoothed(user_id: Long, event_id: Long, value: Double, ewma: Double)
+
+  /** Streaming EWMA — the flagship time-series filter
+    * ([[graft.ops.TimeSeriesOps.ewma]]) as a stateful stream: the GroupState
+    * carries (last event position, running ewma) so follow-on micro-batches
+    * CONTINUE each key's recurrence instead of restarting it. Within a
+    * batch rows are folded in (ts, id) order; the single-batch result is
+    * identical to the batch operator (same oracle), and the cross-batch
+    * continuation is pinned in StreamingSpec.
+    */
+  def ewmaStream(events: DataFrame, alpha: Double): Dataset[Smoothed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value")).as[EvV]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[EvV], state: GroupState[(Boolean, Double)]) => {
+          val sorted = it.toVector.sortBy(e => (e.tsMicros, e.event_id))
+          var (seeded, e) = state.getOption.getOrElse((false, 0.0))
+          val out = sorted.map { r =>
+            e = if (!seeded) { seeded = true; r.value } else alpha * r.value + beta * e
+            Smoothed(uid, r.event_id, r.value, e)
+          }
+          if (sorted.nonEmpty) state.update((seeded, e))
+          out.iterator
+        })
+  }
+
   case class EvT(event_type: String, user_id: Long, value: Double)
   case class TypeStats(event_type: String, n: Long, sum_uid: Long, max_value: Double)
 

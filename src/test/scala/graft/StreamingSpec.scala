@@ -139,6 +139,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewma continues each key's recurrence across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = Streams.ewmaStream(df, alpha = 0.25).toDF()
+      .writeStream.format("memory").queryName("ewma_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(m: Long) = new java.sql.Timestamp(m * 60000)
+      mem.addData((1L, 1L, t(0), 10.0), (1L, 2L, t(1), 20.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, t(2), 30.0)) // must fold onto batch-1 state
+      q.processAllAvailable()
+      val out = spark.table("ewma_test").orderBy("event_id")
+        .select("ewma").as[Double].collect().toSeq
+      val e2 = 0.25 * 20.0 + 0.75 * 10.0
+      val e3 = 0.25 * 30.0 + 0.75 * e2   // continuation, NOT a restart at 30
+      assert(out == Seq(10.0, e2, e3))
+    } finally q.stop()
+  }
+
   test("transformWithState carries ValueState across micro-batches (RocksDB store)") {
     // isolated session so the RocksDB provider conf doesn't leak to the
     // other streaming tests on the shared session

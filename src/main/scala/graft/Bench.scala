@@ -25,6 +25,11 @@ object Bench {
           spark.read.parquet(s"$sfDir/documents.parquet").limit(64),
           "doc_id", "text", 3, 0.5)
         .agg(count(lit(1))).collect()
+      // ...and the connected-components loop (child session, checkpointed
+      // propagation joins) on a toy graph
+      import spark.implicits._
+      graft.ext.Dedup.connectedComponents(
+        Seq((1L, 2L), (2L, 3L)).toDF("i", "j")).count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         .select(explode(col("embedding"))).agg(sum("col")).collect()
       // streaming machinery warmup (state store, sink, micro-batch planner):

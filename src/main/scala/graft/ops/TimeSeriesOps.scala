@@ -293,6 +293,33 @@ object TimeSeriesOps {
       .drop(valueCol)
   }
 
+  /** 8-point DFT power spectrum over tumbling (non-overlapping) windows per
+    * key — the spectral-analysis (FFT-filter) capability, sized so every
+    * twiddle factor is an EXACT double (cos/sin of multiples of π/4 are
+    * 0, ±1, ±√2/2 with √2/2 = sqrt(0.5), correctly rounded on any IEEE
+    * engine): the whole computation is a fixed weighted sum of 8 leads,
+    * pure window functions, bit-identical cross-engine. Emits the power at
+    * bins k=1 and k=2 for each full window.
+    */
+  def dft8Power(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val leads = (0 until 8).map(j => lead(col(valueCol), j).over(w))
+    val s = math.sqrt(0.5)
+    def wsum(ws: Seq[Double]) =
+      ws.zip(leads).map { case (c, l) => l * lit(c) }.reduce(_ + _)
+    val re1 = wsum(Seq(1.0, s, 0.0, -s, -1.0, -s, 0.0, s))
+    val im1 = wsum(Seq(0.0, -s, -1.0, -s, 0.0, s, 1.0, s))
+    val re2 = wsum(Seq(1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0))
+    val im2 = wsum(Seq(0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0, 1.0))
+    df.select(col(keyCol), col(idCol), col(tsCol), col(valueCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("p1", round(re1 * re1 + im1 * im1, 6))
+      .withColumn("p2", round(re2 * re2 + im2 * im2, 6))
+      .filter(col("rn") % 8 === 1 && col("p1").isNotNull) // full windows only
+      .select(col(keyCol), col(idCol), col("p1"), col("p2"))
+  }
+
   /** Per-key z-score anomaly counts against the key's GLOBAL mean/stddev,
     * both derived from exact decimal sums (Σx, Σx²) so every engine/layout
     * computes bit-identical statistics; the per-row flag then joins the

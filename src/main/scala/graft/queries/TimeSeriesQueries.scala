@@ -263,6 +263,33 @@ object TimeSeriesQueries {
           |ORDER BY event_type, rk""".stripMargin
       }),
 
+    // ---- 8-point DFT power spectrum (FFT-filter capability) ----
+    QueryDef("q119_dft_power",
+      (s, dir) => TimeSeriesOps.dft8Power(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value")
+        .orderBy("user_id", "event_id"),
+      Some {
+        val sq = math.sqrt(0.5)
+        def wsum(ws: Seq[Double]) = ws.zipWithIndex
+          .map { case (c, j) => s"(l$j * CAST($c AS DOUBLE))" }.mkString(" + ")
+        val re1 = wsum(Seq(1.0, sq, 0.0, -sq, -1.0, -sq, 0.0, sq))
+        val im1 = wsum(Seq(0.0, -sq, -1.0, -sq, 0.0, sq, 1.0, sq))
+        val re2 = wsum(Seq(1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0))
+        val im2 = wsum(Seq(0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0, 1.0))
+        val leads = (0 until 8).map(j => s"lead(value, $j) OVER w AS l$j").mkString(", ")
+        s"""WITH l AS (
+          |  SELECT user_id, event_id, $leads,
+          |         ROW_NUMBER() OVER w AS rn
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id, event_id,
+          |  round(($re1) * ($re1) + ($im1) * ($im1), 6) AS p1,
+          |  round(($re2) * ($re2) + ($im2) * ($im2), 6) AS p2
+          |FROM l
+          |WHERE rn % 8 = 1 AND l7 IS NOT NULL
+          |ORDER BY user_id, event_id""".stripMargin
+      }),
+
     // ---- z-score anomaly counts from exact decimal moments ----
     QueryDef("q91_zscore_anomalies",
       (s, dir) => TimeSeriesOps.zscoreAnomalies(Tables.events(s, dir),

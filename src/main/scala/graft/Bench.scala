@@ -36,7 +36,6 @@ object Bench {
       // otherwise the alphabetically-first streaming query absorbs ~1.5 s of
       // one-time initialization and its number measures infra, not the query
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import spark.implicits._
       implicit val sc = spark.sqlContext
       val mem = MemoryStream[Long]
       mem.addData(1L, 2L, 3L)

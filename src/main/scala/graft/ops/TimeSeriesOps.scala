@@ -304,20 +304,24 @@ object TimeSeriesOps {
   def dft8Power(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
                 valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
-    val leads = (0 until 8).map(j => lead(col(valueCol), j).over(w))
+    // materialize leads + filter to window starts FIRST: the spectral
+    // arithmetic then runs on 1/8 of the rows instead of being computed
+    // and discarded for the other 7
+    val starts = df.select(
+        Seq(col(keyCol), col(idCol), row_number().over(w).as("rn")) ++
+          (0 until 8).map(j => lead(col(valueCol), j).over(w).as(s"l$j")): _*)
+      .filter(col("rn") % 8 === 1 &&
+        (0 until 8).map(j => col(s"l$j").isNotNull).reduce(_ && _))
     val s = math.sqrt(0.5)
-    def wsum(ws: Seq[Double]) =
-      ws.zip(leads).map { case (c, l) => l * lit(c) }.reduce(_ + _)
+    def wsum(ws: Seq[Double]) = ws.zipWithIndex
+      .map { case (c, j) => col(s"l$j") * lit(c) }.reduce(_ + _)
     val re1 = wsum(Seq(1.0, s, 0.0, -s, -1.0, -s, 0.0, s))
     val im1 = wsum(Seq(0.0, -s, -1.0, -s, 0.0, s, 1.0, s))
     val re2 = wsum(Seq(1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0))
     val im2 = wsum(Seq(0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0, 1.0))
-    df.select(col(keyCol), col(idCol), col(tsCol), col(valueCol))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("p1", round(re1 * re1 + im1 * im1, 6))
-      .withColumn("p2", round(re2 * re2 + im2 * im2, 6))
-      .filter(col("rn") % 8 === 1 && col("p1").isNotNull) // full windows only
-      .select(col(keyCol), col(idCol), col("p1"), col("p2"))
+    starts.select(col(keyCol), col(idCol),
+      round(re1 * re1 + im1 * im1, 6).as("p1"),
+      round(re2 * re2 + im2 * im2, 6).as("p2"))
   }
 
   /** Per-key z-score anomaly counts against the key's GLOBAL mean/stddev,

@@ -252,12 +252,12 @@ object TimeSeriesQueries {
           |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
           |d AS (
           |  SELECT event_type, event_id, round($terms, 6) AS d2
-          |  FROM l WHERE l7 IS NOT NULL),
+          |  FROM l),
           |r AS (
           |  SELECT event_type, event_id, d2,
           |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
           |                            ORDER BY d2 ASC, event_id ASC) AS INTEGER) AS rk
-          |  FROM d)
+          |  FROM d WHERE d2 IS NOT NULL)
           |SELECT event_type, rk, event_id, d2
           |FROM r WHERE rk <= 3
           |ORDER BY event_type, rk""".stripMargin
@@ -281,12 +281,15 @@ object TimeSeriesQueries {
           |  SELECT user_id, event_id, $leads,
           |         ROW_NUMBER() OVER w AS rn
           |  FROM events
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-          |SELECT user_id, event_id,
-          |  round(($re1) * ($re1) + ($im1) * ($im1), 6) AS p1,
-          |  round(($re2) * ($re2) + ($im2) * ($im2), 6) AS p2
-          |FROM l
-          |WHERE rn % 8 = 1 AND l7 IS NOT NULL
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |p AS (
+          |  SELECT user_id, event_id,
+          |    round(($re1) * ($re1) + ($im1) * ($im1), 6) AS p1,
+          |    round(($re2) * ($re2) + ($im2) * ($im2), 6) AS p2
+          |  FROM l WHERE rn % 8 = 1)
+          |SELECT user_id, event_id, p1, p2
+          |FROM p
+          |WHERE p1 IS NOT NULL
           |ORDER BY user_id, event_id""".stripMargin
       }),
 

@@ -172,9 +172,12 @@ object Streams {
 
   /** Streaming EWMA — the flagship time-series filter
     * ([[graft.ops.TimeSeriesOps.ewma]]) as a stateful stream: the GroupState
-    * carries (last event position, running ewma) so follow-on micro-batches
+    * carries (seeded flag, running ewma) so follow-on micro-batches
     * CONTINUE each key's recurrence instead of restarting it. Within a
-    * batch rows are folded in (ts, id) order; the single-batch result is
+    * batch rows are folded in (ts, id) order; rows of a LATER batch are
+    * folded after earlier batches regardless of event time (no
+    * out-of-order detection — add an event-time high-watermark to the
+    * state if late data must be rejected); the single-batch result is
     * identical to the batch operator (same oracle), and the cross-batch
     * continuation is pinned in StreamingSpec.
     */

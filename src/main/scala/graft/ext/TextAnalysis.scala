@@ -60,6 +60,14 @@ object TextAnalysis {
     regexp_count(text, lit(pat)) / size(tokens(text)).cast("double")
   }
 
+  /** Tokens with [[StopWords]] removed (order preserved, duplicates kept).
+    * An array higher-order `filter` — CodegenFallback, which is fine for a
+    * per-document projection off the hot path; the codegen'd alternative
+    * for hot paths is a regexp_replace chain (see [[stopwordRatio]]'s note).
+    */
+  def contentTokens(text: Column): Column =
+    filter(tokens(text), t => !t.isInCollection(StopWords))
+
   /** Mean token length (chars excluding separators / token count). */
   def avgTokenLen(text: Column): Column =
     length(regexp_replace(text, " ", "")) / size(tokens(text)).cast("double")

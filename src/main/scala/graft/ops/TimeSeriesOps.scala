@@ -324,6 +324,114 @@ object TimeSeriesOps {
       round(re2 * re2 + im2 * im2, 6).as("p2"))
   }
 
+  case class CusumRow(user_id: Long, event_id: Long, value: Double, cusum: Double)
+
+  /** One-sided CUSUM change-point detector (Page's cumulative-sum chart):
+    * per key in (ts, id) order, `s ← max(0, s + (value − target − slack))`;
+    * when `s` crosses `threshold` the row is flagged as a change point and
+    * the statistic resets — the classic drift detector deployed as an edge
+    * filter script in the reference ecosystem (the O5 surface hosts exactly
+    * this kind of stateful per-reading recurrence,
+    * `/root/reference/plugin.cpp:113-117, 285-287`). Sequential per key like
+    * [[ewma]]: one shuffle on the series key, one sorted pass per group.
+    * All constants integral so every step is the same correctly-rounded
+    * IEEE op on both engines → bit-exact against a recursive-CTE oracle.
+    */
+  def cusum(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+            valueCol: String, target: Double, slack: Double,
+            threshold: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val drift = target + slack
+    asTsRows(df, keyCol, idCol, tsCol, valueCol)
+      .groupByKey(_.key)
+      .flatMapGroups { (k: Long, it: Iterator[TsRow]) =>
+        val sorted = it.toArray.sortBy(r => (r.tsMicros, r.id))
+        var st = 0.0
+        sorted.iterator.flatMap { r =>
+          st = math.max(0.0, st + (r.value - drift))
+          if (st > threshold) {
+            val fired = st; st = 0.0
+            Some(CusumRow(k, r.id, r.value, fired))
+          } else None
+        }
+      }.toDF(keyCol, idCol, valueCol, "cusum")
+  }
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) — the
+    * standard visual-fidelity series decimator in the edge/IoT world the
+    * reference ships into: keep first and last points, split the interior
+    * into `m − 2` index-equal buckets, and left-to-right keep from each
+    * bucket the point forming the largest triangle with the previously kept
+    * point and the NEXT bucket's centroid. The anchor chain is inherently
+    * sequential per key, so like [[ewma]] this is one shuffle on the series
+    * key + one sorted pass per group with O(rows-per-key) state.
+    *
+    * Determinism contract (oracle = the same algorithm unrolled as chained
+    * SQL aggregates): x is integral epoch-SECONDS (exact in a double; a
+    * per-key micros sum would exceed 2^53 and engines round int128→double
+    * differently), centroids average through a scale-6 decimal exactly like
+    * [[graft.util.OracleSafe.dsum]], ties break to the lowest row number.
+    */
+  def lttb(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+           valueCol: String, m: Int): DataFrame = {
+    require(m >= 3, s"lttb needs m >= 3 buckets (got $m)")
+    val s = df.sparkSession
+    import s.implicits._
+    asTsRows(df, keyCol, idCol, tsCol, valueCol)
+      .groupByKey(_.key)
+      .flatMapGroups { (k: Long, it: Iterator[TsRow]) =>
+        val sorted = it.toArray.sortBy(r => (r.tsMicros, r.id))
+        val n = sorted.length
+        if (n <= m) sorted.iterator.map(r => KeptRow(k, r.id, r.value))
+        else {
+          val xs = sorted.map(r => (r.tsMicros / 1000000L).toDouble)
+          val ys = sorted.map(_.value)
+          // interior index i (0-based 1..n-2) → bucket (i-1)*(m-2) div (n-2)
+          val nBuckets = m - 2
+          val bucketOf = (i: Int) => ((i - 1).toLong * nBuckets / (n - 2)).toInt
+          val starts = Array.fill(nBuckets + 1)(n - 1)
+          var i = n - 2
+          while (i >= 1) { starts(bucketOf(i)) = i; i -= 1 }
+          starts(nBuckets) = n - 1
+          // centroid of bucket b via scale-6 decimal sums (oracle parity)
+          def centroid(b: Int): (Double, Double) = {
+            var sx = java.math.BigDecimal.ZERO
+            var sy = java.math.BigDecimal.ZERO
+            var cnt = 0
+            var j = starts(b)
+            while (j < starts(b + 1)) {
+              sx = sx.add(new java.math.BigDecimal(xs(j).toLong))
+              sy = sy.add(java.math.BigDecimal.valueOf(ys(j))
+                .setScale(6, java.math.RoundingMode.HALF_UP))
+              cnt += 1; j += 1
+            }
+            (sx.doubleValue / cnt, sy.doubleValue / cnt)
+          }
+          val keep = Array.newBuilder[Int]
+          keep += 0
+          var aIdx = 0
+          var b = 0
+          while (b < nBuckets) {
+            val (cx, cy) =
+              if (b + 1 < nBuckets) centroid(b + 1) else (xs(n - 1), ys(n - 1))
+            val ax = xs(aIdx); val ay = ys(aIdx)
+            var best = -1; var bestArea = -1.0
+            var j = starts(b)
+            while (j < starts(b + 1)) {
+              val area = math.abs((ax - cx) * (ys(j) - ay) - (ax - xs(j)) * (cy - ay))
+              if (area > bestArea) { bestArea = area; best = j }
+              j += 1
+            }
+            if (best >= 0) { keep += best; aIdx = best }
+            b += 1
+          }
+          keep += (n - 1)
+          keep.result().iterator.map(j => KeptRow(k, sorted(j).id, ys(j)))
+        }
+      }.toDF(keyCol, idCol, valueCol)
+  }
+
   /** Per-key z-score anomaly counts against the key's GLOBAL mean/stddev,
     * both derived from exact decimal sums (Σx, Σx²) so every engine/layout
     * computes bit-identical statistics; the per-row flag then joins the

@@ -178,6 +178,37 @@ object PipelineQueries {
         |  max(n_chars) AS survivor_chars
         |FROM ranked
         |GROUP BY label
-        |ORDER BY label""".stripMargin))
+        |ORDER BY label""".stripMargin)),
+
+    // ---- column profiling (data-quality summary per column) ----
+    // One `stack` generate (no shuffle) + one hash aggregate: every numeric
+    // column's null count, distinct count, min, max, and exact sum in a
+    // single pass — the schema-audit step a pipeline runs before training.
+    // At scale this is ONE scan of the table however many columns are
+    // profiled (vs one scan per column for naive per-column queries).
+    QueryDef("q127_column_profile",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val stacked = Tables.lineitem(s, dir)
+          .select(expr(cols.map(c => s"'$c', $c").mkString(
+            s"stack(${cols.length}, ", ", ", ") AS (col_name, v)")))
+        stacked.groupBy("col_name")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("v").isNull.cast("long")).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+            dsum(col("v")).as("sum_v"))
+          .orderBy("col_name")
+      },
+      Some {
+        val one = (c: String) =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            |  COUNT(DISTINCT $c) AS n_distinct,
+            |  MIN($c) AS min_v, MAX($c) AS max_v, ${sqlDsum(c)} AS sum_v
+            |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(one).mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+      })
   )
 }

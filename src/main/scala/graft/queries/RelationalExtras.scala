@@ -222,6 +222,118 @@ object RelationalExtras {
         |FROM supplier CROSS JOIN region
         |WHERE s_acctbal > r_regionkey * 1500.0
         |GROUP BY r_name
-        |ORDER BY r_name""".stripMargin))
+        |ORDER BY r_name""".stripMargin)),
+
+    // ---- Spearman rank correlation (tie-aware average ranks) ----
+    // rank-transform then Pearson-from-exact-components (q58 recipe):
+    // average rank = RANK() + (ties − 1)/2 is a half-integer, so every
+    // product of ranks is a quarter-integer — exact in both the decimal
+    // accumulator and the final double. Two windows + one aggregate; the
+    // windows shuffle once on the group key.
+    QueryDef("q122_spearman",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rk = (c: String) =>
+          rank().over(Window.partitionBy("p_brand").orderBy(col(c)))
+            .cast("double") +
+            (count(lit(1)).over(Window.partitionBy("p_brand", c)) - 1) / 2.0
+        val ranked = Tables.part(s, dir)
+          .select(col("p_brand"), rk("p_size").as("rx"),
+            rk("p_retailprice").as("ry"))
+        ranked.groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("rx")).as("sx"), dsum(col("ry")).as("sy"),
+            dsum(col("rx") * col("rx")).as("sxx"),
+            dsum(col("ry") * col("ry")).as("syy"),
+            dsum(col("rx") * col("ry")).as("sxy"))
+          .select(col("p_brand"), col("n"),
+            round((col("sxy") - col("sx") * col("sy") / col("n"))
+              / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
+                 * sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+              .as("spearman"))
+          .orderBy("p_brand")
+      },
+      Some(s"""WITH ranked AS (
+        |  SELECT p_brand,
+        |    CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS DOUBLE)
+        |      + (COUNT(*) OVER (PARTITION BY p_brand, p_size) - 1) / 2.0 AS rx,
+        |    CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS DOUBLE)
+        |      + (COUNT(*) OVER (PARTITION BY p_brand, p_retailprice) - 1) / 2.0 AS ry
+        |  FROM part),
+        |comp AS (
+        |  SELECT p_brand, COUNT(*) AS n,
+        |    ${sqlDsum("rx")} AS sx, ${sqlDsum("ry")} AS sy,
+        |    ${sqlDsum("rx * rx")} AS sxx, ${sqlDsum("ry * ry")} AS syy,
+        |    ${sqlDsum("rx * ry")} AS sxy
+        |  FROM ranked GROUP BY p_brand)
+        |SELECT p_brand, n,
+        |  round((sxy - sx * sy / n)
+        |    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS spearman
+        |FROM comp
+        |ORDER BY p_brand""".stripMargin)),
+
+    // ---- distribution-rank window family: ntile / percent_rank / cume_dist
+    //      / nth_value over a deterministic total order ----
+    // The windows are computed over the FULL partition, then the output is
+    // decimated to every-100th order key — the window shuffle/sort happens
+    // once on the partition key regardless of output size.
+    QueryDef("q123_rank_distribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            nth_value(col("l_extendedprice"), 3).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("third_lowest"))
+          .filter(col("l_orderkey") % 100 === 0)
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  NTILE(4) OVER w AS quartile,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  round(CUME_DIST() OVER w, 6) AS cume,
+        |  NTH_VALUE(l_extendedprice, 3) OVER
+        |    (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_lowest
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |QUALIFY l_orderkey % 100 = 0
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- recursive CTE (Spark 4 WITH RECURSIVE): monthly calendar spine ----
+    // The spine is generated by recursion (UnionLoopExec), then left-joined
+    // to per-month order counts — the gap-preserving calendar join that
+    // window functions can't synthesize rows for. Both engines run the
+    // textually-equivalent recursive SQL.
+    QueryDef("q124_recursive_cte",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""WITH RECURSIVE months AS (
+          |  SELECT DATE '1995-01-01' AS mo
+          |  UNION ALL
+          |  SELECT mo + INTERVAL '1' MONTH FROM months WHERE mo < DATE '2001-08-01')
+          |SELECT CAST(m.mo AS TIMESTAMP) AS mo, COUNT(o.o_orderkey) AS n_orders
+          |FROM months m LEFT JOIN orders_v o
+          |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.mo
+          |GROUP BY m.mo
+          |ORDER BY mo""".stripMargin)
+      },
+      Some("""WITH RECURSIVE months AS (
+        |  SELECT DATE '1995-01-01' AS mo
+        |  UNION ALL
+        |  SELECT mo + INTERVAL 1 MONTH FROM months WHERE mo < DATE '2001-08-01')
+        |SELECT CAST(m.mo AS TIMESTAMP) AS mo, COUNT(o.o_orderkey) AS n_orders
+        |FROM months m LEFT JOIN orders o
+        |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.mo
+        |GROUP BY m.mo
+        |ORDER BY mo""".stripMargin))
   )
 }

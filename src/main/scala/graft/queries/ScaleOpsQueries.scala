@@ -321,6 +321,26 @@ object ScaleOpsQueries {
               hll_sketch_estimate(col("sk")).as("n_users_est")))
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    // ---- approx_top_k heavy hitters (Spark 4 frequent-items sketch) ----
+    // maxItemsTracked 65536 >> the corpus vocabulary, so the sketch is
+    // EXACT here and the oracle is plain top-k by count — while the
+    // operator itself is the mergeable bounded-memory path that still
+    // works when the vocabulary is 10^9 at 100 TB (then approximate, like
+    // q98's HLL). Boundary counts are distinct at k=20 in this corpus, so
+    // the kept SET is deterministic; rows re-sort on (count, word).
+    QueryDef("q129_approx_top_k",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .agg(expr("approx_top_k(word, 20, 65536)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("word"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("word")),
+      Some("""SELECT w AS word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w
+        |ORDER BY n DESC, word
+        |LIMIT 20""".stripMargin))
   )
 }

@@ -172,6 +172,76 @@ object StreamQueries {
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid, max(value) AS max_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- stream-stream LEFT OUTER join (watermark-emitted null side) ----
+    // q70 plus the abandoned views. A left view row is emitted null-padded
+    // only when the final watermark (min of both sides' max ts, minus the
+    // 1 h delay) proves no purchase can arrive: view_ts + 1 h < watermark.
+    // The oracle replays exactly that rule; unmatched views inside the
+    // final 2 h horizon stay buffered and are (correctly) absent.
+    QueryDef("q130_stream_outer_join",
+      (s, dir) => Streams.runToTable(
+          Streams.viewPurchaseLeftJoin(Streams.eventsStream(s, dir)),
+          "q130_sink", OutputMode.Append())
+        .groupBy("user_id")
+        .agg(count(col("purchase_id")).as("n_matched"),
+             sum(col("purchase_id").isNull.cast("long")).as("n_abandoned"),
+             min(col("view_id")).as("min_view_id"))
+        .orderBy("user_id"),
+      Some("""WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |        FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(view_ts) FROM v),
+        |                    (SELECT max(purchase_ts) FROM p))
+        |               - INTERVAL 1 HOUR AS w),
+        |j AS (SELECT v.user_id, v.view_id, v.view_ts, p.purchase_id
+        |      FROM v LEFT JOIN p
+        |        ON v.user_id = p.p_user_id
+        |        AND p.purchase_ts >= v.view_ts
+        |        AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR),
+        |emitted AS (SELECT * FROM j
+        |  WHERE purchase_id IS NOT NULL
+        |     OR view_ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
+        |SELECT user_id, COUNT(purchase_id) AS n_matched,
+        |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_abandoned,
+        |  min(view_id) AS min_view_id
+        |FROM emitted
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)),
+
+    // ---- native streaming session windows (append mode) ----
+    // Declarative twin of q43's flatMapGroupsWithState machine: Spark
+    // merges per-user session state and emits a session once the watermark
+    // passes its end (last event + 30 min gap). The oracle sessionizes in
+    // SQL and applies the same closure cutoff from the final watermark.
+    QueryDef("q134_stream_session_window",
+      (s, dir) => Streams.runToTable(
+          Streams.sessionWindows(Streams.eventsStream(s, dir)),
+          "q134_sink", OutputMode.Append())
+        .orderBy("user_id", "session_start"),
+      Some(s"""WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |           OR epoch(ts) - epoch(LAG(ts, 1) OVER w) > 1800 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    user_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT session_start, session_end, user_id, n_events, sum_value
+        |FROM agg
+        |WHERE session_end < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY user_id, session_start""".stripMargin))
   )
 }

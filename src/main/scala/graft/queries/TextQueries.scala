@@ -280,6 +280,45 @@ object TextQueries {
         |  round(${sqlDsum("m.lp")} / COUNT(*), 6) AS avg_logprob
         |FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
         |GROUP BY b.doc_id
-        |ORDER BY b.doc_id""".stripMargin))
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    // ---- edit-distance (Levenshtein) near-dup pairs, prefix-blocked ----
+    // Completes the dedup ladder with the character-level measure: exact
+    // (q27) → token Jaccard (q32) → MinHash (q33) → SimHash (q34) →
+    // Levenshtein (here). Blocking = 32-char prefix equality; the oracle
+    // applies the identical block + an unbanded levenshtein.
+    QueryDef("q125_levenshtein_pairs",
+      (s, dir) => Dedup.editDistancePairs(Tables.documents(s, dir),
+          "doc_id", "text", prefixLen = 32, maxDist = 40)
+        .orderBy("i", "j"),
+      Some("""WITH b AS (SELECT doc_id, text, substr(text, 1, 32) AS pfx FROM documents)
+        |SELECT a.doc_id AS i, c.doc_id AS j,
+        |  CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.pfx = c.pfx AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.text, c.text) <= 40
+        |ORDER BY i, j""".stripMargin)),
+
+    // ---- stopword removal + content-token stats ----
+    // The tokenize → drop-stopwords → profile step of a training-data
+    // pipeline: per document, total tokens, surviving content tokens,
+    // distinct content vocabulary, and the leading content token.
+    QueryDef("q128_stopword_removal",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TA.tokens(col("text"))).as("n_tokens"),
+          size(TA.contentTokens(col("text"))).as("n_content"),
+          size(array_distinct(TA.contentTokens(col("text")))).as("n_vocab"),
+          element_at(TA.contentTokens(col("text")), 1).as("first_content"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, w,
+        |        list_filter(w, x -> x NOT IN ('the', 'a')) AS cw FROM t)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(len(cw) AS INTEGER) AS n_content,
+        |  CAST(len(list_distinct(cw)) AS INTEGER) AS n_vocab,
+        |  cw[1] AS first_content
+        |FROM f
+        |ORDER BY doc_id""".stripMargin))
   )
 }

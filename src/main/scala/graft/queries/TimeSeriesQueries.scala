@@ -313,6 +313,191 @@ object TimeSeriesQueries {
         |  round(min(st.mean), 6) AS mean, round(min(st.std), 6) AS std
         |FROM events e JOIN st ON e.event_type = st.event_type
         |GROUP BY e.event_type
-        |ORDER BY e.event_type""".stripMargin))
+        |ORDER BY e.event_type""".stripMargin)),
+
+    // ---- MAD-based robust outlier detection ----
+    // median / median-absolute-deviation replace mean/std (q91): immune to
+    // the very outliers being flagged. Two exact-percentile aggregates
+    // (median, then median of |x − med|) + a broadcast join of the tiny
+    // per-type stats; the modified z-score uses the standard 0.6745
+    // consistency constant. Exact interpolated medians match DuckDB's
+    // quantile_cont on both engines (same lower + (upper−lower)·frac).
+    QueryDef("q126_mad_outliers",
+      (s, dir) => {
+        val med = Tables.events(s, dir).groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = Tables.events(s, dir).join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(first(col("med")).as("med"),
+            expr("percentile(abs(value - med), 0.5)").as("mad"))
+        Tables.events(s, dir).join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("mad") > 0
+                && abs(col("value") - col("med")) * 0.6745 / col("mad") > 3.5,
+              1L).otherwise(0L)).as("n_outliers"),
+            round(first(col("med")), 6).as("med"),
+            round(first(col("mad")), 6).as("mad"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, min(m.med) AS med,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY e.event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN m.mad > 0
+        |            AND abs(e.value - m.med) * 0.6745 / m.mad > 3.5
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(min(m.med), 6) AS med, round(min(m.mad), 6) AS mad
+        |FROM events e JOIN mad m ON e.event_type = m.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin)),
+
+    // ---- CUSUM change-point detection (Page's cumulative-sum chart) ----
+    // drift = target 50 + slack 10; integral constants keep the sequential
+    // recurrence bit-identical between the flatMapGroups pass and the
+    // recursive CTE (same IEEE ops in the same order).
+    QueryDef("q120_cusum_changepoint",
+      (s, dir) => TimeSeriesOps.cusum(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value",
+          target = 50.0, slack = 10.0, threshold = 300.0)
+        .orderBy("user_id", "event_id"),
+      Some(s"""WITH RECURSIVE $numberedBase,
+        |r AS (
+        |  SELECT user_id, event_id, value, rn,
+        |         greatest(CAST(0 AS DOUBLE), value - 60) AS sraw,
+        |         CASE WHEN greatest(CAST(0 AS DOUBLE), value - 60) > 300
+        |              THEN CAST(0 AS DOUBLE)
+        |              ELSE greatest(CAST(0 AS DOUBLE), value - 60) END AS s
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |         greatest(CAST(0 AS DOUBLE), r.s + (b.value - 60)) AS sraw,
+        |         CASE WHEN greatest(CAST(0 AS DOUBLE), r.s + (b.value - 60)) > 300
+        |              THEN CAST(0 AS DOUBLE)
+        |              ELSE greatest(CAST(0 AS DOUBLE), r.s + (b.value - 60)) END AS s
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value, sraw AS cusum FROM r
+        |WHERE sraw > 300
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- autocorrelation function (ACF) at lags 1..3 per series ----
+    // Pearson correlation of the series against its own lag, from exact
+    // decimal component sums (q58 recipe): both engines assemble the same
+    // doubles through the same formula, so the rounded output is identical.
+    // The lead alignment is one keyed window; the per-(key, lag) components
+    // partially aggregate map-side — no self-join of the series.
+    QueryDef("q121_autocorrelation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val lagged = Tables.events(s, dir)
+          .select(Seq(col("user_id"), col("value")) ++
+            (1 to 3).map(k => lead("value", k).over(w).as(s"l$k")): _*)
+        val perLag = (1 to 3).map { k =>
+          val y = col(s"l$k")
+          lagged.filter(y.isNotNull)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n"),
+              graft.util.OracleSafe.dsum(col("value")).as("sx"),
+              graft.util.OracleSafe.dsum(y).as("sy"),
+              graft.util.OracleSafe.dsum(col("value") * col("value")).as("sxx"),
+              graft.util.OracleSafe.dsum(y * y).as("syy"),
+              graft.util.OracleSafe.dsum(col("value") * y).as("sxy"))
+            .select(col("user_id"), lit(k).as("lag"), col("n"),
+              round(when(col("n") > 1
+                  && (col("sxx") - col("sx") * col("sx") / col("n")) > 0
+                  && (col("syy") - col("sy") * col("sy") / col("n")) > 0,
+                (col("sxy") - col("sx") * col("sy") / col("n"))
+                  / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
+                     * sqrt(col("syy") - col("sy") * col("sy") / col("n")))), 6)
+                .as("acf"))
+        }
+        perLag.reduce(_.unionAll(_)).orderBy("user_id", "lag")
+      },
+      Some {
+        val lagSel = (k: Int) =>
+          s"""SELECT user_id, $k AS lag, n,
+            |  round(CASE WHEN n > 1
+            |     AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+            |    THEN (sxy - sx * sy / n)
+            |         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) END, 6) AS acf
+            |FROM (
+            |  SELECT user_id, COUNT(*) AS n,
+            |    ${sqlDsum("value")} AS sx, ${sqlDsum(s"l$k")} AS sy,
+            |    ${sqlDsum("value * value")} AS sxx, ${sqlDsum(s"l$k * l$k")} AS syy,
+            |    ${sqlDsum(s"value * l$k")} AS sxy
+            |  FROM lagged WHERE l$k IS NOT NULL GROUP BY user_id)""".stripMargin
+        s"""WITH lagged AS (
+          |  SELECT user_id, value,
+          |    LEAD(value, 1) OVER w AS l1, LEAD(value, 2) OVER w AS l2,
+          |    LEAD(value, 3) OVER w AS l3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |${lagSel(1)}
+          |UNION ALL ${lagSel(2)}
+          |UNION ALL ${lagSel(3)}
+          |ORDER BY user_id, lag""".stripMargin
+      }),
+
+    // ---- LTTB downsampling (largest-triangle-three-buckets) ----
+    // m = 8 kept points per series; the oracle is the SAME algorithm
+    // unrolled as 6 chained window/aggregate steps (anchors are sequential,
+    // but the step count is a constant, so plain SQL expresses it exactly).
+    QueryDef("q132_lttb_downsample",
+      (s, dir) => TimeSeriesOps.lttb(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value", m = 8)
+        .orderBy("user_id", "event_id"),
+      Some(lttbOracle(8)))
   )
+
+  /** Unrolled-SQL twin of [[TimeSeriesOps.lttb]] for `m` total buckets:
+    * anchor steps are data-independent in COUNT (m − 2 of them), so the
+    * sequential selection chain becomes m − 2 chained CTEs, each a windowed
+    * argmax over one bucket joined to the previous anchor.
+    */
+  private def lttbOracle(m: Int): String = {
+    val nb = m - 2
+    val step = (t: Int) => {
+      val cent =
+        if (t + 1 < nb) s"JOIN cent c ON c.user_id = b.user_id AND c.bk = ${t + 1}"
+        else "JOIN lastp c ON c.user_id = b.user_id"
+      s"""s$t AS (SELECT user_id, rn FROM (
+        |    SELECT b.user_id, b.rn,
+        |      ROW_NUMBER() OVER (PARTITION BY b.user_id
+        |        ORDER BY ABS((a.ax-c.cx)*(b.value-a.ay) - (a.ax-b.x)*(c.cy-a.ay)) DESC,
+        |                 b.rn ASC) AS cr
+        |    FROM b JOIN a$t a ON a.user_id = b.user_id $cent
+        |    WHERE b.bk = $t) WHERE cr = 1),
+        |a${t + 1} AS (SELECT b.user_id, b.rn, b.x AS ax, b.value AS ay
+        |  FROM b JOIN s$t s ON s.user_id = b.user_id AND s.rn = b.rn)""".stripMargin
+    }
+    val steps = (0 until nb).map(step).mkString(",\n")
+    val unions = (0 until nb)
+      .map(t => s"UNION ALL SELECT user_id, rn FROM a${t + 1}").mkString(" ")
+    s"""WITH base AS (SELECT user_id, event_id, value,
+      |    CAST(epoch_us(ts)//1000000 AS DOUBLE) AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |b AS (SELECT *, CASE WHEN rn > 1 AND rn < n
+      |    THEN CAST(((rn-2)*$nb) // (n-2) AS INTEGER) END AS bk FROM base),
+      |cent AS (SELECT user_id, bk,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)/COUNT(*) AS cx,
+      |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)/COUNT(*) AS cy
+      |  FROM b WHERE bk IS NOT NULL GROUP BY 1,2),
+      |lastp AS (SELECT user_id, x AS cx, value AS cy FROM b WHERE rn = n),
+      |a0 AS (SELECT user_id, rn, x AS ax, value AS ay FROM b WHERE rn = 1),
+      |$steps,
+      |sel AS (SELECT user_id AS su, rn AS srn FROM a0
+      |  $unions
+      |  UNION ALL SELECT user_id, rn FROM b WHERE rn = n)
+      |SELECT b.user_id, b.event_id, b.value
+      |FROM b JOIN sel ON sel.su = b.user_id AND sel.srn = b.rn
+      |ORDER BY user_id, event_id""".stripMargin
+  }
 }

@@ -121,6 +121,46 @@ object Streams {
       .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
   }
 
+  /** Stream-stream LEFT OUTER join — [[viewPurchaseJoin]] plus the
+    * abandoned views: a view with no purchase in its hour is emitted
+    * null-padded once the watermark proves no match can arrive (Spark holds
+    * the left row in state until `view_ts + 1 hour` falls below the global
+    * watermark, then emits and evicts). Views newer than that at end of
+    * input stay unemitted — the oracle applies the same cutoff from the
+    * final watermark (min of both sides' max event time, minus the delay).
+    */
+  def viewPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    views.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+  }
+
+  /** Native streaming session windows: per-user sessions closed by a
+    * 30-minute inactivity gap, append mode — Spark merges/extends session
+    * state per key and emits a session once the watermark passes its end
+    * (`last event + gap`). The declarative twin of [[userSessions]]'
+    * explicit flatMapGroupsWithState machine.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.OracleSafe.dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Streaming dedup on (user_id, event_type) + per-asset distinct counts. */
   def dedupCounts(events: DataFrame): DataFrame =
     events

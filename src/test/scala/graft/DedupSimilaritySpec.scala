@@ -151,4 +151,28 @@ class DedupSimilaritySpec extends SparkSpec {
     // deterministic: 'a'=97 -> lane-0 byte sum 97
     assert(feats(7L).feature(0) == 97.0f)
   }
+
+  test("edit-distance pairs: prefix-blocked, banded distance, i < j once") {
+    // docs 1/2/4 share the 32-char prefix; 3 does not block with them.
+    // dist(1,2) = 3 (dog→cat), dist(1,4) = 0, dist(2,4) = 3
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 32, maxDist = 10)
+      .select("i", "j", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 3L), (1L, 4L, 0L), (2L, 4L, 3L)))
+  }
+
+  test("edit-distance band excludes pairs past maxDist") {
+    val far = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa completely different tail xxxxx"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa entirely other ending zzzzzzzz")
+    ).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(far, "doc_id", "text", 32, 5).isEmpty)
+  }
+
+  test("contentTokens drops stopwords, keeps order and duplicates") {
+    val out = spark.range(1)
+      .select(TextAnalysis.contentTokens(lit("the dog saw a dog")).as("c"))
+      .as[Seq[String]].head()
+    assert(out == Seq("dog", "saw", "dog"))
+  }
 }

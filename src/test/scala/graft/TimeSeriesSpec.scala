@@ -97,4 +97,60 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(0) == 7L)
     assert(r.getLong(1) == 0L && r.getLong(2) == 65535L)
   }
+
+  test("cusum accumulates positive drift, fires at threshold, then resets") {
+    // drift = target+slack = 10; values 15,18,9,30: s = 5, 13 → fires (>12),
+    // reset; 9 → s=0 (max with 0); 30 → s=20 → fires
+    val df = Seq(
+      (1L, 1L, ts(0), 15.0), (1L, 2L, ts(60), 18.0),
+      (1L, 3L, ts(120), 9.0), (1L, 4L, ts(180), 30.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeriesOps.cusum(df, "user_id", "event_id", "ts", "value",
+        target = 8.0, slack = 2.0, threshold = 12.0)
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getDouble(3))).toSeq ==
+      Seq((2L, 13.0), (4L, 20.0)))
+  }
+
+  test("cusum never fires when values stay at the drift line") {
+    val df = Seq((1L, 1L, ts(0), 10.0), (1L, 2L, ts(60), 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(TimeSeriesOps.cusum(df, "user_id", "event_id", "ts", "value",
+      8.0, 2.0, 5.0).isEmpty)
+  }
+
+  test("lttb keeps endpoints and the max-triangle point per bucket") {
+    // n=5, m=3 → one interior bucket (indices 2..4 1-based); centroid of
+    // "next" = last point. Spike at t=120 dominates any triangle with the
+    // flat first/last points, so the kept set is first, spike, last.
+    val df = Seq(
+      (1L, 1L, ts(0), 10.0), (1L, 2L, ts(60), 10.0), (1L, 3L, ts(120), 99.0),
+      (1L, 4L, ts(180), 10.0), (1L, 5L, ts(240), 10.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeriesOps.lttb(df, "user_id", "event_id", "ts", "value", 3)
+      .orderBy("event_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("lttb passes short series (n <= m) through unchanged") {
+    val df = Seq((1L, 1L, ts(0), 1.0), (1L, 2L, ts(60), 2.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(TimeSeriesOps.lttb(df, "user_id", "event_id", "ts", "value", 8)
+      .count() == 2)
+  }
+
+  test("mad outliers: robust z flags the spike the mean-based z would dilute") {
+    // q126 shape inline: median 10, MAD small → 1000 flags as outlier
+    val df = Seq.tabulate(9)(i => ("a", 10.0 + (i % 3))) :+ (("a", 1000.0))
+    val events = df.toDF("event_type", "value")
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = events.join(med, "event_type").groupBy("event_type")
+      .agg(first(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    val flagged = events.join(mad, "event_type")
+      .filter(col("mad") > 0 &&
+        abs(col("value") - col("med")) * 0.6745 / col("mad") > 3.5)
+    assert(flagged.select("value").as[Double].collect().toSeq == Seq(1000.0))
+  }
 }

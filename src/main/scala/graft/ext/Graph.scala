@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge DataFrames — the iterative-dataflow family
+  * (connected components lives in [[Dedup.connectedComponents]]; this hosts
+  * the rank-propagation side). The reference has no graph surface at all;
+  * these are the standard link-analysis steps a training-data pipeline runs
+  * over citation/hyperlink graphs (the O5 script surface could only do this
+  * single-node, `/root/reference/plugin.cpp:113-117`).
+  */
+object Graph {
+
+  /** PageRank by fixed-iteration power method over an undirected edge list
+    * `(src, dst)` (callers pass each edge once; both directions are walked,
+    * so every node has out-degree ≥ 1 — no dangling-mass correction
+    * needed). Ranks are N-scaled (init 1.0, update `0.15 + 0.85·Σ r/deg`),
+    * the standard damping-0.85 form.
+    *
+    * Spark shape: the doubled edge list joins the (small) rank table on
+    * `src` and hash-aggregates contributions on `dst` — one shuffle per
+    * iteration, partial aggregation map-side; AQE broadcasts the rank side
+    * while it fits, and the same plan degrades to shuffle-join at 10^9
+    * nodes. Each round `localCheckpoint`s (iterative-loop discipline: the
+    * self-referencing plan would otherwise double per iteration).
+    *
+    * Determinism: ranks live in FIXED-POINT micro-units (BIGINT, 10^-6) and
+    * every step is integer arithmetic — per-edge contribution
+    * `(r·17) div (20·deg)` (= r·0.85/deg floored to a micro-unit), summed
+    * as BIGINT, update `150000 + Σ`. Floating-point propagation was tried
+    * first and diverged from the oracle: rational contributions like
+    * 0.85/32 = 17/640 have exact 7-decimal expansions ending in 5, and
+    * Spark's double→decimal cast (rounds the SHORTEST decimal repr — which
+    * recovers the rational midpoint) disagrees there with engines that
+    * round the exact binary expansion (413 casts flipped at sf0.1,
+    * iteration 1). Integer micro-units have no rounding AT ALL, on any
+    * engine, at any parallelism — the oracle is the identical integer
+    * recursion unrolled as chained CTEs. Quantization bias is one
+    * micro-unit per edge per iteration — beneath any ranking use.
+    */
+  def pageRank(undirectedEdges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"pageRank needs >= 1 iteration (got $iterations)")
+    val both = undirectedEdges.select(col("src"), col("dst"))
+      .unionAll(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesW = both.join(deg, "src").localCheckpoint(true)
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      ranks = edgesW.join(ranks, edgesW("src") === ranks("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(r * 17) div (20 * deg)")).as("contrib"))
+        .select(col("dst").as("id"), (lit(150000L) + col("contrib")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), (col("r") / 1000000.0).as("rank"))
+  }
+}

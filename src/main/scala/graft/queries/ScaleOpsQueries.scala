@@ -341,6 +341,50 @@ object ScaleOpsQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w
         |ORDER BY n DESC, word
-        |LIMIT 20""".stripMargin))
+        |LIMIT 20""".stripMargin)),
+
+    // ---- PageRank power iteration over the customer–supplier graph ----
+    // Link analysis as iterative dataflow: 5 damped propagation rounds over
+    // the bipartite trade graph (distinct customer↔supplier pairs from
+    // lineitem ⋈ orders; node ids disambiguated by parity). The oracle is
+    // the SAME computation unrolled as 5 chained SQL aggregates — exact,
+    // not rows-only, because contributions accumulate through the decimal
+    // recipe and everything else is identical IEEE arithmetic.
+    QueryDef("q131_pagerank",
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.ext.Graph.pageRank(pairs, iterations = 5)
+          .select(
+            when(col("id") % 2 === 0, "customer").otherwise("supplier")
+              .as("node_type"),
+            (col("id") / 2).cast("long").as("key"),
+            col("rank"))
+          .orderBy("node_type", "key")
+      },
+      Some {
+        val step = (k: Int) =>
+          s"""c$k AS (SELECT e.dst AS id,
+            |    SUM((r.r * 17) // (20 * e.deg)) AS contrib
+            |  FROM edgesw e JOIN r${k - 1} r ON e.src = r.id
+            |  GROUP BY e.dst),
+            |r$k AS (SELECT id, 150000 + contrib AS r FROM c$k)""".stripMargin
+        s"""WITH pairs AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |edges AS (SELECT src, dst FROM pairs
+          |          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+          |edgesw AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src),
+          |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+          |${(1 to 5).map(step).mkString(",\n")}
+          |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+          |  CAST(id // 2 AS BIGINT) AS key, CAST(r AS BIGINT) / 1000000.0 AS rank
+          |FROM r5
+          |ORDER BY node_type, key""".stripMargin
+      })
   )
 }

@@ -34,4 +34,25 @@ class PipelineSpec extends SparkSpec {
     val frac = a.values.count(identity).toDouble / a.size
     assert(frac > 0.6 && frac < 0.95) // ~80% expected
   }
+
+  test("pageRank: fixed-point micro-unit propagation on a hand-checked path") {
+    // path 1—2—3 (undirected), 2 iterations; degrees 1,2,1.
+    // iter1: c(1)=c(3)=(1e6·17)div 40=425000 → r=575000;
+    //        c(2)=850000·2 → r=1850000
+    // iter2: c(1)=(1850000·17)div 40=786250 → r=936250 → 0.93625;
+    //        c(2)=(575000·17)div 20=488750, ×2 → r=1127500 → 1.1275
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = graft.ext.Graph.pageRank(edges, iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(r == Map(1L -> 0.93625, 2L -> 1.1275, 3L -> 0.93625))
+  }
+
+  test("pageRank: total rank mass stays ~N (stochastic propagation)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val total = graft.ext.Graph.pageRank(edges, 5)
+      .agg(sum("rank")).as[Double].head()
+    // floor quantization loses at most a few micro-units per node
+    assert(math.abs(total - 4.0) < 0.001)
+  }
 }

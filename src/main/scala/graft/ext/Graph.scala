@@ -39,21 +39,53 @@ object Graph {
     * recursion unrolled as chained CTEs. Quantization bias is one
     * micro-unit per edge per iteration — beneath any ranking use.
     */
-  def pageRank(undirectedEdges: DataFrame, iterations: Int): DataFrame = {
+  /** @param partitions parallelism for the propagation loop. The rank
+    *   table is |V|, orders of magnitude smaller than the fact tables the
+    *   edges derive from — the loop must not inherit a corpus-sized
+    *   shuffle width (same sizing rule as
+    *   [[Dedup.connectedComponents]]). Size to |E|; at billion-node scale
+    *   raise it and drop the broadcast hint (AQE then picks the join side).
+    */
+  def pageRank(undirectedEdges: DataFrame, iterations: Int,
+               partitions: Int = 8): DataFrame = {
     require(iterations >= 1, s"pageRank needs >= 1 iteration (got $iterations)")
-    val both = undirectedEdges.select(col("src"), col("dst"))
-      .unionAll(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesW = both.join(deg, "src").localCheckpoint(true)
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      ranks = edgesW.join(ranks, edgesW("src") === ranks("id"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("(r * 17) div (20 * deg)")).as("contrib"))
-        .select(col("dst").as("id"), (lit(150000L) + col("contrib")).as("r"))
+    // the loop runs on a CHILD session with the narrow width pinned at
+    // session scope (no set/restore race on the caller's conf); the edge
+    // build itself executes in the caller's plan at full width via .rdd
+    val caller = undirectedEdges.sparkSession
+    val spark = caller.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // AQE's stage-wise re-planning pays off on big shuffles, not on an
+    // iterative chain of sub-second jobs whose shapes are already known —
+    // off for the loop (session-scoped; the caller's conf is untouched)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val result = locally {
+      // materialize the caller-built edge list ONCE before doubling it:
+      // the two union branches below would otherwise each recompute the
+      // full upstream build (exchange reuse does not cross union branches
+      // here — measured as the dominant cost of the whole operator)
+      val pairs0 = spark.createDataFrame(
+        undirectedEdges.select(col("src"), col("dst")).rdd,
+        undirectedEdges.select(col("src"), col("dst")).schema)
         .localCheckpoint(true)
+      val both = pairs0.unionAll(
+        pairs0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesW = both.join(broadcast(deg), "src").localCheckpoint(true)
+      var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      for (_ <- 1 to iterations) {
+        // ranks broadcast per round (it is collected for the broadcast
+        // anyway, which also truncates the growing-but-linear plan); the
+        // 2|E| edge table is never reshuffled after its one checkpoint
+        ranks = edgesW.join(broadcast(ranks), edgesW("src") === ranks("id"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("(r * 17) div (20 * deg)")).as("contrib"))
+          .select(col("dst").as("id"), (lit(150000L) + col("contrib")).as("r"))
+      }
+      ranks.select(col("id"), (col("r") / 1000000.0).as("rank"))
     }
-    ranks.select(col("id"), (col("r") / 1000000.0).as("rank"))
+    // re-anchor on the caller's session so downstream ops do not silently
+    // inherit the narrow loop width
+    caller.createDataFrame(result.rdd, result.schema)
   }
 }

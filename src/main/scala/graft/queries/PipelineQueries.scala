@@ -209,6 +209,52 @@ object PipelineQueries {
             |FROM lineitem""".stripMargin
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(one).mkString("", "\nUNION ALL ", "\nORDER BY col_name")
-      })
+      }),
+
+    // ---- top-p (nucleus) mass filter ----
+    // Keep the highest-value rows per group until the kept mass reaches 80%
+    // of the group total — the probability-mass curation cut (top-p) from
+    // LLM data pipelines. ALL mass arithmetic is exact decimal (running sum
+    // + group total), and the 80% threshold is the integer cross-multiply
+    // `5·(cum − v) < 4·total` — no double ever enters the keep decision, so
+    // any engine/layout computes the identical kept set. One window sort
+    // per group; the decision is a per-row comparison (no second pass).
+    QueryDef("q133_top_p_mass",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val vd = col("value").cast(DecimalType(27, 6))
+        val wRun = Window.partitionBy("event_type")
+          .orderBy(col("value").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val c = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), vd.as("vd"),
+            sum(vd).over(wRun).as("cum"), sum(vd).over(wAll).as("total"))
+          .withColumn("keep", (col("cum") - col("vd")) * 5 < col("total") * 4)
+        c.groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("keep").cast("long")).as("n_kept"),
+            sum(when(col("keep"), col("vd")).otherwise(lit(0))).cast("double")
+              .as("kept_mass"),
+            min(col("total")).cast("double").as("total_mass"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (
+        |  SELECT event_type, event_id, CAST(value AS DECIMAL(27,6)) AS vd,
+        |    SUM(CAST(value AS DECIMAL(27,6))) OVER
+        |      (PARTITION BY event_type ORDER BY value DESC, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(CAST(value AS DECIMAL(27,6))) OVER
+        |      (PARTITION BY event_type) AS total
+        |  FROM events),
+        |k AS (SELECT *, (cum - vd) * 5 < total * 4 AS keep FROM c)
+        |SELECT event_type, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN vd ELSE 0 END) AS DOUBLE) AS kept_mass,
+        |  CAST(min(total) AS DOUBLE) AS total_mass
+        |FROM k
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -326,6 +326,87 @@ object EventQueries {
         |  min(k) AS min_k, max(k) AS max_k
         |FROM r
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- funnel conversion (view → click → purchase within 1 h each) ----
+    // The product-analytics staged-conversion count: per user, the first
+    // view, the first click within the HOUR after it, the first purchase
+    // within the hour after that; users are bucketed by how deep they got.
+    // Three conditional min-aggregates chained by broadcast-sized joins —
+    // no window over the event log, and all comparisons are exact
+    // timestamp ordering (no floats anywhere).
+    QueryDef("q136_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val hour = expr("INTERVAL 1 HOUR")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("vt"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") > col("vt") && col("ts") <= col("vt") + hour)
+          .groupBy("user_id").agg(min(col("ts")).as("ct"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts") > col("ct") && col("ts") <= col("ct") + hour)
+          .groupBy("user_id").agg(min(col("ts")).as("pt"))
+        val staged = ev.select("user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("pt").isNotNull, 3L).when(col("ct").isNotNull, 2L)
+              .when(col("vt").isNotNull, 1L).otherwise(0L).as("stage"))
+        staged.groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vt
+        |        AND e.ts <= v.vt + INTERVAL 1 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.ct
+        |        AND e.ts <= c.ct + INTERVAL 1 HOUR GROUP BY e.user_id),
+        |staged AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN p.pt IS NOT NULL THEN 3 WHEN c.ct IS NOT NULL THEN 2
+        |         WHEN v.vt IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN v ON u.user_id = v.user_id
+        |  LEFT JOIN c ON u.user_id = c.user_id
+        |  LEFT JOIN p ON u.user_id = p.user_id)
+        |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+        |FROM staged
+        |GROUP BY stage
+        |ORDER BY stage""".stripMargin)),
+
+    // ---- Shannon entropy of the event-type mix per user ----
+    // Behavioral-diversity scoring (a data-curation signal): H = ln n −
+    // (Σ c·ln c)/n over the user's per-type counts — the count-based
+    // rearrangement avoids forming p = c/n per term. Two hash aggregates;
+    // the Σ c·ln c accumulates through the decimal recipe so layout never
+    // changes the sum, and the one libm call per term is rounded away at
+    // 6 dp on both engines.
+    QueryDef("q137_type_entropy",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+          dsum(col("c") * log(col("c"))).as("slc"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          round(log(col("n")) - col("slc") / col("n"), 6).as("entropy"))
+        .orderBy("user_id"),
+      Some(s"""WITH counts AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |agg AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+        |    ${sqlDsum("c * ln(c)")} AS slc
+        |  FROM counts GROUP BY user_id)
+        |SELECT user_id, n, n_types, round(ln(n) - slc / n, 6) AS entropy
+        |FROM agg
+        |ORDER BY user_id""".stripMargin))
   )
 }

@@ -444,6 +444,92 @@ object TimeSeriesQueries {
           |ORDER BY user_id, lag""".stripMargin
       }),
 
+    // ---- per-series OLS linear trend (exact component sums) ----
+    // slope/intercept of value over elapsed HOURS since the series start:
+    // hour-scaled x keeps Σx² < 2^53 so the decimal components cast back
+    // to doubles exactly (raw epoch-seconds x would overflow that bound
+    // and engines disagree on int128→double rounding); x = Δt/3600 has a
+    // factor-3 denominator, so products never land on decimal midpoints.
+    // One window (series start) + one aggregate — the trend-detection
+    // filter of the reference ecosystem, exact on any layout.
+    QueryDef("q135_linear_trend",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = expr("unix_micros(ts) div 1000000")
+        val t0 = min(t).over(Window.partitionBy("user_id"))
+        val base = Tables.events(s, dir)
+          .select(col("user_id"), col("value").as("y"),
+            ((t - t0) / 3600.0).as("x"))
+        base.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+            dsum(col("x") * col("x")).as("sxx"),
+            dsum(col("x") * col("y")).as("sxy"))
+          .select(col("user_id"), col("n"),
+            round(when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+              (col("n") * col("sxy") - col("sx") * col("sy"))
+                / (col("n") * col("sxx") - col("sx") * col("sx"))), 6)
+              .as("slope_per_hour"),
+            round((col("sy") - when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+              (col("n") * col("sxy") - col("sx") * col("sy"))
+                / (col("n") * col("sxx") - col("sx") * col("sx")))
+              .otherwise(lit(0.0)) * col("sx")) / col("n"), 6).as("intercept"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH base AS (
+        |  SELECT user_id, value AS y,
+        |    (epoch_us(ts)//1000000
+        |     - MIN(epoch_us(ts)//1000000) OVER (PARTITION BY user_id)) / 3600.0 AS x
+        |  FROM events),
+        |comp AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+        |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy
+        |  FROM base GROUP BY user_id)
+        |SELECT user_id, n,
+        |  round(CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope_per_hour,
+        |  round((sy - (CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE CAST(0 AS DOUBLE) END)
+        |    * sx) / n, 6) AS intercept
+        |FROM comp
+        |ORDER BY user_id""".stripMargin)),
+
+    // ---- Theil–Sen robust trend (median of pairwise slopes) ----
+    // The outlier-immune slope estimator: median over all pairwise
+    // (Δy/Δx) on a deterministic 1-in-8 decimation of each series (pair
+    // count is quadratic per key — the decimation bounds it, and at scale
+    // the same shape runs on per-bucket means instead). Self-join per key
+    // on the decimated rows; exact interpolated median as in q126.
+    QueryDef("q138_theil_sen",
+      (s, dir) => {
+        val dec = Tables.events(s, dir)
+          .filter(col("event_id") % 8 === 0)
+          .select(col("user_id"),
+            (expr("unix_micros(ts) div 1000000")).as("t"),
+            col("value").as("y"))
+        val a = dec.select(col("user_id"), col("t").as("ta"), col("y").as("ya"))
+        val b = dec.select(col("user_id").as("ub"), col("t").as("tb"), col("y").as("yb"))
+        a.join(b, col("user_id") === col("ub") && col("ta") < col("tb"))
+          .select(col("user_id"),
+            ((col("yb") - col("ya")) / ((col("tb") - col("ta")) / 3600.0)).as("slope"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(expr("percentile(slope, 0.5)"), 6).as("theil_sen_slope"))
+          .orderBy("user_id")
+      },
+      Some("""WITH dec AS (
+        |  SELECT user_id, epoch_us(ts)//1000000 AS t, value AS y
+        |  FROM events WHERE event_id % 8 = 0),
+        |slopes AS (
+        |  SELECT a.user_id, (b.y - a.y) / ((b.t - a.t) / 3600.0) AS slope
+        |  FROM dec a JOIN dec b ON a.user_id = b.user_id AND a.t < b.t)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+        |FROM slopes
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)),
+
     // ---- LTTB downsampling (largest-triangle-three-buckets) ----
     // m = 8 kept points per series; the oracle is the SAME algorithm
     // unrolled as 6 chained window/aggregate steps (anchors are sequential,

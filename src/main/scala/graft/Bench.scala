@@ -44,11 +44,11 @@ object Bench {
         .outputMode("complete").start()
       q.processAllAvailable(); q.stop()
     }
-    // dev loop: SPARK_GRAFT_ONLY=q41,q70 benches a subset. Match on the qNN
-    // prefix EXACTLY (startsWith would make q4 also select q40-q49).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // dev loop: SPARK_GRAFT_ONLY=q41,q70 benches a subset (shared rule:
+    // graft.util.DevSubset). Subset numbers are warmup-inflated ~1.4x —
+    // include an unchanged comparator query when A/B-testing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
+      .filter { case (n, _) => graft.util.DevSubset.keep(n) }
       .map { case (name, fn) =>
       spark.catalog.clearCache() // isolate per-query caches between timings
       val t0 = System.nanoTime()

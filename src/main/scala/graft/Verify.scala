@@ -15,12 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev loop: SPARK_GRAFT_ONLY=q120,q125 dumps a subset (same exact-qNN
-    // match rule as Bench); the driver never sets it, so the gate always
+    // dev loop: SPARK_GRAFT_ONLY=q120,q125 dumps a subset (shared rule:
+    // graft.util.DevSubset); the driver never sets it, so the gate always
     // dumps everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
+      .filter { case (n, _) => graft.util.DevSubset.keep(n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

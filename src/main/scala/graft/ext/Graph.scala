@@ -20,10 +20,15 @@ object Graph {
     *
     * Spark shape: the doubled edge list joins the (small) rank table on
     * `src` and hash-aggregates contributions on `dst` — one shuffle per
-    * iteration, partial aggregation map-side; AQE broadcasts the rank side
-    * while it fits, and the same plan degrades to shuffle-join at 10^9
-    * nodes. Each round `localCheckpoint`s (iterative-loop discipline: the
-    * self-referencing plan would otherwise double per iteration).
+    * iteration, partial aggregation map-side. Each round references the
+    * previous ranks exactly ONCE, so the logical plan grows linearly in
+    * `iterations` (not the 2^k self-join blowup of
+    * [[Dedup.connectedComponents]], which must checkpoint): for the fixed
+    * small iteration counts of power-method PageRank that is cheap to
+    * analyze and needs no per-round materialization. For a convergence
+    * loop with large/unbounded rounds, add a periodic
+    * `localCheckpoint`/`checkpoint` to bound planning cost, and at 10^9
+    * nodes drop the broadcast hint so AQE picks the join side.
     *
     * Determinism: ranks live in FIXED-POINT micro-units (BIGINT, 10^-6) and
     * every step is integer arithmetic — per-edge contribution
@@ -74,9 +79,9 @@ object Graph {
       val edgesW = both.join(broadcast(deg), "src").localCheckpoint(true)
       var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
       for (_ <- 1 to iterations) {
-        // ranks broadcast per round (it is collected for the broadcast
-        // anyway, which also truncates the growing-but-linear plan); the
-        // 2|E| edge table is never reshuffled after its one checkpoint
+        // ranks broadcast per round — the 2|E| edge table is never
+        // reshuffled after its one checkpoint; the logical plan still
+        // nests one join+agg per round (linear growth, see scaladoc)
         ranks = edgesW.join(broadcast(ranks), edgesW("src") === ranks("id"))
           .groupBy(col("dst"))
           .agg(sum(expr("(r * 17) div (20 * deg)")).as("contrib"))

@@ -247,9 +247,15 @@ object RelationalExtras {
             dsum(col("ry") * col("ry")).as("syy"),
             dsum(col("rx") * col("ry")).as("sxy"))
           .select(col("p_brand"), col("n"),
-            round((col("sxy") - col("sx") * col("sy") / col("n"))
-              / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
-                 * sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            // degenerate guard (q121/q135 discipline): an all-tied variable
+            // has zero rank variance, where the double components can round
+            // a hair negative — sqrt would NaN here and ERROR in the oracle
+            round(when(col("n") > 1
+                && (col("sxx") - col("sx") * col("sx") / col("n")) > 0
+                && (col("syy") - col("sy") * col("sy") / col("n")) > 0,
+              (col("sxy") - col("sx") * col("sy") / col("n"))
+                / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
+                   * sqrt(col("syy") - col("sy") * col("sy") / col("n")))), 6)
               .as("spearman"))
           .orderBy("p_brand")
       },
@@ -267,8 +273,10 @@ object RelationalExtras {
         |    ${sqlDsum("rx * ry")} AS sxy
         |  FROM ranked GROUP BY p_brand)
         |SELECT p_brand, n,
-        |  round((sxy - sx * sy / n)
-        |    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS spearman
+        |  round(CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0
+        |              AND (syy - sy * sy / n) > 0
+        |    THEN (sxy - sx * sy / n)
+        |      / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) END, 6) AS spearman
         |FROM comp
         |ORDER BY p_brand""".stripMargin)),
 

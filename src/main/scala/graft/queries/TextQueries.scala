@@ -304,11 +304,15 @@ object TextQueries {
     // distinct content vocabulary, and the leading content token.
     QueryDef("q128_stopword_removal",
       (s, dir) => Tables.documents(s, dir)
-        .select(col("doc_id"),
-          size(TA.tokens(col("text"))).as("n_tokens"),
-          size(TA.contentTokens(col("text"))).as("n_content"),
-          size(array_distinct(TA.contentTokens(col("text")))).as("n_vocab"),
-          element_at(TA.contentTokens(col("text")), 1).as("first_content"))
+        // contentTokens is an interpreted (CodegenFallback) higher-order
+        // filter with no subexpression elimination — project it ONCE and
+        // derive the three outputs from the materialized column
+        .select(col("doc_id"), size(TA.tokens(col("text"))).as("n_tokens"),
+          TA.contentTokens(col("text")).as("ct"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("ct")).as("n_content"),
+          size(array_distinct(col("ct"))).as("n_vocab"),
+          element_at(col("ct"), 1).as("first_content"))
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |f AS (SELECT doc_id, w,

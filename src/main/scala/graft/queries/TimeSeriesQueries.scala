@@ -544,7 +544,10 @@ object TimeSeriesQueries {
   /** Unrolled-SQL twin of [[TimeSeriesOps.lttb]] for `m` total buckets:
     * anchor steps are data-independent in COUNT (m − 2 of them), so the
     * sequential selection chain becomes m − 2 chained CTEs, each a windowed
-    * argmax over one bucket joined to the previous anchor.
+    * argmax over one bucket joined to the previous anchor. Series with
+    * n ≤ m pass through whole (the operator's short-series branch) via the
+    * `n <= m` union arm; the anchor chain is restricted to `n > m` so a
+    * single-row series is never emitted twice.
     */
   private def lttbOracle(m: Int): String = {
     val nb = m - 2
@@ -570,18 +573,19 @@ object TimeSeriesQueries {
       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
       |    COUNT(*) OVER (PARTITION BY user_id) AS n
       |  FROM events),
-      |b AS (SELECT *, CASE WHEN rn > 1 AND rn < n
+      |b AS (SELECT *, CASE WHEN n > $m AND rn > 1 AND rn < n
       |    THEN CAST(((rn-2)*$nb) // (n-2) AS INTEGER) END AS bk FROM base),
       |cent AS (SELECT user_id, bk,
       |    CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)/COUNT(*) AS cx,
       |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)/COUNT(*) AS cy
       |  FROM b WHERE bk IS NOT NULL GROUP BY 1,2),
-      |lastp AS (SELECT user_id, x AS cx, value AS cy FROM b WHERE rn = n),
-      |a0 AS (SELECT user_id, rn, x AS ax, value AS ay FROM b WHERE rn = 1),
+      |lastp AS (SELECT user_id, x AS cx, value AS cy FROM b WHERE rn = n AND n > $m),
+      |a0 AS (SELECT user_id, rn, x AS ax, value AS ay FROM b WHERE rn = 1 AND n > $m),
       |$steps,
       |sel AS (SELECT user_id AS su, rn AS srn FROM a0
       |  $unions
-      |  UNION ALL SELECT user_id, rn FROM b WHERE rn = n)
+      |  UNION ALL SELECT user_id, rn FROM b WHERE rn = n AND n > $m
+      |  UNION ALL SELECT user_id, rn FROM b WHERE n <= $m)
       |SELECT b.user_id, b.event_id, b.value
       |FROM b JOIN sel ON sel.su = b.user_id AND sel.srn = b.rn
       |ORDER BY user_id, event_id""".stripMargin

@@ -78,19 +78,24 @@ object Graph {
       val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
       val edgesW = both.join(broadcast(deg), "src").localCheckpoint(true)
       var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
-      for (_ <- 1 to iterations) {
-        // ranks broadcast per round — the 2|E| edge table is never
-        // reshuffled after its one checkpoint; the logical plan still
-        // nests one join+agg per round (linear growth, see scaladoc)
-        ranks = edgesW.join(broadcast(ranks), edgesW("src") === ranks("id"))
-          .groupBy(col("dst"))
-          .agg(sum(expr("(r * 17) div (20 * deg)")).as("contrib"))
-          .select(col("dst").as("id"), (lit(150000L) + col("contrib")).as("r"))
-      }
+      for (_ <- 1 to iterations) ranks = rankStep(edgesW, ranks)
       ranks.select(col("id"), (col("r") / 1000000.0).as("rank"))
     }
     // re-anchor on the caller's session so downstream ops do not silently
     // inherit the narrow loop width
     caller.createDataFrame(result.rdd, result.schema)
   }
+
+  /** One propagation round over `(src, dst, deg)` edges and `(id, r)`
+    * micro-unit ranks. Ranks broadcast per round — the 2|E| edge table is
+    * never reshuffled; the logical plan nests one join+agg per round
+    * (linear growth, see [[pageRank]]'s scaladoc). Package-visible so the
+    * plan-shape suite can assert the broadcast on the real building block
+    * (the public API hides the loop behind the session re-anchor).
+    */
+  private[graft] def rankStep(edgesW: DataFrame, ranks: DataFrame): DataFrame =
+    edgesW.join(broadcast(ranks), edgesW("src") === ranks("id"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("(r * 17) div (20 * deg)")).as("contrib"))
+      .select(col("dst").as("id"), (lit(150000L) + col("contrib")).as("r"))
 }

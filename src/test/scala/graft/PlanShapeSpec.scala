@@ -116,4 +116,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanStr.contains("PushedFilters: [") && !scanStr.contains("PushedFilters: []"),
       s"expected pushed filters in scan:\n$scanStr")
   }
+
+  test("edit-distance pairs: prefix blocking is an equi-join, never |docs|^2") {
+    val df = graft.ext.Dedup.editDistancePairs(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "text", 32, 40)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep this an equi-join:\n$plan")
+  }
+
+  test("column profile reads the table once for all profiled columns") {
+    val df = graft.queries.PipelineQueries.defs
+      .find(_.name == "q127_column_profile").get.fn(spark, dir)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .count(_.toString.contains("lineitem"))
+    assert(scans == 1, s"stack-profile must be a single scan, saw $scans")
+  }
+
+  test("pageRank loop joins edges to ranks by broadcast (no edge reshuffle)") {
+    import spark.implicits._
+    // the public API re-anchors through an RDD (hiding the loop plan), so
+    // assert on the real per-round building block
+    val edgesW = Seq((1L, 2L, 1L), (2L, 1L, 2L), (2L, 3L, 2L), (3L, 2L, 1L))
+      .toDF("src", "dst", "deg")
+    val ranks = Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L)).toDF("id", "r")
+    val df = graft.ext.Graph.rankStep(edgesW, ranks)
+    val plan = finalPlanString(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank side should broadcast into the edge scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the loop must not sort-merge the edge table per iteration:\n$plan")
+  }
 }

@@ -398,26 +398,35 @@ object TimeSeriesQueries {
         val lagged = Tables.events(s, dir)
           .select(Seq(col("user_id"), col("value")) ++
             (1 to 3).map(k => lead("value", k).over(w).as(s"l$k")): _*)
-        val perLag = (1 to 3).map { k =>
+        // ONE window pass + ONE aggregate for all three lags (a per-lag
+        // union would re-execute the window and its shuffle 3×): each
+        // lag's components are null-masked inside the same hash aggregate,
+        // then the per-lag rows come out of a single generate.
+        val ds = graft.util.OracleSafe.dsum _
+        val aggCols = (1 to 3).flatMap { k =>
           val y = col(s"l$k")
-          lagged.filter(y.isNotNull)
-            .groupBy("user_id")
-            .agg(count(lit(1)).as("n"),
-              graft.util.OracleSafe.dsum(col("value")).as("sx"),
-              graft.util.OracleSafe.dsum(y).as("sy"),
-              graft.util.OracleSafe.dsum(col("value") * col("value")).as("sxx"),
-              graft.util.OracleSafe.dsum(y * y).as("syy"),
-              graft.util.OracleSafe.dsum(col("value") * y).as("sxy"))
-            .select(col("user_id"), lit(k).as("lag"), col("n"),
-              round(when(col("n") > 1
-                  && (col("sxx") - col("sx") * col("sx") / col("n")) > 0
-                  && (col("syy") - col("sy") * col("sy") / col("n")) > 0,
-                (col("sxy") - col("sx") * col("sy") / col("n"))
-                  / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
-                     * sqrt(col("syy") - col("sy") * col("sy") / col("n")))), 6)
-                .as("acf"))
+          val m = (e: org.apache.spark.sql.Column) => when(y.isNotNull, e)
+          Seq(count(y).as(s"n$k"),
+            ds(m(col("value"))).as(s"sx$k"), ds(y).as(s"sy$k"),
+            ds(m(col("value") * col("value"))).as(s"sxx$k"),
+            ds(y * y).as(s"syy$k"), ds(col("value") * y).as(s"sxy$k"))
         }
-        perLag.reduce(_.unionAll(_)).orderBy("user_id", "lag")
+        val comps = lagged.groupBy("user_id").agg(aggCols.head, aggCols.tail: _*)
+        val acfOf = (k: Int) => {
+          val (n, sx, sy, sxx, syy, sxy) =
+            (col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
+             col(s"sxx$k"), col(s"syy$k"), col(s"sxy$k"))
+          struct(lit(k).as("lag"), n.as("n"),
+            round(when(n > 1 && (sxx - sx * sx / n) > 0 && (syy - sy * sy / n) > 0,
+              (sxy - sx * sy / n)
+                / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))), 6)
+              .as("acf"))
+        }
+        comps
+          .select(col("user_id"),
+            explode(array((1 to 3).map(acfOf): _*)).as("e"))
+          .select(col("user_id"), col("e.lag"), col("e.n"), col("e.acf"))
+          .orderBy("user_id", "lag")
       },
       Some {
         val lagSel = (k: Int) =>

@@ -407,6 +407,72 @@ object EventQueries {
         |  FROM counts GROUP BY user_id)
         |SELECT user_id, n, n_types, round(ln(n) - slc / n, 6) AS entropy
         |FROM agg
-        |ORDER BY user_id""".stripMargin))
+        |ORDER BY user_id""".stripMargin)),
+
+    // ---- interval-overlap join (sessions × busy hours, banded) ----
+    // Which of each user's sessions overlap a "busy" hour (hourly event
+    // count 20% above the corpus mean — the threshold is the exact integer
+    // cross-multiply 5·n·n_hours > 6·total, so no float ever enters the
+    // interval set)? The interval×interval join runs BANDED: each session
+    // explodes into the hour grid it covers (bounded by session length)
+    // and joins busy hours by EQUALITY — for hour-aligned right intervals
+    // the equality on covered hours IS the overlap predicate, so the plan
+    // is a plain hash join at any scale, never an |A|×|B| theta join. The
+    // oracle states the same overlap as a direct interval predicate.
+    QueryDef("q139_interval_overlap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val sess = ev
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+          .select(col("user_id"), col("st"), col("en"))
+        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourly.agg(count(lit(1)).as("n_hours"), sum(col("n")).as("total"))
+        val busy = hourly.crossJoin(broadcast(stats))
+          .filter(col("n") * col("n_hours") * 5 > col("total") * 6)
+          .select(col("h"))
+        val banded = sess.select(col("user_id"), col("st"), col("en"),
+            explode(sequence(date_trunc("hour", col("st")),
+              date_trunc("hour", col("en")), expr("interval 1 hour"))).as("h"))
+          .join(busy, "h")
+          .select("user_id", "st").distinct()
+          .groupBy("user_id").agg(count(lit(1)).as("n_busy_sessions"))
+        sess.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+          .join(banded, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_sessions"),
+            coalesce(col("n_busy_sessions"), lit(0L)).as("n_busy_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |           OR epoch(ts) - epoch(LAG(ts, 1) OVER w) >= 1800 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS st, max(ts) AS en FROM (
+        |    SELECT user_id, ts,
+        |      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |    FROM flagged)
+        |  GROUP BY user_id, sid),
+        |hourly AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |           FROM events GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_hours, CAST(SUM(n) AS BIGINT) AS total
+        |          FROM hourly),
+        |busy AS (SELECT h FROM hourly, stats WHERE n * n_hours * 5 > total * 6),
+        |overl AS (
+        |  SELECT DISTINCT s.user_id, s.st
+        |  FROM sess s JOIN busy b
+        |    ON s.st < b.h + INTERVAL 1 HOUR AND b.h <= s.en),
+        |nb AS (SELECT user_id, COUNT(*) AS n_busy_sessions FROM overl GROUP BY user_id)
+        |SELECT s.user_id, COUNT(*) AS n_sessions,
+        |  COALESCE(min(nb.n_busy_sessions), 0) AS n_busy_sessions
+        |FROM sess s LEFT JOIN nb ON s.user_id = nb.user_id
+        |GROUP BY s.user_id
+        |ORDER BY s.user_id""".stripMargin))
   )
 }

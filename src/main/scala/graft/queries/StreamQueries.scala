@@ -225,7 +225,7 @@ object StreamQueries {
       Some(s"""WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN LAG(ts, 1) OVER w IS NULL
-        |           OR epoch(ts) - epoch(LAG(ts, 1) OVER w) > 1800 THEN 1 ELSE 0 END
+        |           OR epoch(ts) - epoch(LAG(ts, 1) OVER w) >= 1800 THEN 1 ELSE 0 END
         |      AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

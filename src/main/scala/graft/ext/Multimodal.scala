@@ -38,6 +38,34 @@ object Multimodal {
     * output is bit-reproducible cross-engine) so downstream plumbing
     * (schema, similarity, storage) is fully exercised.
     */
+  /** Fixed-size frame segmentation of binary payloads — the chunking step
+    * audio/video pipelines run before per-frame decode (frame-sample →
+    * decode → featurize): each payload explodes into `frameBytes`-byte
+    * windows with index, content hash, and length (the tail frame is
+    * short). Fully declarative — `sequence` + binary `substr` + `md5` stay
+    * inside codegen, the explode is a Generate (no shuffle), and
+    * per-payload frame counts bound the expansion, so the shape holds at
+    * any corpus size.
+    */
+  def frames(media: Dataset[MediaRecord], frameBytes: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive (got $frameBytes)")
+    media.toDF()
+      .select(col("media_id"), col("payload"),
+        octet_length(col("payload")).as("n_bytes"))
+      // empty payloads have no frames — and must not reach sequence(),
+      // whose (0, -1) form would count DOWN instead of being empty
+      .filter(col("n_bytes") > 0)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0),
+          floor((col("n_bytes") - 1) / frameBytes).cast("int"))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        md5(expr(s"substr(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_md5"),
+        octet_length(
+          expr(s"substr(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_len"))
+  }
+
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -409,6 +409,42 @@ object EventQueries {
         |FROM agg
         |ORDER BY user_id""".stripMargin)),
 
+    // ---- first-order Markov transitions over the event-type sequence ----
+    // Per-user behavioral model: P(next type | current type) from adjacent
+    // pairs in (ts, event_id) order — one keyed window for the LEAD, one
+    // hash aggregate for pair counts, row-count division for probabilities
+    // (exact integers → identical doubles). The per-key sequencing never
+    // materializes the |types|² matrix, only observed transitions.
+    QueryDef("q142_markov_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type").as("from_type"),
+            lead("event_type", 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+        val counts = pairs.groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("from_total",
+            sum(col("n")).over(Window.partitionBy("from_type")))
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n") / col("from_total"), 6).as("prob"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH pairs AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |        / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM c
+        |ORDER BY from_type, to_type""".stripMargin)),
+
     // ---- interval-overlap join (sessions × busy hours, banded) ----
     // Which of each user's sessions overlap a "busy" hour (hourly event
     // count 20% above the corpus mean — the threshold is the exact integer

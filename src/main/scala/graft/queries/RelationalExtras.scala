@@ -316,6 +316,36 @@ object RelationalExtras {
         |QUALIFY l_orderkey % 100 = 0
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
 
+    // ---- Benford first-digit audit ----
+    // Leading-significant-digit distribution of order totals vs Benford's
+    // law — the classic fraud/data-quality screen. The digit comes from
+    // the SHORTEST string repr of the double (identical on both engines),
+    // never from log-floor arithmetic; expected shares log10(1+1/d) are
+    // the same libm constants on both sides, rounded at 6 dp.
+    QueryDef("q141_benford_digits",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.orders(s, dir)
+          .select(regexp_extract(col("o_totalprice").cast("string"),
+            "([1-9])", 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .withColumn("share_obs",
+            round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
+          .withColumn("share_benford",
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+        |  SELECT regexp_extract(CAST(o_totalprice AS VARCHAR), '([1-9])', 1)
+        |    AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM c), 6) AS share_obs,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS share_benford
+        |FROM c
+        |ORDER BY digit""".stripMargin)),
+
     // ---- recursive CTE (Spark 4 WITH RECURSIVE): monthly calendar spine ----
     // The spine is generated by recursion (UnionLoopExec), then left-joined
     // to per-month order counts — the gap-preserving calendar join that

@@ -539,6 +539,100 @@ object TimeSeriesQueries {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin)),
 
+    // ---- cross-correlation between two event-type series (CCF) ----
+    // Lead/lag correlation between the hourly 'view' and 'purchase'
+    // count series at lags −2..+2 — does one series anticipate the other?
+    // Counts are INTEGERS, so every component sum is exact in plain longs
+    // (no decimal recipe needed); only the final Pearson formula touches
+    // doubles, identically on both engines. One hour-spine join + one
+    // window + one aggregate per lag set.
+    QueryDef("q140_cross_correlation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val hourly = ev.filter(col("event_type").isin("view", "purchase"))
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val spine = ev.agg(min(date_trunc("hour", col("ts"))).as("mn"),
+            max(date_trunc("hour", col("ts"))).as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"),
+            expr("interval 1 hour"))).as("h"))
+        val wide = spine
+          .join(hourly.filter(col("event_type") === "view")
+            .select(col("h"), col("n").as("v")), Seq("h"), "left")
+          .join(hourly.filter(col("event_type") === "purchase")
+            .select(col("h"), col("n").as("p")), Seq("h"), "left")
+          .select(col("h"), coalesce(col("v"), lit(0L)).as("v"),
+            coalesce(col("p"), lit(0L)).as("p"))
+        val w = Window.orderBy("h")
+        val lagged = wide.select(Seq(col("v")) ++
+          (-2 to 2).map(k => lead("p", k + 2).over(w).as(s"p${k + 2}")): _*)
+        val aggCols = (-2 to 2).flatMap { k =>
+          val y = col(s"p${k + 2}")
+          val m = (e: org.apache.spark.sql.Column) => when(y.isNotNull, e)
+          val i = k + 2
+          Seq(count(y).as(s"n$i"), sum(m(col("v"))).as(s"sx$i"), sum(y).as(s"sy$i"),
+            sum(m(col("v") * col("v"))).as(s"sxx$i"), sum(y * y).as(s"syy$i"),
+            sum(col("v") * y).as(s"sxy$i"))
+        }
+        val comps = lagged
+          // the lead window shifts by k+2 so lag −2 aligns p two hours
+          // EARLIER than v; components null-mask rows past the series end
+          .groupBy().agg(aggCols.head, aggCols.tail: _*)
+        val ccfOf = (k: Int) => {
+          val i = k + 2
+          val (n, sx, sy, sxx, syy, sxy) =
+            (col(s"n$i").cast("double"), col(s"sx$i").cast("double"),
+             col(s"sy$i").cast("double"), col(s"sxx$i").cast("double"),
+             col(s"syy$i").cast("double"), col(s"sxy$i").cast("double"))
+          struct(lit(k).as("lag"), col(s"n$i").as("n"),
+            round(when(col(s"n$i") > 1
+                && (sxx - sx * sx / n) > 0 && (syy - sy * sy / n) > 0,
+              (sxy - sx * sy / n)
+                / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))), 6)
+              .as("ccf"))
+        }
+        comps.select(explode(array((-2 to 2).map(ccfOf): _*)).as("e"))
+          .select(col("e.lag"), col("e.n"), col("e.ccf"))
+          .orderBy("lag")
+      },
+      Some {
+        val lagSel = (k: Int) => {
+          val i = k + 2
+          s"""SELECT $k AS lag, n,
+            |  round(CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0
+            |              AND (syy - sy * sy / n) > 0
+            |    THEN (sxy - sx * sy / n)
+            |      / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) END, 6) AS ccf
+            |FROM (
+            |  SELECT COUNT(p$i) AS n,
+            |    CAST(SUM(CASE WHEN p$i IS NOT NULL THEN v END) AS DOUBLE) AS sx,
+            |    CAST(SUM(p$i) AS DOUBLE) AS sy,
+            |    CAST(SUM(CASE WHEN p$i IS NOT NULL THEN v * v END) AS DOUBLE) AS sxx,
+            |    CAST(SUM(p$i * p$i) AS DOUBLE) AS syy,
+            |    CAST(SUM(v * p$i) AS DOUBLE) AS sxy
+            |  FROM lagged)""".stripMargin
+        }
+        s"""WITH hourly AS (
+          |  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+          |  FROM events WHERE event_type IN ('view', 'purchase')
+          |  GROUP BY 1, 2),
+          |spine AS (
+          |  SELECT unnest(generate_series(min(date_trunc('hour', ts)),
+          |    max(date_trunc('hour', ts)), INTERVAL 1 HOUR)) AS h FROM events),
+          |wide AS (
+          |  SELECT s.h, COALESCE(v.n, 0) AS v, COALESCE(p.n, 0) AS p
+          |  FROM spine s
+          |  LEFT JOIN hourly v ON v.h = s.h AND v.event_type = 'view'
+          |  LEFT JOIN hourly p ON p.h = s.h AND p.event_type = 'purchase'),
+          |lagged AS (
+          |  SELECT v, ${(-2 to 2).map(k =>
+              s"LEAD(p, ${k + 2}) OVER (ORDER BY h) AS p${k + 2}").mkString(", ")}
+          |  FROM wide)
+          |${(-2 to 2).map(lagSel).mkString("\nUNION ALL ")}
+          |ORDER BY lag""".stripMargin
+      }),
+
     // ---- LTTB downsampling (largest-triangle-three-buckets) ----
     // m = 8 kept points per series; the oracle is the SAME algorithm
     // unrolled as 6 chained window/aggregate steps (anchors are sequential,

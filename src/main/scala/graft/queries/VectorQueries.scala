@@ -140,6 +140,27 @@ object VectorQueries {
         |FROM documents
         |ORDER BY media_id""".stripMargin)),
 
+    // ---- multimodal frame segmentation (fixed 64-byte windows) ----
+    // The audio/video chunking step ahead of per-frame decode: payloads
+    // explode into indexed 64-byte frames with content hashes. ASCII corpus
+    // ⇒ byte windows == char windows, so the oracle mirrors with substr
+    // over the text — the binary plumbing is hash-checked end to end.
+    QueryDef("q143_multimodal_frames",
+      (s, dir) => Multimodal.frames(
+          Multimodal.asMedia(Tables.documents(s, dir)), frameBytes = 64)
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(unnest(range(0, (length(text) + 63) // 64)) AS INTEGER)
+        |      AS frame_idx, text
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT media_id, frame_idx,
+        |  md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5,
+        |  CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS INTEGER)
+        |    AS frame_len
+        |FROM f
+        |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // ---- one k-means Lloyd iteration (M-step centroids + E-step dists) ----
     // Centroids are per-(label, dim) exact-decimal means over the exploded
     // coordinates — one partially-aggregated shuffle keyed on (label, dim),

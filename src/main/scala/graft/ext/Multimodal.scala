@@ -38,6 +38,22 @@ object Multimodal {
     * output is bit-reproducible cross-engine) so downstream plumbing
     * (schema, similarity, storage) is fully exercised.
     */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val lanes = new Array[Long](dim)
+        var i = 0
+        while (i < m.payload.length) {
+          lanes(i % dim) += (m.payload(i) & 0xff)
+          i += 1
+        }
+        MediaFeatures(m.media_id, m.payload.length, lanes.map(_.toFloat))
+      }
+    }
+  }
+
   /** Fixed-size frame segmentation of binary payloads — the chunking step
     * audio/video pipelines run before per-frame decode (frame-sample →
     * decode → featurize): each payload explodes into `frameBytes`-byte
@@ -64,21 +80,5 @@ object Multimodal {
         octet_length(
           expr(s"substr(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
           .as("frame_len"))
-  }
-
-  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val lanes = new Array[Long](dim)
-        var i = 0
-        while (i < m.payload.length) {
-          lanes(i % dim) += (m.payload(i) & 0xff)
-          i += 1
-        }
-        MediaFeatures(m.media_id, m.payload.length, lanes.map(_.toFloat))
-      }
-    }
   }
 }

@@ -459,10 +459,14 @@ object EventQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables.events(s, dir)
+        // sess feeds TWO plan branches (banded overlap + per-user session
+        // count); materialize it once or the session-window merge aggregate
+        // executes per branch (same discipline as Graph.pageRank's edges)
         val sess = ev
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
           .select(col("user_id"), col("st"), col("en"))
+          .localCheckpoint(true)
         val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("n"))
         val stats = hourly.agg(count(lit(1)).as("n_hours"), sum(col("n")).as("total"))

@@ -14,6 +14,49 @@ import graft.util.OracleSafe._
   */
 object TimeSeriesQueries {
 
+  /** Shared machinery for the lagged-Pearson queries (q121 ACF, q140 CCF):
+    * for each lag label, the six masked component aggregates
+    * (n/Σx/Σy/Σx²/Σy²/Σxy over rows where BOTH x and y are non-null — one
+    * pair set for every component) and the guarded correlation struct
+    * `(lag, n, r)`. One aggregate pass computes all lags; the struct
+    * formula casts components to double uniformly, so callers pick the
+    * accumulator (decimal [[dsum]] for double inputs, plain `sum` for
+    * exact integer inputs) without changing the formula.
+    */
+  private def pearsonLagMachinery(labels: Range,
+      x: Int => org.apache.spark.sql.Column,
+      y: Int => org.apache.spark.sql.Column,
+      sumF: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      outName: String,
+      idx: Int => String = _.toString)
+    : (Seq[org.apache.spark.sql.Column], Seq[org.apache.spark.sql.Column]) = {
+    val aggCols = labels.toSeq.flatMap { k =>
+      val i = idx(k)
+      val (xc, yc) = (x(k), y(k))
+      val m = (e: org.apache.spark.sql.Column) =>
+        when(xc.isNotNull && yc.isNotNull, e)
+      Seq(count(m(lit(1))).as(s"n$i"),
+        sumF(m(xc)).as(s"sx$i"), sumF(m(yc)).as(s"sy$i"),
+        sumF(m(xc * xc)).as(s"sxx$i"), sumF(m(yc * yc)).as(s"syy$i"),
+        sumF(m(xc * yc)).as(s"sxy$i"))
+    }
+    val structs = labels.toSeq.map { k =>
+      val i = idx(k)
+      val n = col(s"n$i").cast("double")
+      val (sx, sy, sxx, syy, sxy) =
+        (col(s"sx$i").cast("double"), col(s"sy$i").cast("double"),
+         col(s"sxx$i").cast("double"), col(s"syy$i").cast("double"),
+         col(s"sxy$i").cast("double"))
+      struct(lit(k).as("lag"), col(s"n$i").as("n"),
+        round(when(col(s"n$i") > 1
+            && (sxx - sx * sx / n) > 0 && (syy - sy * sy / n) > 0,
+          (sxy - sx * sy / n)
+            / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))), 6)
+          .as(outName))
+    }
+    (aggCols, structs)
+  }
+
   // shared oracle scaffold: per-user rows numbered in (ts, event_id) order —
   // the same total order the Scala recurrences sort each group by
   private val numberedBase =
@@ -401,31 +444,16 @@ object TimeSeriesQueries {
         // ONE window pass + ONE aggregate for all three lags (a per-lag
         // union would re-execute the window and its shuffle 3×): each
         // lag's components are null-masked inside the same hash aggregate,
-        // then the per-lag rows come out of a single generate.
-        val ds = graft.util.OracleSafe.dsum _
-        val aggCols = (1 to 3).flatMap { k =>
-          val y = col(s"l$k")
-          val m = (e: org.apache.spark.sql.Column) => when(y.isNotNull, e)
-          Seq(count(y).as(s"n$k"),
-            ds(m(col("value"))).as(s"sx$k"), ds(y).as(s"sy$k"),
-            ds(m(col("value") * col("value"))).as(s"sxx$k"),
-            ds(y * y).as(s"syy$k"), ds(col("value") * y).as(s"sxy$k"))
-        }
-        val comps = lagged.groupBy("user_id").agg(aggCols.head, aggCols.tail: _*)
-        val acfOf = (k: Int) => {
-          val (n, sx, sy, sxx, syy, sxy) =
-            (col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
-             col(s"sxx$k"), col(s"syy$k"), col(s"sxy$k"))
-          struct(lit(k).as("lag"), n.as("n"),
-            round(when(n > 1 && (sxx - sx * sx / n) > 0 && (syy - sy * sy / n) > 0,
-              (sxy - sx * sy / n)
-                / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))), 6)
-              .as("acf"))
-        }
-        comps
-          .select(col("user_id"),
-            explode(array((1 to 3).map(acfOf): _*)).as("e"))
+        // then the per-lag rows come out of a single generate. Sparse keys
+        // (fewer rows than the lag) yield n = 0 pairs and are dropped, as
+        // the oracle's pre-aggregate filter does.
+        val (aggCols, structs) = pearsonLagMachinery(
+          labels = 1 to 3, x = _ => col("value"), y = k => col(s"l$k"),
+          sumF = graft.util.OracleSafe.dsum, outName = "acf")
+        lagged.groupBy("user_id").agg(aggCols.head, aggCols.tail: _*)
+          .select(col("user_id"), explode(array(structs: _*)).as("e"))
           .select(col("user_id"), col("e.lag"), col("e.n"), col("e.acf"))
+          .filter(col("n") > 0)
           .orderBy("user_id", "lag")
       },
       Some {
@@ -564,36 +592,20 @@ object TimeSeriesQueries {
             .select(col("h"), col("n").as("p")), Seq("h"), "left")
           .select(col("h"), coalesce(col("v"), lit(0L)).as("v"),
             coalesce(col("p"), lit(0L)).as("p"))
+        // both series shift FORWARD: x = v two hours ahead, y = p at
+        // (2 + k) hours ahead, so the pair is (v_t, p_{t+k}) and label k
+        // really is p's offset relative to v — negative k means p leads.
+        // (A one-sided shift of p alone mislabels every lag by +2.)
         val w = Window.orderBy("h")
-        val lagged = wide.select(Seq(col("v")) ++
+        val lagged = wide.select(Seq(lead("v", 2).over(w).as("x")) ++
           (-2 to 2).map(k => lead("p", k + 2).over(w).as(s"p${k + 2}")): _*)
-        val aggCols = (-2 to 2).flatMap { k =>
-          val y = col(s"p${k + 2}")
-          val m = (e: org.apache.spark.sql.Column) => when(y.isNotNull, e)
-          val i = k + 2
-          Seq(count(y).as(s"n$i"), sum(m(col("v"))).as(s"sx$i"), sum(y).as(s"sy$i"),
-            sum(m(col("v") * col("v"))).as(s"sxx$i"), sum(y * y).as(s"syy$i"),
-            sum(col("v") * y).as(s"sxy$i"))
-        }
-        val comps = lagged
-          // the lead window shifts by k+2 so lag −2 aligns p two hours
-          // EARLIER than v; components null-mask rows past the series end
-          .groupBy().agg(aggCols.head, aggCols.tail: _*)
-        val ccfOf = (k: Int) => {
-          val i = k + 2
-          val (n, sx, sy, sxx, syy, sxy) =
-            (col(s"n$i").cast("double"), col(s"sx$i").cast("double"),
-             col(s"sy$i").cast("double"), col(s"sxx$i").cast("double"),
-             col(s"syy$i").cast("double"), col(s"sxy$i").cast("double"))
-          struct(lit(k).as("lag"), col(s"n$i").as("n"),
-            round(when(col(s"n$i") > 1
-                && (sxx - sx * sx / n) > 0 && (syy - sy * sy / n) > 0,
-              (sxy - sx * sy / n)
-                / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))), 6)
-              .as("ccf"))
-        }
-        comps.select(explode(array((-2 to 2).map(ccfOf): _*)).as("e"))
+        val (aggCols, structs) = pearsonLagMachinery(
+          labels = -2 to 2, x = _ => col("x"), y = k => col(s"p${k + 2}"),
+          sumF = sum, outName = "ccf", idx = k => (k + 2).toString)
+        lagged.groupBy().agg(aggCols.head, aggCols.tail: _*)
+          .select(explode(array(structs: _*)).as("e"))
           .select(col("e.lag"), col("e.n"), col("e.ccf"))
+          .filter(col("n") > 0)
           .orderBy("lag")
       },
       Some {
@@ -605,13 +617,13 @@ object TimeSeriesQueries {
             |    THEN (sxy - sx * sy / n)
             |      / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) END, 6) AS ccf
             |FROM (
-            |  SELECT COUNT(p$i) AS n,
-            |    CAST(SUM(CASE WHEN p$i IS NOT NULL THEN v END) AS DOUBLE) AS sx,
-            |    CAST(SUM(p$i) AS DOUBLE) AS sy,
-            |    CAST(SUM(CASE WHEN p$i IS NOT NULL THEN v * v END) AS DOUBLE) AS sxx,
-            |    CAST(SUM(p$i * p$i) AS DOUBLE) AS syy,
-            |    CAST(SUM(v * p$i) AS DOUBLE) AS sxy
-            |  FROM lagged)""".stripMargin
+            |  SELECT COUNT(CASE WHEN x IS NOT NULL AND p$i IS NOT NULL THEN 1 END) AS n,
+            |    CAST(SUM(CASE WHEN x IS NOT NULL AND p$i IS NOT NULL THEN x END) AS DOUBLE) AS sx,
+            |    CAST(SUM(CASE WHEN x IS NOT NULL AND p$i IS NOT NULL THEN p$i END) AS DOUBLE) AS sy,
+            |    CAST(SUM(CASE WHEN x IS NOT NULL AND p$i IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx,
+            |    CAST(SUM(CASE WHEN x IS NOT NULL AND p$i IS NOT NULL THEN p$i * p$i END) AS DOUBLE) AS syy,
+            |    CAST(SUM(CASE WHEN x IS NOT NULL AND p$i IS NOT NULL THEN x * p$i END) AS DOUBLE) AS sxy
+            |  FROM lagged) WHERE n > 0""".stripMargin
         }
         s"""WITH hourly AS (
           |  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
@@ -626,7 +638,7 @@ object TimeSeriesQueries {
           |  LEFT JOIN hourly v ON v.h = s.h AND v.event_type = 'view'
           |  LEFT JOIN hourly p ON p.h = s.h AND p.event_type = 'purchase'),
           |lagged AS (
-          |  SELECT v, ${(-2 to 2).map(k =>
+          |  SELECT LEAD(v, 2) OVER (ORDER BY h) AS x, ${(-2 to 2).map(k =>
               s"LEAD(p, ${k + 2}) OVER (ORDER BY h) AS p${k + 2}").mkString(", ")}
           |  FROM wide)
           |${(-2 to 2).map(lagSel).mkString("\nUNION ALL ")}

@@ -129,10 +129,12 @@ class PlanShapeSpec extends SparkSpec {
   test("column profile reads the table once for all profiled columns") {
     val df = graft.queries.PipelineQueries.defs
       .find(_.name == "q127_column_profile").get.fn(spark, dir)
-    df.collect()
-    val scans = df.queryExecution.executedPlan.collectLeaves()
-      .count(_.toString.contains("lineitem"))
-    assert(scans == 1, s"stack-profile must be a single scan, saw $scans")
+    // count scans in the AQE-settled plan STRING: under AQE the root is
+    // AdaptiveSparkPlanExec (a leaf), so collectLeaves() would always
+    // return exactly one node and the assertion could never fail
+    val plan = finalPlanString(df)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"stack-profile must be a single scan, saw $scans:\n$plan")
   }
 
   test("pageRank loop joins edges to ranks by broadcast (no edge reshuffle)") {

@@ -176,4 +176,81 @@ class PropertySpec extends SparkSpec {
       assert(out.toSeq == expected)
     }
   }
+
+  test("lttb keeps exactly min(n, m) points including both endpoints") {
+    samples(Gen.nonEmptyListOf(smallDouble), 8).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (1L, i.toLong, new java.sql.Timestamp(i * 60000L), v)
+      }.toDF("k", "id", "ts", "v")
+      val kept = graft.ops.TimeSeriesOps.lttb(df, "k", "id", "ts", "v", m = 6)
+        .orderBy("id").select("id").as[Long].collect().toSeq
+      assert(kept.length == math.min(vs.length, 6))
+      assert(kept.head == 0L && kept.last == (vs.length - 1).toLong)
+      assert(kept == kept.distinct)
+    }
+  }
+
+  test("lttb selection is invariant to input partitioning") {
+    val vs = samples(smallDouble, 40)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, new java.sql.Timestamp(i * 60000L), v)
+    }
+    val a = graft.ops.TimeSeriesOps
+      .lttb(rows.toDF("k", "id", "ts", "v"), "k", "id", "ts", "v", 8)
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    val b = graft.ops.TimeSeriesOps
+      .lttb(rows.toDF("k", "id", "ts", "v").repartition(7), "k", "id", "ts", "v", 8)
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("cusum fires only above threshold and is partitioning-invariant") {
+    val vs = samples(Gen.choose(0.0, 120.0), 60)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      (i % 3L, i.toLong, new java.sql.Timestamp(i * 60000L), v)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) = graft.ops.TimeSeriesOps
+      .cusum(df, "k", "id", "ts", "v", target = 50.0, slack = 10.0, threshold = 100.0)
+      .orderBy("id").collect().toSeq.map(r => (r.getLong(1), r.getDouble(3)))
+    val out = run(rows.toDF("k", "id", "ts", "v"))
+    assert(out.forall(_._2 > 100.0))
+    assert(out == run(rows.toDF("k", "id", "ts", "v").repartition(5)))
+  }
+
+  test("edit-distance pairs: ordered, banded, and id-relabel stable") {
+    val docs = Seq(
+      (1L, "prefix prefix prefix prefix AAAA tail one"),
+      (2L, "prefix prefix prefix prefix AAAA tail two"),
+      (3L, "prefix prefix prefix prefix AAAA tail one"),
+      (9L, "other other other other other different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text", 16, 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.forall { case (i, j, d) => i < j && d >= 0 && d <= 10 })
+    // relabeling ids must relabel pairs, not change the pair structure
+    val relabeled = Dedup.editDistancePairs(
+        docs.withColumn("doc_id", col("doc_id") + 100), "doc_id", "text", 16, 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(relabeled.map { case (i, j, d) => (i - 100, j - 100, d) }.sorted ==
+      out.sorted)
+  }
+
+  test("frames reassemble: frame lengths sum to payload length") {
+    samples(Gen.choose(1, 300), 8).foreach { len =>
+      val docs = Seq((1L, "x" * len)).toDF("doc_id", "text")
+      val fr = graft.ext.Multimodal.frames(graft.ext.Multimodal.asMedia(docs), 64)
+        .orderBy("frame_idx").collect()
+      assert(fr.length == (len + 63) / 64)
+      assert(fr.map(_.getInt(3)).sum == len)
+      assert(fr.map(_.getInt(1)).toSeq == (0 until fr.length))
+    }
+  }
+
+  test("pageRank is invariant to edge partitioning") {
+    val edges = (1L to 30L).map(i => (i, i % 7 + 100L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Graph.pageRank(df, 3).as[(Long, Double)].collect().toMap
+    assert(run(edges.toDF("src", "dst")) ==
+      run(edges.toDF("src", "dst").repartition(11)))
+  }
 }

@@ -70,4 +70,57 @@ object AsOfJoin {
       .withColumn("asof_time", when(inWindow, col("__asof_t")))
       .select(outCols: _*)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * right.time >= left.time on the same key (pandas merge_asof
+    * direction='forward'). Same union-merge shape as [[leftAsOf]] — one
+    * shuffle on the key, one ordered window pass — but the carry window
+    * looks ahead (`first` over [current, +∞)) and left rows sort BEFORE
+    * simultaneous right rows so an equal-time right row matches.
+    * Simultaneous right rows resolve to the LOWEST `tieBreak`.
+    */
+  def leftAsOfForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String], tieBreak: String,
+                      tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns
+    val rCols: Seq[Column] =
+      Seq(col(key), col(rightTime).as("__t"), col(tieBreak).as("__tie")) ++
+        payload.map(c => col(c).as(s"__p_$c")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("__side")
+    val lCols: Seq[Column] =
+      Seq(col(key), col(leftTime).as("__t"),
+        lit(null).cast(right.schema(tieBreak).dataType).as("__tie")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(1).as("__side")
+    val r = right.select(rCols: _*)
+    val l = left.select(lCols: _*)
+    // left rows (side 1) sort before right rows (side 0) at equal time, so
+    // the forward frame of a left row includes same-instant right rows;
+    // __tie ascending makes `first` pick the lowest tieBreak
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").asc, col("__side").desc, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = r.unionByName(l)
+      .withColumn("__asof_t", first(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val withPayload = payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", first(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    val inWindow = tolerance match {
+      case Some(tol) => col("__asof_t").isNotNull && col("__asof_t") <= (col("__t") + tol)
+      case None      => col("__asof_t").isNotNull
+    }
+    val masked = payload.foldLeft(withPayload) { (df, c) =>
+      df.withColumn(s"asof_$c", when(inWindow, col(s"asof_$c")))
+    }
+    val outCols: Seq[Column] =
+      Seq(col(key), col("__t").as(leftTime)) ++
+        leftCols.filterNot(c => c == key || c == leftTime).map(col) ++
+        Seq(col("asof_time")) ++ payload.map(c => col(s"asof_$c"))
+    masked.filter(col("__side") === 1)
+      .withColumn("asof_time", when(inWindow, col("__asof_t")))
+      .select(outCols: _*)
+  }
 }

@@ -513,6 +513,35 @@ object EventQueries {
         |  COALESCE(min(nb.n_busy_sessions), 0) AS n_busy_sessions
         |FROM sess s LEFT JOIN nb ON s.user_id = nb.user_id
         |GROUP BY s.user_id
-        |ORDER BY s.user_id""".stripMargin))
+        |ORDER BY s.user_id""".stripMargin)),
+
+    // ---- forward as-of join: NEXT order at-or-after each event ----
+    // pandas merge_asof(direction='forward'); completes q22/q49's backward
+    // pair. Same union-merge shape (one shuffle, one ordered window pass,
+    // never a range-join explosion) with the carry window looking AHEAD.
+    QueryDef("q144_asof_forward",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+            col("o_orderkey"), col("o_totalprice"))
+        val events = Tables.events(s, dir).select("user_id", "ts", "event_id")
+        graft.ops.AsOfJoin.leftAsOfForward(events, orders, "user_id", "ts",
+            "o_orderdate", payload = Seq("o_orderkey", "o_totalprice"),
+            tieBreak = "o_orderkey")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_o_orderkey").as("next_orderkey"),
+            col("asof_o_totalprice").as("next_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |          ORDER BY o_orderkey ASC) AS rd FROM orders)
+        |  WHERE rd = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  o.o_orderkey AS next_orderkey, o.o_totalprice AS next_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |ORDER BY event_id""".stripMargin))
   )
 }

@@ -35,6 +35,32 @@ class PipelineSpec extends SparkSpec {
     assert(frac > 0.6 && frac < 0.95) // ~80% expected
   }
 
+  test("forward as-of join matches equal-time rows and respects tolerance") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, ts(100), 10L), (1L, ts(200), 11L), (1L, ts(900), 12L))
+      .toDF("k", "t", "eid")
+    val right = Seq((1L, ts(200), 5L, 2.0), (1L, ts(300), 6L, 3.0),
+        (1L, ts(200), 4L, 1.0))
+      .toDF("k", "rt", "okey", "oval")
+    val out = graft.ops.AsOfJoin.leftAsOfForward(left, right, "k", "t", "rt",
+        payload = Seq("okey", "oval"), tieBreak = "okey")
+      .orderBy("eid").collect()
+    // t=100 → next right at 200, tie (okey 4 vs 5) → lowest (4)
+    assert(out(0).getAs[Long]("asof_okey") == 4L)
+    // t=200 → equal-time right row DOES match (forward is >=)
+    assert(out(1).getAs[Long]("asof_okey") == 4L)
+    // t=900 → nothing ahead → NULL
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_okey")))
+    val tol = graft.ops.AsOfJoin.leftAsOfForward(left, right, "k", "t", "rt",
+        Seq("okey", "oval"), "okey",
+        tolerance = Some(expr("INTERVAL 50 SECONDS")))
+      .orderBy("eid").collect()
+    // t=100: next right at 200 is 100 s ahead — outside the 50 s tolerance
+    assert(tol(0).isNullAt(tol(0).fieldIndex("asof_okey")))
+    assert(tol(1).getAs[Long]("asof_okey") == 4L)
+  }
+
   test("pageRank: fixed-point micro-unit propagation on a hand-checked path") {
     // path 1—2—3 (undirected), 2 iterations; degrees 1,2,1.
     // iter1: c(1)=c(3)=(1e6·17)div 40=425000 → r=575000;

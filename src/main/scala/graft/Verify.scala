@@ -17,7 +17,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev loop: SPARK_GRAFT_ONLY=q120,q125 dumps a subset (shared rule:
     // graft.util.DevSubset); the driver never sets it, so the gate always
-    // dumps everything
+    // dumps everything. A stale var in a dev shell must never masquerade
+    // as a full run: announce it loudly and drop a marker into outDir.
+    if (graft.util.DevSubset.active) {
+      val msg = s"DEV SUBSET ACTIVE (SPARK_GRAFT_ONLY=" +
+        s"${sys.env.getOrElse("SPARK_GRAFT_ONLY", "")}) — PARTIAL DUMP, " +
+        "NOT a full correctness run"
+      System.err.println("=" * 72 + s"\n[verify] $msg\n" + "=" * 72)
+      Files.writeString(Paths.get(s"$outDir/_DEV_SUBSET_PARTIAL"), msg)
+    }
     SparkEntry.queries
       .filter { case (n, _) => graft.util.DevSubset.keep(n) }
       .foreach { case (name, fn) =>

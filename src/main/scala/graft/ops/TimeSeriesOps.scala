@@ -402,7 +402,10 @@ object TimeSeriesOps {
             var j = starts(b)
             while (j < starts(b + 1)) {
               sx = sx.add(new java.math.BigDecimal(xs(j).toLong))
-              sy = sy.add(java.math.BigDecimal.valueOf(ys(j))
+              // exact-binary decimal (NOT valueOf's shortest-repr, which
+              // recovers rational midpoints and rounds opposite to
+              // DuckDB's CAST(value AS DECIMAL) — the PageRank trap)
+              sy = sy.add(new java.math.BigDecimal(ys(j))
                 .setScale(6, java.math.RoundingMode.HALF_UP))
               cnt += 1; j += 1
             }

@@ -468,7 +468,8 @@ object TimeSeriesQueries {
             |    ${sqlDsum("value")} AS sx, ${sqlDsum(s"l$k")} AS sy,
             |    ${sqlDsum("value * value")} AS sxx, ${sqlDsum(s"l$k * l$k")} AS syy,
             |    ${sqlDsum(s"value * l$k")} AS sxy
-            |  FROM lagged WHERE l$k IS NOT NULL GROUP BY user_id)""".stripMargin
+            |  FROM lagged WHERE l$k IS NOT NULL AND value IS NOT NULL
+            |  GROUP BY user_id)""".stripMargin
         s"""WITH lagged AS (
           |  SELECT user_id, value,
           |    LEAD(value, 1) OVER w AS l1, LEAD(value, 2) OVER w AS l2,

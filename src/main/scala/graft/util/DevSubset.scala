@@ -12,4 +12,8 @@ object DevSubset {
 
   def keep(name: String): Boolean =
     only.forall(_.contains(name.takeWhile(_ != '_')))
+
+  /** True iff the subset filter is in effect (used by Verify to refuse to
+    * let a partial dump pass silently as a full correctness run). */
+  def active: Boolean = only.isDefined
 }

@@ -65,6 +65,42 @@ object TimeSeriesOps {
       }.toDF(keyCol, idCol, valueCol, "ewma")
   }
 
+  case class HoltRow(user_id: Long, event_id: Long, value: Double,
+                     level: Double, trend: Double)
+
+  /** Holt linear (double-exponential) smoothing — the trend-aware upgrade
+    * of [[ewma]] the reference ecosystem scripts as a forecasting filter:
+    * l_1 = x_1, b_1 = 0; then
+    * l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1}),
+    * b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}.
+    * Same sequential-per-key shape as [[ewma]]; emits UNROUNDED doubles —
+    * with binary-exact alpha/beta complements both engines execute the
+    * identical IEEE op sequence, so the oracle recursive CTE is
+    * bit-identical (the q85 discipline).
+    */
+  def holt(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+           valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val (ca, cb) = (1.0 - alpha, 1.0 - beta)
+    asTsRows(df, keyCol, idCol, tsCol, valueCol)
+      .groupByKey(_.key)
+      .flatMapGroups { (k: Long, it: Iterator[TsRow]) =>
+        val sorted = it.toArray.sortBy(r => (r.tsMicros, r.id))
+        var l = 0.0; var b = 0.0
+        var first = true
+        sorted.iterator.map { r =>
+          if (first) { first = false; l = r.value; b = 0.0 }
+          else {
+            val lNew = alpha * r.value + ca * (l + b)
+            b = beta * (lNew - l) + cb * b
+            l = lNew
+          }
+          HoltRow(k, r.id, r.value, l, b)
+        }
+      }.toDF(keyCol, idCol, valueCol, "level", "trend")
+  }
+
   /** Deadband (delta) compression: emit a row only when |value − last
     * EMITTED value| exceeds the tolerance; the first row per key always
     * emits. This is the reference ecosystem's delta filter — the kept set

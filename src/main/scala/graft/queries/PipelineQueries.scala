@@ -255,6 +255,185 @@ object PipelineQueries {
         |  CAST(min(total) AS DOUBLE) AS total_mass
         |FROM k
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- Gopher-style repetition filter ----
+    // Per doc: token count, duplicate-token fraction (1 - distinct/total)
+    // and the most-common-token mass fraction (ties broken by token asc) —
+    // the repetition screens an LLM-corpus pipeline applies before
+    // training. Flags docs whose top token exceeds 12% of all tokens or
+    // whose duplicate fraction exceeds 60% (p50 top-frac on this corpus is
+    // ~9%, p90 ~14%, so flags split the corpus). Fractions are single
+    // IEEE divisions of exact integers → raw doubles match the oracle.
+    // One explode + one two-level aggregate; scales as a plain shuffle on
+    // (doc_id, token).
+    QueryDef("q145_repetition_filter",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        tf.groupBy("doc_id")
+          // top token by (count DESC, token ASC) as one orderable struct:
+          // min((-c, w)) — no second pass, no window
+          .agg(sum("c").as("n_tok"), count(lit(1)).as("n_distinct"),
+            min(struct((col("c") * -1).as("c"), col("w").as("w"))).as("top"))
+          .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+            col("top.w").as("top_word"),
+            (col("top.c") * -1).as("top_cnt"))
+          .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+            col("top_word"), col("top_cnt"),
+            (col("top_cnt").cast("double") / col("n_tok")).as("top_frac"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_tok"))
+              .as("dup_frac"))
+          .withColumn("flagged",
+            col("top_frac") > 0.12 || col("dup_frac") > 0.6)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct,
+        |    MIN(struct_pack(c := -c, w := w)) AS top
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, n_distinct,
+        |  top.w AS top_word, CAST(-top.c AS BIGINT) AS top_cnt,
+        |  CAST(-top.c AS DOUBLE) / n_tok AS top_frac,
+        |  CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tok AS dup_frac,
+        |  (CAST(-top.c AS DOUBLE) / n_tok > 0.12
+        |   OR CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tok > 0.6)
+        |    AS flagged
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- greedy sequence packing (first-fit-in-order bin packing) ----
+    // Packs each source's docs, in doc_id order, into 512-token bins:
+    // close the bin when the next doc would overflow it — how a training
+    // pipeline assembles fixed-length sample sequences from variable-length
+    // docs. The bin id depends on every prior doc in the shard, so like
+    // EWMA it is a genuine per-key recurrence: one shuffle on source, one
+    // sorted pass per group, O(1) state. All-integer → oracle is the
+    // identical recurrence as a recursive CTE.
+    QueryDef("q148_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 512
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ", -1)).as("n_tok"))
+          .as[PackDoc]
+          .groupByKey(_.source)
+          .flatMapGroups { (src: String, it: Iterator[PackDoc]) =>
+            val sorted = it.toArray.sortBy(_.doc_id)
+            var bin = 0; var fill = 0; var first = true
+            sorted.iterator.map { d =>
+              if (first) { first = false; fill = d.n_tok }
+              else if (fill + d.n_tok > cap) { bin += 1; fill = d.n_tok }
+              else fill += d.n_tok
+              PackedDoc(src, d.doc_id, d.n_tok, bin, fill - d.n_tok)
+            }
+          }.toDF("source", "doc_id", "n_tok", "bin", "bin_offset")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE base AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tok, rn, 0 AS bin, n_tok AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.source, b.doc_id, b.n_tok, b.rn,
+        |    CASE WHEN r.fill + b.n_tok > 512 THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.fill + b.n_tok > 512 THEN b.n_tok
+        |         ELSE r.fill + b.n_tok END
+        |  FROM base b JOIN r ON b.source = r.source AND b.rn = r.rn + 1)
+        |SELECT source, doc_id, n_tok, bin, fill - n_tok AS bin_offset FROM r
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- domain mixing: per-language deterministic downsampling ----
+    // The corpus-mixture step of a training pipeline: each language keeps
+    // a configured fraction, decided per doc by the content-addressed
+    // 48-bit hash — reproducible on any cluster layout, and exact because
+    // every rate is a binary fraction (r·2^48 is an integer threshold, so
+    // the keep decision is a pure integer compare, no doubles anywhere).
+    // The hash is salted ("mix:") so the decision is independent of the
+    // q62 train/test assignment derived from the same key.
+    QueryDef("q149_domain_mixing",
+      (s, dir) => {
+        val thresh = typedLit(Map(
+          "zh" -> 281474976710656L, // 1.0    (2^48) — keep all
+          "en" -> 140737488355328L, // 0.5    (2^47)
+          "es" -> 70368744177664L,  // 0.25   (2^46)
+          "de" -> 35184372088832L,  // 0.125  (2^45)
+          "fr" -> 17592186044416L)) // 0.0625 (2^44)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            h48(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+          .filter(col("h") < element_at(thresh, col("lang")))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang FROM documents
+        |WHERE ${sqlH48("'mix:' || CAST(doc_id AS VARCHAR)")} <
+        |  CASE lang WHEN 'zh' THEN 281474976710656
+        |            WHEN 'en' THEN 140737488355328
+        |            WHEN 'es' THEN 70368744177664
+        |            WHEN 'de' THEN 35184372088832
+        |            WHEN 'fr' THEN 17592186044416 END
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- ROC-AUC per source (rank-sum / Mann–Whitney) ----
+    // Scores = n_chars, labels = (lang = 'en'): the distributed model-eval
+    // pattern — AUC from average ranks, no O(P·N) pair join. Ties get the
+    // average rank via RANK() + (tie_count−1)/2, so the result is
+    // layout-independent; rank terms are integers-plus-halves, which sum
+    // EXACTLY in doubles in any order → raw-double AUC matches the oracle.
+    QueryDef("q153_roc_auc",
+      (s, dir) => {
+        val bySrc = Window.partitionBy("source").orderBy("score")
+        val byScore = Window.partitionBy("source", "score")
+        Tables.documents(s, dir)
+          .select(col("source"), col("n_chars").cast("double").as("score"),
+            (col("lang") === "en").as("pos"))
+          .withColumn("rk", rank().over(bySrc))
+          .withColumn("cnt", count(lit(1)).over(byScore))
+          .groupBy("source")
+          .agg(sum(when(col("pos"), lit(1)).otherwise(lit(0))).as("p"),
+            sum(when(!col("pos"), lit(1)).otherwise(lit(0))).as("n"),
+            sum(when(col("pos"),
+              col("rk") + (col("cnt") - 1) / 2.0)).as("s"))
+          .select(col("source"), col("p"), col("n"),
+            ((col("s") - col("p") * (col("p") + 1) / 2.0)
+              / (col("p").cast("double") * col("n"))).as("auc"))
+          .orderBy("source")
+      },
+      Some("""WITH sc AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS score, lang = 'en' AS pos
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, pos,
+        |    RANK() OVER (PARTITION BY source ORDER BY score) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source, score) AS cnt
+        |  FROM sc),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |    SUM(CASE WHEN pos
+        |        THEN CAST(rk AS DOUBLE) + CAST(cnt - 1 AS DOUBLE) / 2 END) AS s
+        |  FROM rk GROUP BY source)
+        |SELECT source, p, n,
+        |  (s - CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE) / 2)
+        |    / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) AS auc
+        |FROM agg
+        |ORDER BY source""".stripMargin))
   )
+
+  case class PackDoc(source: String, doc_id: Long, n_tok: Int)
+  case class PackedDoc(source: String, doc_id: Long, n_tok: Int,
+                       bin: Int, bin_offset: Int)
 }

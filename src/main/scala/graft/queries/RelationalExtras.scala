@@ -372,6 +372,84 @@ object RelationalExtras {
         |FROM months m LEFT JOIN orders o
         |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.mo
         |GROUP BY m.mo
-        |ORDER BY mo""".stripMargin))
+        |ORDER BY mo""".stripMargin)),
+
+    // ---- Pareto frontier (skyline) per group ----
+    // Parts that are non-dominated on (minimize retail price, maximize
+    // size) within their brand: u dominates t iff u is <= on price, >= on
+    // size, and strictly better on one. Expressed as a self anti-join
+    // under the brand equi-key, so Catalyst plans a broadcast hash join
+    // on p_brand with the dominance predicate as residual — candidate
+    // pairs are per-brand, never the full cross product. (At extreme
+    // per-group cardinality the same result comes from a sort-by-price /
+    // running-max-size scan per group; the anti-join form is the general
+    // multi-criteria one.)
+    QueryDef("q155_pareto_frontier",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"),
+            col("p_retailprice"), col("p_size"))
+        val dom = p.select(col("p_brand").as("b"),
+          col("p_retailprice").as("dp"), col("p_size").as("ds"))
+        p.join(dom,
+            col("p_brand") === col("b")
+              && col("dp") <= col("p_retailprice")
+              && col("ds") >= col("p_size")
+              && (col("dp") < col("p_retailprice")
+                  || col("ds") > col("p_size")),
+            "left_anti")
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice, p_size
+        |FROM part t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part u
+        |  WHERE u.p_brand = t.p_brand
+        |    AND u.p_retailprice <= t.p_retailprice
+        |    AND u.p_size >= t.p_size
+        |    AND (u.p_retailprice < t.p_retailprice
+        |         OR u.p_size > t.p_size))
+        |ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // ---- chi-square independence screen (event_type x hour-of-day) ----
+    // The contingency-table audit for "is activity mix time-dependent":
+    // observed cell counts vs the independence expectation
+    // row_total*col_total/N, with the per-cell chi-square contribution.
+    // ONE aggregate over the fact table; the margins come from window sums
+    // over the 120-cell result, not a second scan. All inputs are exact
+    // integers, and expectation/contribution are single IEEE ops on
+    // identical operands → raw doubles match the oracle bit-for-bit.
+    QueryDef("q157_chi_square",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byType = Window.partitionBy("event_type")
+        val byHr = Window.partitionBy("hr")
+        val all = Window.partitionBy()
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("obs"))
+          .select(col("event_type"), col("hr"), col("obs"),
+            (sum("obs").over(byType).cast("double")
+              * sum("obs").over(byHr).cast("double")
+              / sum("obs").over(all).cast("double")).as("expected"))
+          .withColumn("contrib",
+            (col("obs") - col("expected")) * (col("obs") - col("expected"))
+              / col("expected"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH cell AS (
+        |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+        |         COUNT(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, hr, obs,
+        |    CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      * CAST(SUM(obs) OVER (PARTITION BY hr) AS DOUBLE)
+        |      / CAST(SUM(obs) OVER () AS DOUBLE) AS expected
+        |  FROM cell)
+        |SELECT event_type, hr, obs, expected,
+        |  (obs - expected) * (obs - expected) / expected AS contrib
+        |FROM m
+        |ORDER BY event_type, hr""".stripMargin))
   )
 }

@@ -323,6 +323,160 @@ object TextQueries {
         |  CAST(len(list_distinct(cw)) AS INTEGER) AS n_vocab,
         |  cw[1] AS first_content
         |FROM f
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- denylist scrub (PII-redaction machinery) ----
+    // The regex-redaction pass of a data-cleaning pipeline: replace every
+    // word-boundary denylist hit with a [X] marker (the exact machinery of
+    // email/phone PII scrubbing — this corpus has no PII, so the pattern is
+    // a term denylist with real hits). regexp_replace is codegen'd and
+    // embarrassingly parallel; the md5 of the scrubbed text makes the
+    // oracle compare the FULL redacted string, not just the counts.
+    // DuckDB regexp_replace needs the 'g' flag for replace-all parity.
+    QueryDef("q146_denylist_scrub",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr(
+            "filter(split(text, ' ', -1), t -> t IN ('slow','big','merge'))"))
+            .as("n_hits"),
+          regexp_replace(col("text"), "\\b(slow|big|merge)\\b", "[X]")
+            .as("red"))
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id"), col("n_hits"),
+          length(col("red")).as("red_len"), md5(col("red")).as("red_fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('slow','big','merge'))) AS INTEGER) AS n_hits,
+        |  CAST(len(regexp_replace(text, '\b(slow|big|merge)\b', '[X]', 'g'))
+        |       AS INTEGER) AS red_len,
+        |  md5(regexp_replace(text, '\b(slow|big|merge)\b', '[X]', 'g'))
+        |    AS red_fp
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('slow','big','merge'))) > 0
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- benchmark-contamination screen (n-gram overlap) ----
+    // Flags training docs sharing any distinct 3-shingle with the held-out
+    // benchmark shard (doc_id % 97 = 0) — the decontamination step run
+    // before training on web-scale corpora. The benchmark shingle set is
+    // tiny relative to the corpus, so it BROADCASTS and the screen is one
+    // map-side semi-join over the exploded training shingles: no shuffle
+    // of the 100 TB side beyond its own per-doc aggregate.
+    QueryDef("q147_contamination_screen",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(graft.functions.TextExpressions
+            .distinctShingles(col("text"), 3)).as("s"))
+          .distinct()
+        // train side: ONE scan — shingle set projected once, per-doc size
+        // carried through the explode so no second aggregate over the text
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), graft.functions.TextExpressions
+            .distinctShingles(col("text"), 3).as("ds"))
+          .select(col("doc_id"), size(col("ds")).as("ns"),
+            explode(col("ds")).as("s"))
+          .join(broadcast(bench), "s")
+          .groupBy("doc_id")
+          .agg(min("ns").as("n_shingles"), count(lit(1)).as("n_shared"))
+          .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_shingles"))
+              .as("contaminated_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$shingleCte
+        |SELECT t.doc_id, CAST(MIN(t.n) AS INTEGER) AS n_shingles,
+        |  COUNT(*) AS n_shared,
+        |  CAST(COUNT(*) AS DOUBLE) / MIN(t.n) AS contaminated_frac
+        |FROM ex t
+        |JOIN (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0) b
+        |  ON t.s = b.s
+        |WHERE t.doc_id % 97 <> 0
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- PMI collocations (statistically-bound word pairs) ----
+    // Pointwise mutual information of adjacent bigrams vs their unigram
+    // margins: pmi = ln( (c_xy/N_big) / ((c_x/N_tok)(c_y/N_tok)) ), kept
+    // at support >= 5 — the collocation-mining step of corpus analysis.
+    // Counts shuffle once each; the unigram table is tiny and broadcasts
+    // into the bigram table twice. ln is libm → round 6 on both engines;
+    // ties in rounded pmi are totally ordered by the bigram itself, so the
+    // LIMIT 50 cut is deterministic on both.
+    QueryDef("q152_pmi_collocations",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(split(col("text"), " ", -1).as("w"))
+        val uni = docs.select(explode(col("w")).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("cx"))
+        val nTok = uni.agg(sum("cx")).head.getLong(0)
+        val bg = docs.select(explode(expr(
+            "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1)," +
+            " (a, b) -> named_struct('x', a, 'y', b))")).as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        val nBig = bg.agg(sum("cxy")).head.getLong(0)
+        bg.filter(col("cxy") >= 5)
+          .join(broadcast(uni), "x")
+          .join(broadcast(uni.select(col("x").as("y"), col("cx").as("cy"))),
+            "y")
+          .select(concat(col("x"), lit(" "), col("y")).as("bigram"),
+            col("cxy"),
+            round(log(
+              (col("cxy").cast("double") / nBig)
+                / ((col("cx").cast("double") / nTok)
+                   * (col("cy").cast("double") / nTok))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram"))
+          .limit(50)
+      },
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT x, COUNT(*) AS cx
+        |  FROM (SELECT unnest(w) AS x FROM d) GROUP BY 1),
+        |bg AS (SELECT b, COUNT(*) AS cxy
+        |  FROM (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b
+        |        FROM d) GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(cx) FROM uni) AS n_tok,
+        |               (SELECT SUM(cxy) FROM bg) AS n_big)
+        |SELECT b AS bigram, CAST(cxy AS BIGINT) AS cxy,
+        |  round(ln((CAST(cxy AS DOUBLE) / n_big)
+        |    / ((CAST(ux.cx AS DOUBLE) / n_tok)
+        |       * (CAST(uy.cx AS DOUBLE) / n_tok))), 6) AS pmi
+        |FROM bg
+        |CROSS JOIN tot
+        |JOIN uni ux ON ux.x = string_split(b, ' ')[1]
+        |JOIN uni uy ON uy.x = string_split(b, ' ')[2]
+        |WHERE cxy >= 5
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 50""".stripMargin)),
+
+    // ---- inverted index (term -> sorted posting list) ----
+    // Builds search postings over the doc_id % 50 = 0 shard: per term, the
+    // document frequency and the comma-joined sorted doc_id list. The
+    // posting list is the canonical text-retrieval structure; group-and-
+    // sort-within-key is exactly Spark's aggregate shape, and the sharding
+    // bounds each posting string (at full scale postings would be written
+    // as bucketed arrays, same plan shape).
+    QueryDef("q156_inverted_index",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(expr("transform(array_sort(collect_list(doc_id))," +
+            " x -> cast(x as string))"), ",").as("postings"))
+        .orderBy("term"),
+      Some("""WITH td AS (
+        |  SELECT DISTINCT term, doc_id
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        |        FROM documents WHERE doc_id % 50 = 0))
+        |SELECT term, COUNT(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS postings
+        |FROM td
+        |GROUP BY term
+        |ORDER BY term""".stripMargin))
   )
 }

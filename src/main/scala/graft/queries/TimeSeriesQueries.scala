@@ -654,7 +654,69 @@ object TimeSeriesQueries {
       (s, dir) => TimeSeriesOps.lttb(Tables.events(s, dir),
           "user_id", "event_id", "ts", "value", m = 8)
         .orderBy("user_id", "event_id"),
-      Some(lttbOracle(8)))
+      Some(lttbOracle(8))),
+
+    // ---- Holt linear (double-exponential) smoothing ----
+    // alpha = 0.5, beta = 0.25: all four coefficients (0.5/0.5, 0.25/0.75)
+    // are exact in binary, so the per-key double sequence is bit-identical
+    // to the recursive CTE's (emitted UNROUNDED, the q85 discipline). The
+    // CTE repeats the new-level expression inside the trend term — SQL
+    // cannot reference a same-SELECT alias — which is the identical IEEE
+    // op sequence the Scala pass executes.
+    QueryDef("q150_holt_smoothing",
+      (s, dir) => TimeSeriesOps.holt(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value", alpha = 0.5, beta = 0.25)
+        .orderBy("user_id", "event_id"),
+      Some(s"""WITH RECURSIVE $numberedBase,
+        |r AS (
+        |  SELECT user_id, event_id, value, rn,
+        |         value AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |    CAST(0.5 AS DOUBLE) * b.value
+        |      + CAST(0.5 AS DOUBLE) * (r.level + r.trend) AS level,
+        |    CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * b.value
+        |        + CAST(0.5 AS DOUBLE) * (r.level + r.trend)) - r.level)
+        |      + CAST(0.75 AS DOUBLE) * r.trend AS trend
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value, level, trend FROM r
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- seasonal (hour-of-day) profile + deviation ----
+    // Per (user, hour-of-day): visit count, hourly mean, and the hour's
+    // deviation from the user's overall mean — the additive seasonal
+    // decomposition a fleet-monitoring deployment runs before anomaly
+    // thresholds. ONE scan: the overall mean is recovered from the hourly
+    // partials by window sums — and those re-sums stay in EXACT DECIMAL
+    // (dsumDec), cast to double only at the end: re-summing cast doubles
+    // would be order-dependent across engines. The final divisions and
+    // subtraction are single IEEE ops on identical inputs → raw doubles.
+    QueryDef("q151_seasonal_profile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Window.partitionBy("user_id")
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"),
+            graft.util.OracleSafe.dsumDec(col("value")).as("svd"))
+          .select(col("user_id"), col("hr"), col("n"),
+            (col("svd").cast("double") / col("n")).as("hr_mean"),
+            (col("svd").cast("double") / col("n")
+              - sum(col("svd")).over(u).cast("double")
+                / sum(col("n")).over(u).cast("double")).as("dev"))
+          .orderBy("user_id", "hr")
+      },
+      Some("""WITH hourly AS (
+        |  SELECT user_id, CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n,
+        |         SUM(CAST(value AS DECIMAL(27,6))) AS svd
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, hr, n, CAST(svd AS DOUBLE) / n AS hr_mean,
+        |  CAST(svd AS DOUBLE) / n
+        |    - CAST(SUM(svd) OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / CAST(SUM(n) OVER (PARTITION BY user_id) AS DOUBLE) AS dev
+        |FROM hourly
+        |ORDER BY user_id, hr""".stripMargin))
   )
 
   /** Unrolled-SQL twin of [[TimeSeriesOps.lttb]] for `m` total buckets:

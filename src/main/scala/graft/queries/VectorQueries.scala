@@ -220,6 +220,32 @@ object VectorQueries {
         .agg(count(lit(1)).as("n"),
              round(davg(col("dist")), 6).as("avg_dist"))
         .orderBy("cluster"),
-      None)
+      None),
+
+    // ---- per-label mean-pooled embedding (element-wise centroid) ----
+    // The distributed vector-pooling step (class centroids / domain
+    // prototypes): posexplode to (label, dim, value), one hash aggregate.
+    // Each float is quantized to integer micro-units by floor(v*1e6 + 0.5)
+    // — float→double widening, multiply, add, floor are all exact or
+    // correctly-rounded IEEE ops, so both engines produce the IDENTICAL
+    // integer per element and the sums are exact at any parallelism (the
+    // q131 fixed-point discipline; emitting sum+count instead of a mean
+    // avoids engine-specific integer-division semantics on negatives).
+    QueryDef("q154_embedding_pool",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v").cast("double") * 1000000d + 0.5d).cast("long"))
+            .as("sum_micro"))
+        .orderBy("label", "pos"),
+      Some("""SELECT label, CAST(i - 1 AS INTEGER) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+        |    * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro
+        |FROM embeddings
+        |CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g
+        |GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin))
   )
 }

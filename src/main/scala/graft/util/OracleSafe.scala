@@ -40,6 +40,12 @@ object OracleSafe {
   /** Deterministic mean over all rows (COUNT(*) denominator). */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** [[dsum]] WITHOUT the final double cast: keeps the exact decimal so the
+    * caller can re-aggregate it (e.g. window sum-of-sums) and cast once at
+    * the end — re-summing the cast doubles would be order-dependent again.
+    */
+  def dsumDec(c: Column): Column = sum(c.cast(Dec))
+
   /** Oracle-side SQL fragments mirroring the helpers above. */
   def sqlDsum(expr: String): String = s"CAST(SUM(CAST(($expr) AS DECIMAL(27,6))) AS DOUBLE)"
   def sqlDavg(expr: String): String = s"(${sqlDsum(expr)} / COUNT(*))"

@@ -330,6 +330,50 @@ object AdvancedQueries {
           element_at(col("approx_quartiles"), 2).as("p50"),
           element_at(col("approx_quartiles"), 3).as("p75"))
         .orderBy("l_returnflag"),
-      None)
+      None),
+
+    // ---- winsorization (percentile clamping) ----
+    // The outlier-capping cleanup step: clamp each event's value to its
+    // event-type's [p05, p95] band, then report how many rows hit each cap
+    // and the winsorized mean. Two aggregates (per-type percentiles join
+    // back onto the stream — a broadcast of 5 rows), clamp is
+    // least/greatest, and Spark's exact `percentile` interpolates
+    // identically to DuckDB's quantile_cont (the q46 parity), so clamped
+    // values are bit-identical and the mean goes through dsum.
+    QueryDef("q158_winsorized_stats",
+      (s, dir) => {
+        val bounds = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(expr("percentile(value, 0.05)").as("lo"),
+               expr("percentile(value, 0.95)").as("hi"))
+        Tables.events(s, dir)
+          .join(broadcast(bounds), "event_type")
+          .select(col("event_type"),
+            least(greatest(col("value"), col("lo")), col("hi")).as("wv"),
+            (col("value") < col("lo")).cast("long").as("clip_lo"),
+            (col("value") > col("hi")).cast("long").as("clip_hi"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("clip_lo").as("n_clip_lo"), sum("clip_hi").as("n_clip_hi"),
+            davg(col("wv")).as("winsorized_mean"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH bounds AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type),
+        |w AS (
+        |  SELECT e.event_type,
+        |    least(greatest(e.value, b.lo), b.hi) AS wv,
+        |    CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS clip_lo,
+        |    CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS clip_hi
+        |  FROM events e JOIN bounds b ON e.event_type = b.event_type)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(clip_lo) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(clip_hi) AS BIGINT) AS n_clip_hi,
+        |  ${sqlDavg("wv")} AS winsorized_mean
+        |FROM w
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

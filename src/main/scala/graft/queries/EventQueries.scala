@@ -542,6 +542,55 @@ object EventQueries {
         |  o.o_orderkey AS next_orderkey, o.o_totalprice AS next_totalprice
         |FROM events e
         |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- retention cohorts (first-seen week x activity week) ----
+    // The product-analytics staple: cohort users by their first active
+    // week, then for every later week report how many of the cohort were
+    // active and the retention fraction. Two aggregates: per-user first
+    // week (one shuffle on user), then distinct users per (cohort, week);
+    // the cohort size is recovered from the week-0 diagonal by a window
+    // max — n_active at wk = cohort_week IS the cohort size, so no third
+    // scan. The fraction is one IEEE division of exact integers.
+    QueryDef("q159_retention_cohorts",
+      (s, dir) => {
+        val firstWk = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cohort_wk"))
+        val active = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val grid = active.join(firstWk, "user_id")
+          .groupBy("cohort_wk", "wk")
+          .agg(countDistinct("user_id").as("n_active"))
+        val w = Window.partitionBy("cohort_wk")
+        grid
+          .withColumn("cohort_size",
+            max(when(col("wk") === col("cohort_wk"), col("n_active")))
+              .over(w))
+          .select(col("cohort_wk"), col("wk"), col("n_active"),
+            col("cohort_size"),
+            (col("n_active").cast("double") / col("cohort_size"))
+              .as("retention"))
+          .orderBy("cohort_wk", "wk")
+      },
+      Some("""WITH first_wk AS (
+        |  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_wk
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |grid AS (
+        |  SELECT f.cohort_wk, a.wk, COUNT(DISTINCT a.user_id) AS n_active
+        |  FROM active a JOIN first_wk f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |sized AS (
+        |  SELECT *, MAX(CASE WHEN wk = cohort_wk THEN n_active END)
+        |    OVER (PARTITION BY cohort_wk) AS cohort_size
+        |  FROM grid)
+        |SELECT CAST(cohort_wk AS TIMESTAMP) AS cohort_wk,
+        |  CAST(wk AS TIMESTAMP) AS wk, n_active, cohort_size,
+        |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+        |FROM sized
+        |ORDER BY cohort_wk, wk""".stripMargin))
   )
 }

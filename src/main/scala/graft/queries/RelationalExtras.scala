@@ -450,6 +450,54 @@ object RelationalExtras {
         |SELECT event_type, hr, obs, expected,
         |  (obs - expected) * (obs - expected) / expected AS contrib
         |FROM m
-        |ORDER BY event_type, hr""".stripMargin))
+        |ORDER BY event_type, hr""".stripMargin)),
+
+    // ---- mutual information between two categorical columns ----
+    // MI(lang; source) from the contingency cells: per-cell pointwise MI
+    // ln(c·N/(row·col)) and its probability-weighted contribution — the
+    // feature-dependence screen run before stratifying or mixing a corpus.
+    // Same one-aggregate + window-margins shape as q157; ln is libm →
+    // round 6 on both engines, everything before it is exact-integer
+    // ratios divided identically.
+    QueryDef("q162_mutual_information",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byLang = Window.partitionBy("lang")
+        val bySrc = Window.partitionBy("source")
+        val all = Window.partitionBy()
+        Tables.documents(s, dir)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"))
+          .select(col("lang"), col("source"), col("n"),
+            sum("n").over(byLang).as("n_lang"),
+            sum("n").over(bySrc).as("n_src"),
+            sum("n").over(all).as("n_tot"))
+          .select(col("lang"), col("source"), col("n"),
+            round(log(col("n").cast("double") * col("n_tot")
+              / (col("n_lang").cast("double") * col("n_src"))), 6)
+              .as("pmi"),
+            round((col("n").cast("double") / col("n_tot"))
+              * log(col("n").cast("double") * col("n_tot")
+                / (col("n_lang").cast("double") * col("n_src"))), 6)
+              .as("mi_contrib"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH cell AS (
+        |  SELECT lang, source, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT lang, source, n,
+        |    SUM(n) OVER (PARTITION BY lang) AS n_lang,
+        |    SUM(n) OVER (PARTITION BY source) AS n_src,
+        |    SUM(n) OVER () AS n_tot
+        |  FROM cell)
+        |SELECT lang, source, n,
+        |  round(ln(CAST(n AS DOUBLE) * n_tot
+        |    / (CAST(n_lang AS DOUBLE) * n_src)), 6) AS pmi,
+        |  round((CAST(n AS DOUBLE) / n_tot)
+        |    * ln(CAST(n AS DOUBLE) * n_tot
+        |      / (CAST(n_lang AS DOUBLE) * n_src)), 6) AS mi_contrib
+        |FROM m
+        |ORDER BY lang, source""".stripMargin))
   )
 }

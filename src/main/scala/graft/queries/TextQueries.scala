@@ -411,23 +411,26 @@ object TextQueries {
           .select(split(col("text"), " ", -1).as("w"))
         val uni = docs.select(explode(col("w")).as("x"))
           .groupBy("x").agg(count(lit(1)).as("cx"))
-        val nTok = uni.agg(sum("cx")).head.getLong(0)
         val bg = docs.select(explode(expr(
             "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1)," +
             " (a, b) -> named_struct('x', a, 'y', b))")).as("b"))
           .select(col("b.x").as("x"), col("b.y").as("y"))
           .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
-        val nBig = bg.agg(sum("cxy")).head.getLong(0)
+        // totals as broadcast scalar frames, NOT driver collects: one job,
+        // and the uni/bg exchanges are reused instead of recomputed
         bg.filter(col("cxy") >= 5)
           .join(broadcast(uni), "x")
           .join(broadcast(uni.select(col("x").as("y"), col("cx").as("cy"))),
             "y")
+          .crossJoin(broadcast(uni.agg(sum("cx").as("n_tok"))))
+          .crossJoin(broadcast(bg.agg(sum("cxy").as("n_big"))))
           .select(concat(col("x"), lit(" "), col("y")).as("bigram"),
             col("cxy"),
             round(log(
-              (col("cxy").cast("double") / nBig)
-                / ((col("cx").cast("double") / nTok)
-                   * (col("cy").cast("double") / nTok))), 6).as("pmi"))
+              (col("cxy").cast("double") / col("n_big"))
+                / ((col("cx").cast("double") / col("n_tok"))
+                   * (col("cy").cast("double") / col("n_tok")))), 6)
+              .as("pmi"))
           .orderBy(col("pmi").desc, col("bigram"))
           .limit(50)
       },
@@ -477,6 +480,101 @@ object TextQueries {
         |    AS postings
         |FROM td
         |GROUP BY term
-        |ORDER BY term""".stripMargin))
+        |ORDER BY term""".stripMargin)),
+
+    // ---- triangle counting on the near-dup similarity graph ----
+    // Edges = Jaccard-0.3 near-dup pairs (i < j); triangles are the
+    // two-path + closing-edge join e1(i,j) ⋈ e2(j,k) ⋈ e3(i,k), the
+    // standard distributed formulation — with i<j<k ordering each
+    // triangle is counted exactly once. The edge list is orders of
+    // magnitude smaller than the corpus, so both joins broadcast; at
+    // web scale the same plan runs as shuffled hash joins partitioned
+    // on the shared vertex.
+    QueryDef("q160_triangle_count",
+      (s, dir) => {
+        val e = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+            "doc_id", "text", 3, 0.3)
+          .select("i", "j")
+        val e2 = e.select(col("i").as("j2"), col("j").as("k"))
+        val e3 = e.select(col("i").as("i3"), col("j").as("k3"))
+        e.join(e2, col("j") === col("j2"))
+          .join(e3, col("i") === col("i3") && col("k") === col("k3"))
+          .select("i", "j", "k")
+          .orderBy("i", "j", "k")
+      },
+      Some(s"""$shingleCte,
+        |e AS (SELECT i, j FROM pairs
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3)
+        |SELECT e1.i AS i, e1.j AS j, e2.j AS k
+        |FROM e e1
+        |JOIN e e2 ON e2.i = e1.j
+        |JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j
+        |ORDER BY e1.i, e1.j, e2.j""".stripMargin)),
+
+    // ---- BM25 relevance scoring ----
+    // Okapi BM25 (k1 = 1.2, b = 0.75) of every document against the query
+    // {table, join, fast}: tf and doc-length from one explode-aggregate,
+    // df per query term from the same pass, idf = ln((N-df+.5)/(df+.5)+1).
+    // Per-term contributions are summed through dsum (decimal-6) so the
+    // 3-term sum is order-independent; ln is libm → round 6 both sides.
+    // The query-term tables are tiny → broadcast; the corpus side is one
+    // shuffle on (doc, term).
+    QueryDef("q161_bm25_scoring",
+      (s, dir) => {
+        val qTerms = Seq("table", "join", "fast")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
+        val tf = docs.select(col("doc_id"), explode(col("w")).as("t"))
+          .filter(col("t").isin(qTerms: _*))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum("dl").as("tot_len"))
+        val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), "t")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (log((col("n_docs").cast("double") - col("df") + 0.5)
+                / (col("df").cast("double") + 0.5) + 1.0)
+              * (col("tf").cast("double") * 2.2)
+              / (col("tf").cast("double")
+                 + lit(1.2) * (lit(0.25) + lit(0.75)
+                   * col("dl").cast("double")
+                   / (col("tot_len").cast("double") / col("n_docs")))))
+              .as("contrib"))
+          .groupBy("doc_id")
+          .agg(round(dsum(col("contrib")), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl FROM docs),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tfq
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM docs)
+        |  WHERE t IN ('table', 'join', 'fast')
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_len FROM dl),
+        |df AS (SELECT t, COUNT(*) AS dfq FROM tf GROUP BY t),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    ln((CAST(n_docs AS DOUBLE) - dfq + CAST(0.5 AS DOUBLE))
+        |        / (CAST(dfq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |       + CAST(1 AS DOUBLE))
+        |      * (CAST(tfq AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tfq AS DOUBLE)
+        |         + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+        |             / (CAST(tot_len AS DOUBLE) / n_docs))) AS c
+        |  FROM tf
+        |  JOIN df ON df.t = tf.t
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats)
+        |SELECT doc_id, round(${sqlDsum("c")}, 6) AS bm25
+        |FROM contrib
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin))
   )
 }

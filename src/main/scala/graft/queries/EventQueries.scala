@@ -591,6 +591,37 @@ object EventQueries {
         |  CAST(wk AS TIMESTAMP) AS wk, n_active, cohort_size,
         |  CAST(n_active AS DOUBLE) / cohort_size AS retention
         |FROM sized
-        |ORDER BY cohort_wk, wk""".stripMargin))
+        |ORDER BY cohort_wk, wk""".stripMargin)),
+
+    // ---- longest consecutive-day activity streak per user ----
+    // Gaps-and-islands: distinct (user, day) → the classic date − rank
+    // island key (consecutive days share it) → per-island lengths → max.
+    // One shuffle on user_id shared by the window and both aggregates;
+    // the island key is computed inside the partition, so the plan is a
+    // single exchange at any scale.
+    QueryDef("q166_longest_streak",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        d.withColumn("grp", date_sub(col("d"), row_number().over(w)))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("longest_streak"),
+            sum("len").as("n_active_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INTEGER) AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin))
   )
 }

@@ -430,7 +430,77 @@ object PipelineQueries {
         |  (s - CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE) / 2)
         |    / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) AS auc
         |FROM agg
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // ---- referential-integrity audit across the star schema ----
+    // The constraint check a lakehouse runs per batch (parquet enforces
+    // nothing): per FK edge, child cardinality, orphan rows, and how many
+    // distinct parent keys are missing. Each edge is a left-anti join
+    // against the deduplicated parent keys — at scale that is a shuffle
+    // (or broadcast, for small parents) semi-join per edge, never a
+    // collect. The last edge audits against a *restricted* parent set
+    // (the "active catalog", p_size ≤ 25) to exercise the nonzero-orphan
+    // path on an otherwise-clean corpus.
+    QueryDef("q168_referential_integrity",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        def edge(name: String, child: DataFrame, key: String,
+                 parentKeys: DataFrame): DataFrame = {
+          val orphans = child.join(
+            parentKeys.toDF(key).distinct(), Seq(key), "left_anti")
+          child.agg(count(lit(1)).as("child_rows"))
+            .crossJoin(orphans.agg(count(lit(1)).as("orphan_rows"),
+              countDistinct(col(key)).as("missing_parents")))
+            .select(lit(name).as("edge"), col("child_rows"),
+              col("orphan_rows"), col("missing_parents"))
+        }
+        val li = Tables.lineitem(s, dir)
+        edge("lineitem_active_part", li.select("l_partkey"), "l_partkey",
+            Tables.part(s, dir).filter(col("p_size") <= 25)
+              .select("p_partkey"))
+          .unionByName(edge("lineitem_orders",
+            li.select("l_orderkey"), "l_orderkey",
+            Tables.orders(s, dir).select("o_orderkey")))
+          .unionByName(edge("lineitem_part",
+            li.select("l_partkey"), "l_partkey",
+            Tables.part(s, dir).select("p_partkey")))
+          .unionByName(edge("lineitem_supplier",
+            li.select("l_suppkey"), "l_suppkey",
+            Tables.supplier(s, dir).select("s_suppkey")))
+          .unionByName(edge("orders_customer",
+            Tables.orders(s, dir).select("o_custkey"), "o_custkey",
+            Tables.customer(s, dir).select("c_custkey")))
+          .orderBy("edge")
+      },
+      Some("""WITH e1 AS (
+        |  SELECT l_partkey AS k FROM lineitem
+        |  WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part WHERE p_size <= 25)),
+        |e2 AS (SELECT l_orderkey AS k FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |e3 AS (SELECT l_partkey AS k FROM lineitem
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+        |e4 AS (SELECT l_suppkey AS k FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+        |e5 AS (SELECT o_custkey AS k FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT 'lineitem_active_part' AS edge,
+        |  (SELECT COUNT(*) FROM lineitem) AS child_rows,
+        |  (SELECT COUNT(*) FROM e1) AS orphan_rows,
+        |  (SELECT COUNT(DISTINCT k) FROM e1) AS missing_parents
+        |UNION ALL SELECT 'lineitem_orders',
+        |  (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM e2),
+        |  (SELECT COUNT(DISTINCT k) FROM e2)
+        |UNION ALL SELECT 'lineitem_part',
+        |  (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM e3),
+        |  (SELECT COUNT(DISTINCT k) FROM e3)
+        |UNION ALL SELECT 'lineitem_supplier',
+        |  (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM e4),
+        |  (SELECT COUNT(DISTINCT k) FROM e4)
+        |UNION ALL SELECT 'orders_customer',
+        |  (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM e5),
+        |  (SELECT COUNT(DISTINCT k) FROM e5)
+        |ORDER BY edge""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

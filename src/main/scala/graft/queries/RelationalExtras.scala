@@ -498,6 +498,177 @@ object RelationalExtras {
         |    * ln(CAST(n AS DOUBLE) * n_tot
         |      / (CAST(n_lang AS DOUBLE) * n_src)), 6) AS mi_contrib
         |FROM m
-        |ORDER BY lang, source""".stripMargin))
+        |ORDER BY lang, source""".stripMargin)),
+
+    // ---- market-basket association rules (pairwise co-occurrence) ----
+    // Support / confidence / lift over part pairs bought in the same
+    // order. Candidate pairs are generated per basket (self-join on the
+    // order key with p1 < p2), never all-parts × all-parts: baskets
+    // average ~4 items, so the pair stream is O(rows·k) and the only
+    // shuffles are the basket key and the pair-count aggregate. Item
+    // counts are a small dimension → broadcast; the order total is a
+    // broadcast scalar. All ratios divide exact integer counts in the
+    // same IEEE op sequence as the oracle.
+    QueryDef("q163_market_basket",
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+        val ic = b.groupBy("pk").agg(count(lit(1)).as("cnt"))
+        val pairs = b.toDF("ok", "p1")
+          .join(b.toDF("ok2", "p2"),
+            col("ok") === col("ok2") && col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("pair_cnt"))
+          .filter(col("pair_cnt") >= 2)
+        pairs
+          .join(broadcast(ic.toDF("p1", "c1")), Seq("p1"))
+          .join(broadcast(ic.toDF("p2", "c2")), Seq("p2"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("p1"), col("p2"), col("pair_cnt"),
+            round(col("pair_cnt").cast("double") / col("n_orders"), 6)
+              .as("support"),
+            round(col("pair_cnt").cast("double") / col("c1"), 6)
+              .as("conf_p1"),
+            round(col("pair_cnt").cast("double") * col("n_orders")
+              / (col("c1").cast("double") * col("c2")), 6).as("lift"))
+          .orderBy("p1", "p2")
+      },
+      Some("""WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM b),
+        |ic AS (SELECT pk, COUNT(*) AS cnt FROM b GROUP BY pk),
+        |pair AS (
+        |  SELECT b1.pk AS p1, b2.pk AS p2, COUNT(*) AS pair_cnt
+        |  FROM b b1 JOIN b b2 ON b1.ok = b2.ok AND b1.pk < b2.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p1, p2, pair_cnt,
+        |  round(CAST(pair_cnt AS DOUBLE) / n_orders, 6) AS support,
+        |  round(CAST(pair_cnt AS DOUBLE) / c1.cnt, 6) AS conf_p1,
+        |  round(CAST(pair_cnt AS DOUBLE) * n_orders
+        |    / (CAST(c1.cnt AS DOUBLE) * c2.cnt), 6) AS lift
+        |FROM pair
+        |JOIN ic c1 ON p1 = c1.pk
+        |JOIN ic c2 ON p2 = c2.pk
+        |CROSS JOIN n
+        |ORDER BY p1, p2""".stripMargin)),
+
+    // ---- RFM customer segmentation (quintile scoring) ----
+    // Recency / frequency / monetary quintiles per market segment via
+    // ntile(5) with a deterministic custkey tie-break; the monetary rank
+    // orders on the exact decimal spend sum, so rank order is engine-
+    // independent. Output is the bounded segment × (r,f,m) cell census.
+    // Scale: the fact scan collapses to one row per customer first
+    // (partial+final aggregate), and the three ntiles share one window
+    // partitioning (the market segments); at extreme per-segment
+    // cardinality the same scores come from pre-computed quantile
+    // breakpoints instead of the in-partition sort.
+    QueryDef("q164_rfm_segments",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val maxD = Tables.orders(s, dir)
+          .agg(max(to_date(col("o_orderdate"))).as("corpus_max"))
+        val cust = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+            count(lit(1)).as("freq"),
+            dsumDec(col("o_totalprice")).as("mon"))
+          .crossJoin(broadcast(maxD))
+          .select(col("custkey"),
+            datediff(col("corpus_max"), col("last_d")).as("rec"),
+            col("freq"), col("mon"))
+        val seg = cust.join(
+          Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("custkey") === col("c_custkey"))
+        val bySeg = Window.partitionBy("segment")
+        seg.select(col("segment"),
+            ntile(5).over(bySeg.orderBy(col("rec").asc, col("custkey").asc))
+              .as("r"),
+            ntile(5).over(bySeg.orderBy(col("freq").desc, col("custkey").asc))
+              .as("f"),
+            ntile(5).over(bySeg.orderBy(col("mon").desc, col("custkey").asc))
+              .as("m"))
+          .groupBy("segment", "r", "f", "m").agg(count(lit(1)).as("n"))
+          .orderBy("segment", "r", "f", "m")
+      },
+      Some("""WITH maxd AS (
+        |  SELECT CAST(MAX(o_orderdate) AS DATE) AS corpus_max FROM orders),
+        |cust AS (
+        |  SELECT o_custkey AS custkey,
+        |    date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+        |      (SELECT corpus_max FROM maxd)) AS rec,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS mon
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT c.c_mktsegment AS segment, custkey, rec, freq, mon
+        |  FROM cust JOIN customer c ON custkey = c.c_custkey),
+        |t AS (
+        |  SELECT segment,
+        |    CAST(ntile(5) OVER (PARTITION BY segment
+        |      ORDER BY rec ASC, custkey ASC) AS INTEGER) AS r,
+        |    CAST(ntile(5) OVER (PARTITION BY segment
+        |      ORDER BY freq DESC, custkey ASC) AS INTEGER) AS f,
+        |    CAST(ntile(5) OVER (PARTITION BY segment
+        |      ORDER BY mon DESC, custkey ASC) AS INTEGER) AS m
+        |  FROM seg)
+        |SELECT segment, r, f, m, COUNT(*) AS n
+        |FROM t GROUP BY 1, 2, 3, 4
+        |ORDER BY segment, r, f, m""".stripMargin)),
+
+    // ---- Gini concentration of customer spend per market segment ----
+    // The inequality audit run before choosing a partitioning key: exact
+    // cent-integer spend totals, a deterministic (spend, custkey) rank,
+    // and the closed-form Gini (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Every sum
+    // stays in int64 (≤2^63 at any tested SF), so the only doubles are
+    // the final casts — identical single IEEE ops on both engines.
+    QueryDef("q169_gini_spend",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long"))
+            .as("cents"))
+        val seg = spend.join(
+          Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("custkey") === col("c_custkey"))
+        val w = Window.partitionBy("segment")
+          .orderBy(col("cents").asc, col("custkey").asc)
+        seg.withColumn("i", row_number().over(w))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("b"),
+            sum(col("i") * col("cents")).as("a"))
+          .select(col("segment"), col("n"), col("b"),
+            round((lit(2d) * col("a").cast("double")
+              - (col("n") + 1).cast("double") * col("b").cast("double"))
+              / (col("n").cast("double") * col("b").cast("double")), 6)
+              .as("gini"))
+          .orderBy("segment")
+      },
+      Some("""WITH spend AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT c.c_mktsegment AS segment, custkey, cents
+        |  FROM spend JOIN customer c ON custkey = c.c_custkey),
+        |r AS (
+        |  SELECT segment, cents,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY cents ASC, custkey ASC) AS i
+        |  FROM seg),
+        |g AS (
+        |  SELECT segment, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS b,
+        |    CAST(SUM(i * cents) AS BIGINT) AS a
+        |  FROM r GROUP BY segment)
+        |SELECT segment, n, b,
+        |  round((2 * CAST(a AS DOUBLE)
+        |    - CAST(n + 1 AS DOUBLE) * CAST(b AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE)), 6) AS gini
+        |FROM g
+        |ORDER BY segment""".stripMargin))
   )
 }

@@ -385,6 +385,68 @@ object ScaleOpsQueries {
           |  CAST(id // 2 AS BIGINT) AS key, CAST(r AS BIGINT) / 1000000.0 AS rank
           |FROM r5
           |ORDER BY node_type, key""".stripMargin
-      })
+      }),
+
+    // ---- join-key skew profile (the pre-shuffle audit) ----
+    // The distribution report consulted before picking a shuffle key:
+    // per-key row counts reduced to one row of cardinality, exact
+    // p50/p90/p99 count quantiles (position = ceil(q·n) over the
+    // cnt-ordered ranking), and the top-1/top-10 key shares that decide
+    // whether salting is needed. The per-key aggregate is partial+final;
+    // the ranking windows run over the (small) key-count table, not the
+    // fact — at extreme key cardinality the same report comes from an
+    // approx-quantile sketch instead of the global sort.
+    QueryDef("q170_key_skew_profile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.lineitem(s, dir)
+          .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        val ranked = c.select(col("l_partkey"), col("cnt"),
+          row_number().over(
+            Window.orderBy(col("cnt").asc, col("l_partkey").asc)).as("rn"),
+          row_number().over(
+            Window.orderBy(col("cnt").desc, col("l_partkey").asc)).as("rd"),
+          count(lit(1)).over(Window.partitionBy()).as("nk"))
+        ranked.agg(
+            count(lit(1)).as("n_keys"),
+            sum("cnt").as("total_rows"),
+            max("cnt").as("max_cnt"),
+            max(when(col("rn") === ceil(col("nk") * 0.5).cast("long"),
+              col("cnt"))).as("p50_cnt"),
+            max(when(col("rn") === ceil(col("nk") * 0.9).cast("long"),
+              col("cnt"))).as("p90_cnt"),
+            max(when(col("rn") === ceil(col("nk") * 0.99).cast("long"),
+              col("cnt"))).as("p99_cnt"),
+            sum(when(col("rd") <= 10, col("cnt")).otherwise(0L)).as("t10"))
+          .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+            col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+            round(col("max_cnt").cast("double")
+              / col("total_rows").cast("double"), 6).as("top1_share"),
+            round(col("t10").cast("double")
+              / col("total_rows").cast("double"), 6).as("top10_share"))
+      },
+      Some("""WITH c AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt ASC, l_partkey ASC) AS rn,
+        |    row_number() OVER (ORDER BY cnt DESC, l_partkey ASC) AS rd,
+        |    COUNT(*) OVER () AS nk
+        |  FROM c)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |  MAX(cnt) AS max_cnt,
+        |  MAX(CASE WHEN rn = CAST(ceil(nk * CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    THEN cnt END) AS p50_cnt,
+        |  MAX(CASE WHEN rn = CAST(ceil(nk * CAST(0.9 AS DOUBLE)) AS BIGINT)
+        |    THEN cnt END) AS p90_cnt,
+        |  MAX(CASE WHEN rn = CAST(ceil(nk * CAST(0.99 AS DOUBLE)) AS BIGINT)
+        |    THEN cnt END) AS p99_cnt,
+        |  round(CAST(MAX(cnt) AS DOUBLE)
+        |    / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE), 6) AS top1_share,
+        |  round(CAST(CAST(SUM(CASE WHEN rd <= 10 THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE), 6) AS top10_share
+        |FROM r""".stripMargin))
   )
 }

@@ -322,6 +322,107 @@ object SourceQueries {
         |${sqlDsum("e.value * d.weight")} AS weighted_sum
         |FROM events e JOIN dim d ON e.event_type = d.w_type
         |GROUP BY e.event_type
-        |ORDER BY e.event_type""".stripMargin))
+        |ORDER BY e.event_type""".stripMargin)),
+
+    // ---- point-in-time join against an SCD2 dimension ----
+    // The consumption side of q101's SCD2 upsert: every fact row joins
+    // the dimension version whose [valid_from, valid_to) interval covers
+    // the fact's event date, so historical orders aggregate under the
+    // segment that was true WHEN THEY HAPPENED, not the current one. The
+    // versioned dimension is customer-sized → broadcast hash join on the
+    // customer key with the interval test as residual; no fact shuffle
+    // until the final aggregate.
+    QueryDef("q165_scd2_point_in_time",
+      (s, dir) => {
+        val cut = to_date(lit("1998-01-01"))
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey").as("custkey"),
+            col("c_mktsegment").as("segment"))
+        val changed = col("custkey") % 10 === 3
+        val v1 = cust.select(col("custkey"), col("segment"),
+          to_date(lit("1990-01-01")).as("valid_from"),
+          when(changed, cut).otherwise(lit(null).cast("date")).as("valid_to"))
+        val v2 = cust.filter(changed).select(col("custkey"),
+          lit("PROMO").as("segment"), cut.as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val dim = v1.unionByName(v2)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+            col("o_totalprice"))
+          .join(broadcast(dim),
+            col("o_custkey") === col("custkey")
+              && col("od") >= col("valid_from")
+              && (col("valid_to").isNull || col("od") < col("valid_to")))
+          .groupBy(col("segment"), year(col("od")).as("yr"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("segment", "yr")
+      },
+      Some(s"""WITH dim AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |    DATE '1990-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 10 = 3 THEN DATE '1998-01-01' END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'PROMO', DATE '1998-01-01', NULL
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders)
+        |SELECT segment, CAST(year(od) AS INTEGER) AS yr, COUNT(*) AS n,
+        |  ${sqlDsum("o_totalprice")} AS revenue
+        |FROM o JOIN dim ON o_custkey = custkey AND od >= valid_from
+        |  AND (valid_to IS NULL OR od < valid_to)
+        |GROUP BY 1, 2
+        |ORDER BY segment, yr""".stripMargin)),
+
+    // ---- snapshot diff / reconciliation (added, removed, changed) ----
+    // The table-compare run after a backfill or a CDC replay: full outer
+    // join of two snapshots on the business key, per-row classification,
+    // and the bounded per-class census with the net value drift. The two
+    // snapshots are simulated from orders by key-pattern deletes (A drops
+    // %97, B drops %101) and price bumps (%89). One shuffle per side on
+    // the join key; the classification is a residual projection.
+    QueryDef("q167_snapshot_diff",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val a = o.filter(col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("pa"))
+        val b = o.filter(col("o_orderkey") % 101 =!= 0)
+          .select(col("o_orderkey").as("k2"),
+            (col("o_totalprice")
+              + when(col("o_orderkey") % 89 === 0, 10d).otherwise(0d))
+              .as("pb"))
+        a.join(b, col("k") === col("k2"), "full_outer")
+          .select(
+            when(col("k").isNull, "added")
+              .when(col("k2").isNull, "removed")
+              .when(col("pa") =!= col("pb"), "changed")
+              .otherwise("same").as("change_class"),
+            (coalesce(col("pb"), lit(0d)) - coalesce(col("pa"), lit(0d)))
+              .as("delta"))
+          .groupBy("change_class")
+          .agg(count(lit(1)).as("n"), dsum(col("delta")).as("net_delta"))
+          .orderBy("change_class")
+      },
+      Some(s"""WITH a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pa
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |b AS (
+        |  SELECT o_orderkey AS k2,
+        |    o_totalprice + CASE WHEN o_orderkey % 89 = 0
+        |      THEN CAST(10 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS pb
+        |  FROM orders WHERE o_orderkey % 101 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN k IS NULL THEN 'added'
+        |              WHEN k2 IS NULL THEN 'removed'
+        |              WHEN pa <> pb THEN 'changed'
+        |              ELSE 'same' END AS change_class,
+        |    COALESCE(pb, CAST(0 AS DOUBLE))
+        |      - COALESCE(pa, CAST(0 AS DOUBLE)) AS delta
+        |  FROM a FULL OUTER JOIN b ON k = k2)
+        |SELECT change_class, COUNT(*) AS n,
+        |  ${sqlDsum("delta")} AS net_delta
+        |FROM d GROUP BY 1
+        |ORDER BY change_class""".stripMargin))
   )
 }

@@ -575,6 +575,98 @@ object TextQueries {
         |FROM contrib
         |GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id
-        |LIMIT 20""".stripMargin))
+        |LIMIT 20""".stripMargin)),
+
+    // ---- exact-substring span dedup (duplicated 8-gram coverage) ----
+    // The token-span variant of exact-substring training-data dedup (Lee
+    // et al. 2021): slide an 8-token window over every document, find
+    // spans shared verbatim across ≥2 documents, and report each doc's
+    // duplicated-span fraction — the signal used to crop or drop
+    // boilerplate-heavy documents. Plan shape: one generate (the sliding
+    // window is a per-row transform over the token array, no join), one
+    // aggregate on the span key (the inverted-index shuffle), and a
+    // re-join on the same key that AQE plans without a second exchange
+    // of the big side. At 100 TB the span table is the big intermediate;
+    // it partitions by span hash and never collects.
+    QueryDef("q171_span_dedup",
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t)-7)," +
+              " i -> array_join(slice(t, i, 8), ' '))")).as("gram"))
+        val dup = g.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("gram"), lit(1).as("is_dup"))
+        g.join(dup, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("is_dup"), lit(0))).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            round(col("n_dup").cast("double") / col("n_grams"), 6)
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN gram IN (SELECT gram FROM dup)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(CAST(SUM(CASE WHEN gram IN (SELECT gram FROM dup)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_frac
+        |FROM g GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-source KL divergence from the corpus token mix ----
+    // Domain-drift screen run before mixing corpus sources: each source's
+    // unigram distribution vs the global one, KL(source ‖ corpus) =
+    // Σ p·ln(p/q). One token aggregate, margins by window sums over the
+    // (small) source × token table, per-source reduce through the exact
+    // decimal accumulator (order-independent); ln is libm → the
+    // established dsum-then-round-6 contract (q137).
+    QueryDef("q172_source_kl",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        val m = c.select(col("source"), col("tok"), col("n"),
+          sum("n").over(Window.partitionBy("source")).as("n_src"),
+          sum("n").over(Window.partitionBy("tok")).as("n_tok"),
+          sum("n").over(Window.partitionBy()).as("n_tot"))
+        m.groupBy("source")
+          .agg(dsum((col("n").cast("double") / col("n_src"))
+            * log((col("n").cast("double") / col("n_src"))
+              / (col("n_tok").cast("double") / col("n_tot")))).as("klsum"))
+          .select(col("source"), round(col("klsum"), 6).as("kl"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, tok, n,
+        |    SUM(n) OVER (PARTITION BY source) AS n_src,
+        |    SUM(n) OVER (PARTITION BY tok) AS n_tok,
+        |    SUM(n) OVER () AS n_tot
+        |  FROM c)
+        |SELECT source,
+        |  round(${sqlDsum("(CAST(n AS DOUBLE) / n_src)" +
+            " * ln((CAST(n AS DOUBLE) / n_src)" +
+            " / (CAST(n_tok AS DOUBLE) / n_tot))")}, 6) AS kl
+        |FROM m GROUP BY source
+        |ORDER BY source""".stripMargin))
   )
 }

@@ -246,6 +246,56 @@ object VectorQueries {
         |FROM embeddings
         |CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g
         |GROUP BY label, i
-        |ORDER BY label, pos""".stripMargin))
+        |ORDER BY label, pos""".stripMargin)),
+
+    // ---- inter-centroid distance matrix (cluster separation audit) ----
+    // Squared L2 between every pair of per-label centroids — the
+    // separation check run after clustering (and the seed for centroid
+    // merging). Centroids come from the q154 micro-unit pooling (exact
+    // integer sums, one fact-table aggregate); the pair distances join
+    // the tiny label × dim centroid table against itself per dimension —
+    // broadcast, never a fact-table cross product. Mean = sum/(n·1e6) is
+    // the same single-division IEEE sequence on both engines; the
+    // per-dimension squared gaps reduce through the exact decimal
+    // accumulator (order-independent).
+    QueryDef("q173_centroid_distances",
+      (s, dir) => {
+        val cent = Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("v").cast("double") * 1000000d + 0.5d).cast("long"))
+              .as("sm"))
+          .select(col("label"), col("pos"),
+            (col("sm").cast("double")
+              / (col("n").cast("double") * 1000000d)).as("mean"))
+        val a = cent.toDF("label_a", "pa", "ma")
+        val b = cent.toDF("label_b", "pb", "mb")
+        a.join(broadcast(b),
+            col("pa") === col("pb") && col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(dsum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+            .as("d2raw"))
+          .select(col("label_a"), col("label_b"),
+            round(col("d2raw"), 6).as("d2"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH cent AS (
+        |  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |    CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000
+        |        + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |      / (CAST(COUNT(*) AS DOUBLE) * 1000000) AS mean
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g
+        |  GROUP BY label, i),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    (a.mean - b.mean) * (a.mean - b.mean) AS sq
+        |  FROM cent a JOIN cent b
+        |    ON a.pos = b.pos AND a.label < b.label)
+        |SELECT label_a, label_b,
+        |  round(CAST(SUM(CAST(sq AS DECIMAL(27,6))) AS DOUBLE), 6) AS d2
+        |FROM p GROUP BY 1, 2
+        |ORDER BY label_a, label_b""".stripMargin))
   )
 }

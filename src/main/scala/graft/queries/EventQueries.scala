@@ -622,6 +622,88 @@ object EventQueries {
         |SELECT user_id, MAX(len) AS longest_streak,
         |  CAST(SUM(len) AS BIGINT) AS n_active_days
         |FROM s GROUP BY user_id
-        |ORDER BY user_id""".stripMargin))
+        |ORDER BY user_id""".stripMargin)),
+
+    // ---- data-freshness audit (per-stream lag vs corpus watermark) ----
+    // The ops check a streaming pipeline runs per batch: each series'
+    // last event time, its lag behind the global watermark in whole
+    // seconds (exact integer math on epoch seconds), and a staleness
+    // flag. One aggregate + a broadcast scalar — no window, no sort.
+    QueryDef("q177_freshness_audit",
+      (s, dir) => {
+        val g = Tables.events(s, dir).agg(max("ts").as("global_max"))
+        Tables.events(s, dir).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("ts").as("last_ts"))
+          .crossJoin(broadcast(g))
+          .select(col("event_type"), col("n"), col("last_ts"),
+            (unix_timestamp(col("global_max"))
+              - unix_timestamp(col("last_ts"))).as("lag_sec"),
+            (unix_timestamp(col("global_max"))
+              - unix_timestamp(col("last_ts")) > 1800).as("stale"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT MAX(ts) AS global_max FROM events)
+        |SELECT event_type, COUNT(*) AS n, MAX(ts) AS last_ts,
+        |  date_diff('second', MAX(ts), (SELECT global_max FROM g))
+        |    AS lag_sec,
+        |  date_diff('second', MAX(ts), (SELECT global_max FROM g)) > 1800
+        |    AS stale
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- two-proportion z-test (A/B experiment readout) ----
+    // The experimentation primitive: users split into variants by the
+    // deterministic user_id parity, per-user conversion (purchase share
+    // above threshold), pooled-proportion z-statistic. Every input to
+    // the statistic is an exact integer; the z expression is one fixed
+    // IEEE sequence (divisions + one correctly-rounded sqrt), so the raw
+    // double matches the oracle bit-for-bit before the display rounding.
+    QueryDef("q179_ab_ztest",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(((sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("double") / count(lit(1))) > 0.21).cast("int")
+            .as("converted"))
+          .withColumn("variant", (col("user_id") % 2).cast("int"))
+        val v = u.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+        val p = (col("c0") + col("c1")).cast("double") /
+          (col("n0") + col("n1"))
+        v.agg(
+            max(when(col("variant") === 0, col("n"))).as("n0"),
+            max(when(col("variant") === 1, col("n"))).as("n1"),
+            max(when(col("variant") === 0, col("conv"))).as("c0"),
+            max(when(col("variant") === 1, col("conv"))).as("c1"))
+          .select(col("n0"), col("n1"), col("c0"), col("c1"),
+            round(col("c0").cast("double") / col("n0"), 6).as("p0"),
+            round(col("c1").cast("double") / col("n1"), 6).as("p1"),
+            round((col("c0").cast("double") / col("n0")
+              - col("c1").cast("double") / col("n1"))
+              / sqrt((p * (lit(1d) - p))
+                * (lit(1d) / col("n0") + lit(1d) / col("n1"))), 6).as("z"))
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+        |    CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |        > CAST(0.21 AS DOUBLE)
+        |      THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT variant, COUNT(*) AS n,
+        |        CAST(SUM(converted) AS BIGINT) AS conv FROM u GROUP BY 1),
+        |w AS (SELECT
+        |  MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |  MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |  MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+        |  MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+        |  FROM v)
+        |SELECT n0, n1, c0, c1,
+        |  round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+        |  round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+        |  round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        |    / sqrt(((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)))
+        |      * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6) AS z
+        |FROM w""".stripMargin))
   )
 }

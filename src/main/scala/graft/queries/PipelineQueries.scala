@@ -500,7 +500,30 @@ object PipelineQueries {
         |UNION ALL SELECT 'orders_customer',
         |  (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM e5),
         |  (SELECT COUNT(DISTINCT k) FROM e5)
-        |ORDER BY edge""".stripMargin))
+        |ORDER BY edge""".stripMargin)),
+
+    // ---- weighted Bernoulli sampling (importance-weighted, stable) ----
+    // Length-proportional document sampling: keep a doc with probability
+    // n_chars/max(n_chars), decided by the content-addressed 48-bit hash
+    // so the sample is identical on any cluster size, row order, or
+    // re-run (the same split discipline as q62). The accept test is a
+    // pure integer compare — h·maxw < w·2^48 — no floating point at all;
+    // the max weight is a broadcast scalar.
+    QueryDef("q176_weighted_sample",
+      (s, dir) => {
+        val mx = Tables.documents(s, dir).agg(max("n_chars").as("maxw"))
+        Tables.documents(s, dir).crossJoin(broadcast(mx))
+          .filter(h48(col("doc_id")) * col("maxw")
+            < col("n_chars") * lit(1L << 48))
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH mx AS (SELECT MAX(n_chars) AS maxw FROM documents)
+        |SELECT doc_id, lang, n_chars
+        |FROM documents CROSS JOIN mx
+        |WHERE ${sqlH48("doc_id")} * maxw
+        |      < n_chars * (CAST(1 AS BIGINT) << 48)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

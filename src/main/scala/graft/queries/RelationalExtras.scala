@@ -669,6 +669,101 @@ object RelationalExtras {
         |    - CAST(n + 1 AS DOUBLE) * CAST(b AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE)), 6) AS gini
         |FROM g
-        |ORDER BY segment""".stripMargin))
+        |ORDER BY segment""".stripMargin)),
+
+    // ---- rank movers (year-over-year leaderboard churn) ----
+    // The trend screen over a revenue leaderboard: per-supplier revenue
+    // in two adjacent years reduced to exact cent integers, ranked
+    // independently per year with a deterministic tie-break, top-20 by
+    // rank gain. Revenue ranks sort on exact integers, so the
+    // leaderboard order is engine- and layout-independent. One fact join
+    // + one aggregate; the ranking windows run over the supplier-sized
+    // result, not the fact table.
+    QueryDef("q174_rank_movers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .groupBy(col("l_suppkey").as("sk"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+            * 100d + 0.5d).cast("long")).as("rev_c"))
+        val r = c.withColumn("rk", row_number().over(
+          Window.partitionBy("yr")
+            .orderBy(col("rev_c").desc, col("sk").asc)))
+        val a = r.filter(col("yr") === 1996)
+          .select(col("sk"), col("rev_c").as("rev96"), col("rk").as("rk96"))
+        val b = r.filter(col("yr") === 1997)
+          .select(col("sk").as("sk2"), col("rev_c").as("rev97"),
+            col("rk").as("rk97"))
+        a.join(b, col("sk") === col("sk2"))
+          .select(col("sk"), col("rev96"), col("rev97"),
+            col("rk96"), col("rk97"),
+            (col("rk96") - col("rk97")).as("rank_gain"))
+          .orderBy(col("rank_gain").desc, col("sk").asc)
+          .limit(20)
+      },
+      Some("""WITH c AS (
+        |  SELECT l_suppkey AS sk, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT sk, yr, rev_c,
+        |    CAST(row_number() OVER (PARTITION BY yr
+        |      ORDER BY rev_c DESC, sk ASC) AS INTEGER) AS rk
+        |  FROM c)
+        |SELECT a.sk, a.rev_c AS rev96, b.rev_c AS rev97,
+        |  a.rk AS rk96, b.rk AS rk97, a.rk - b.rk AS rank_gain
+        |FROM r a JOIN r b ON a.sk = b.sk AND a.yr = 1996 AND b.yr = 1997
+        |ORDER BY rank_gain DESC, a.sk ASC
+        |LIMIT 20""".stripMargin)),
+
+    // ---- Kaplan-Meier life table over customer order lifetimes ----
+    // Survival analytics inputs: lifetime = months between a customer's
+    // first and last order, deaths per month d_t, the at-risk
+    // reverse-cumulative n_t, and the discrete hazard d_t/n_t. Lifetime
+    // is the calendar-month index difference (exact integers); the
+    // reverse cumsum runs over the bounded per-month table, not the
+    // customer set.
+    QueryDef("q178_life_table",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val life = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(((year(max(col("o_orderdate"))) * 12
+            + month(max(col("o_orderdate"))))
+            - (year(min(col("o_orderdate"))) * 12
+              + month(min(col("o_orderdate"))))).as("m"))
+        life.groupBy("m").agg(count(lit(1)).as("churned"))
+          .withColumn("n_at_risk", sum("churned").over(
+            Window.orderBy(col("m").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("m"), col("n_at_risk"), col("churned"),
+            round(col("churned").cast("double") / col("n_at_risk"), 6)
+              .as("hazard"))
+          .orderBy("m")
+      },
+      Some("""WITH life AS (
+        |  SELECT o_custkey,
+        |    CAST((year(MAX(o_orderdate)) * 12 + month(MAX(o_orderdate)))
+        |      - (year(MIN(o_orderdate)) * 12 + month(MIN(o_orderdate)))
+        |      AS INTEGER) AS m
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT m, COUNT(*) AS churned FROM life GROUP BY m)
+        |SELECT m,
+        |  CAST(SUM(churned) OVER (ORDER BY m DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_risk,
+        |  churned,
+        |  round(CAST(churned AS DOUBLE)
+        |    / CAST(SUM(churned) OVER (ORDER BY m DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+        |    6) AS hazard
+        |FROM d
+        |ORDER BY m""".stripMargin))
   )
 }

@@ -447,6 +447,56 @@ object ScaleOpsQueries {
         |  round(CAST(CAST(SUM(CASE WHEN rd <= 10 THEN cnt ELSE 0 END)
         |      AS BIGINT) AS DOUBLE)
         |    / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE), 6) AS top10_share
-        |FROM r""".stripMargin))
+        |FROM r""".stripMargin)),
+
+    // ---- join-cardinality estimation from bucketed key histograms ----
+    // The planner-statistics operator: estimate |A ⋈ B| from 64
+    // hash-bucketed (count, distinct) histograms under the
+    // uniform-within-bucket assumption — est = Σ_b cA·cB/max(dA,dB) —
+    // and report it against the true join size. At 100 TB the histograms
+    // are a per-side aggregate a few KB wide (shipped to the driver or
+    // broadcast), which is exactly how a planner decides strategy
+    // without touching the join itself; the true count here is only the
+    // accuracy check. Per-bucket terms are identical IEEE divisions;
+    // the 64-term reduce goes through the exact decimal accumulator.
+    QueryDef("q175_join_cardinality_est",
+      (s, dir) => {
+        import graft.util.StableHash.h48
+        def hist(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy((h48(col("k")) % 64).as("bkt"))
+          .agg(count(lit(1)).as("c"), countDistinct(col("k")).as("d"))
+        val a = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
+        val b = Tables.lineitem(s, dir)
+          .filter(year(col("l_shipdate")) === 1996)
+          .select(col("l_partkey").as("k"))
+        val est = hist(a).toDF("bkt", "ca", "da")
+          .join(hist(b).toDF("bkt2", "cb", "db"), col("bkt") === col("bkt2"))
+          .agg(dsum((col("ca") * col("cb")).cast("double")
+            / greatest(col("da"), col("db"))).as("est"))
+        val act = a.join(b, Seq("k")).agg(count(lit(1)).as("actual_rows"))
+        est.crossJoin(act)
+          .select(round(col("est"), 2).as("est_rows"), col("actual_rows"),
+            round(col("est") / col("actual_rows"), 6).as("ratio"))
+      },
+      Some(s"""WITH a AS (SELECT l_partkey AS k FROM lineitem),
+        |b AS (SELECT l_partkey AS k FROM lineitem
+        |      WHERE year(l_shipdate) = 1996),
+        |ha AS (
+        |  SELECT ${graft.util.StableHash.sql48("k")} % 64 AS bkt,
+        |    COUNT(*) AS c, COUNT(DISTINCT k) AS d
+        |  FROM a GROUP BY 1),
+        |hb AS (
+        |  SELECT ${graft.util.StableHash.sql48("k")} % 64 AS bkt,
+        |    COUNT(*) AS c, COUNT(DISTINCT k) AS d
+        |  FROM b GROUP BY 1),
+        |e AS (
+        |  SELECT ${sqlDsum("CAST(ha.c * hb.c AS DOUBLE) / greatest(ha.d, hb.d)")}
+        |    AS est
+        |  FROM ha JOIN hb ON ha.bkt = hb.bkt),
+        |act AS (
+        |  SELECT COUNT(*) AS actual_rows FROM a JOIN b ON a.k = b.k)
+        |SELECT round(est, 2) AS est_rows, actual_rows,
+        |  round(est / actual_rows, 6) AS ratio
+        |FROM e CROSS JOIN act""".stripMargin))
   )
 }

@@ -716,7 +716,64 @@ object TimeSeriesQueries {
         |    - CAST(SUM(svd) OVER (PARTITION BY user_id) AS DOUBLE)
         |      / CAST(SUM(n) OVER (PARTITION BY user_id) AS DOUBLE) AS dev
         |FROM hourly
-        |ORDER BY user_id, hr""".stripMargin))
+        |ORDER BY user_id, hr""".stripMargin)),
+
+    // ---- Bollinger-band breakouts (rolling 20-point mean ± 2σ) ----
+    // The rolling volatility envelope per series: exact decimal window
+    // sums for Σx and Σx² (order-independent at any parallelism), the
+    // textbook sample-variance identity evaluated in one fixed IEEE
+    // sequence, and the breakout flags compared on the UNROUNDED band
+    // edges so the kept set is engine-independent. One shuffle on the
+    // series key; the 20-row frame is a bounded in-partition scan.
+    QueryDef("q180_bollinger_breakouts",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(27, 6)
+        val win = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+        val w = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            count(lit(1)).over(win).as("n20"),
+            sum(col("value").cast(dec)).over(win).as("s"),
+            sum((col("value") * col("value")).cast(dec)).over(win).as("ssq"))
+        val m = w.filter(col("n20") === 20)
+          .select(col("event_id"), col("event_type"), col("value"),
+            (col("s").cast("double") / col("n20")).as("mean"),
+            sqrt(greatest((col("ssq").cast("double")
+              - col("s").cast("double") * col("s").cast("double")
+                / col("n20")) / (col("n20") - 1), lit(0d))).as("sd"))
+        m.withColumn("band",
+            when(col("value") > col("mean") + lit(2d) * col("sd"), "upper")
+              .when(col("value") < col("mean") - lit(2d) * col("sd"), "lower"))
+          .filter(col("band").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+            col("band"))
+          .orderBy("event_id")
+      },
+      Some("""WITH w AS (
+        |  SELECT event_id, event_type, value,
+        |    COUNT(*) OVER win AS n20,
+        |    SUM(CAST(value AS DECIMAL(27,6))) OVER win AS s,
+        |    SUM(CAST(value * value AS DECIMAL(27,6))) OVER win AS ssq
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(s AS DOUBLE) / n20 AS mean,
+        |    sqrt(greatest((CAST(ssq AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n20) / (n20 - 1),
+        |      CAST(0 AS DOUBLE))) AS sd
+        |  FROM w WHERE n20 = 20)
+        |SELECT event_id, event_type, value,
+        |  round(mean, 6) AS mean, round(sd, 6) AS sd,
+        |  CASE WHEN value > mean + 2 * sd THEN 'upper'
+        |       ELSE 'lower' END AS band
+        |FROM m
+        |WHERE value > mean + 2 * sd OR value < mean - 2 * sd
+        |ORDER BY event_id""".stripMargin))
   )
 
   /** Unrolled-SQL twin of [[TimeSeriesOps.lttb]] for `m` total buckets:

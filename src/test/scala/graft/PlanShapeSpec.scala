@@ -151,4 +151,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the loop must not sort-merge the edge table per iteration:\n$plan")
   }
+
+  test("point-in-time SCD2 join broadcasts the versioned dimension") {
+    val df = graft.queries.SourceQueries.defs
+      .find(_.name == "q165_scd2_point_in_time").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension should broadcast with the interval test residual:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay keyed on the customer key:\n$plan")
+  }
+
+  test("market basket generates pairs per order key, never parts x parts") {
+    val df = graft.queries.RelationalExtras.defs
+      .find(_.name == "q163_market_basket").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"the basket self-join must be an equi-join on the order key:\n$plan")
+    // item counts + order total are broadcast dimensions
+    assert(plan.contains("BroadcastHashJoin")
+        || plan.contains("BroadcastExchange"),
+      s"item-count dimension should broadcast:\n$plan")
+  }
+
+  test("span dedup shuffles the gram table by key, not the corpus twice") {
+    val df = graft.queries.TextQueries.defs
+      .find(_.name == "q171_span_dedup").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram re-join must stay an equi-join on the gram key:\n$plan")
+  }
 }

@@ -374,6 +374,50 @@ object AdvancedQueries {
         |  ${sqlDavg("wv")} AS winsorized_mean
         |FROM w
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- weighted median per group (quantity-weighted price) ----
+    // The robust mid-price where each row counts `l_quantity` times:
+    // integer cumulative weights over the price-ordered partition, first
+    // price where 2·cumw ≥ total weight. The crossing PRICE is tie-order
+    // independent (all rows in a price tie share the value), so no
+    // artificial tie-break is needed and the result is engine-exact —
+    // every quantity is a whole number recovered as an exact integer.
+    QueryDef("q184_weighted_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val x = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100d + 0.5d).cast("long")
+            .as("price_c"),
+          floor(col("l_quantity") + 0.5d).cast("long").as("w"))
+        val byFlag = Window.partitionBy("flag")
+        val c = x.select(col("flag"), col("price_c"),
+          sum("w").over(byFlag.orderBy("price_c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cumw"),
+          sum("w").over(byFlag).as("totw"))
+        c.groupBy("flag")
+          .agg(max("totw").as("total_weight"),
+            min(when(lit(2) * col("cumw") >= col("totw"), col("price_c")))
+              .as("wmedian_c"))
+          .orderBy("flag")
+      },
+      Some("""WITH x AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+        |      AS BIGINT) AS price_c,
+        |    CAST(floor(l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT flag, price_c,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY price_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY flag) AS totw
+        |  FROM x)
+        |SELECT flag, CAST(MAX(totw) AS BIGINT) AS total_weight,
+        |  MIN(CASE WHEN 2 * cumw >= totw THEN price_c END) AS wmedian_c
+        |FROM c GROUP BY flag
+        |ORDER BY flag""".stripMargin))
   )
 }

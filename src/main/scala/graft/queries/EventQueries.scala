@@ -704,6 +704,44 @@ object EventQueries {
         |    / sqrt(((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)))
         |      * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6) AS z
-        |FROM w""".stripMargin))
+        |FROM w""".stripMargin)),
+
+    // ---- run-length encoding census of event-type runs ----
+    // The repetition profile of each behavior stream: consecutive equal
+    // event types collapse to runs (the rank-difference island key again,
+    // keyed by value this time), then the bounded (type, run-length)
+    // histogram. Two windows over ONE keyed shuffle (both partition by
+    // user) + a small aggregate; run detection never leaves the
+    // partition.
+    QueryDef("q186_run_length",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+        val byUserType = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            (row_number().over(byUser) - row_number().over(byUserType))
+              .as("grp"))
+          .groupBy("user_id", "event_type", "grp")
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy(col("event_type"), col("run_len").cast("int").as("run_len"))
+          .agg(count(lit(1)).as("n_runs"))
+          .orderBy("event_type", "run_len")
+      },
+      Some("""WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn2
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, rn - rn2 AS grp, COUNT(*) AS run_len
+        |  FROM o GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(run_len AS INTEGER) AS run_len,
+        |  COUNT(*) AS n_runs
+        |FROM runs GROUP BY 1, 2
+        |ORDER BY event_type, run_len""".stripMargin))
   )
 }

@@ -523,7 +523,53 @@ object PipelineQueries {
         |FROM documents CROSS JOIN mx
         |WHERE ${sqlH48("doc_id")} * maxw
         |      < n_chars * (CAST(1 AS BIGINT) << 48)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- quantile normalization across sources ----
+    // Batch-effect correction before mixing corpora: each document's
+    // length is replaced by the GLOBAL length at the same quantile
+    // position its length holds WITHIN its source — all sources then
+    // share one length distribution. Pure integer rank arithmetic
+    // (gpos = ⌈srk·N/n_src⌉ via exact integer ceil-division), so the
+    // mapping is engine- and layout-independent. Scale note: the global
+    // ranking is the only unpartitioned window — at extreme corpus size
+    // the same mapping comes from a merged quantile sketch instead.
+    QueryDef("q185_quantile_normalize",
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("n_chars").as("gchars"),
+            row_number().over(Window.orderBy("n_chars", "doc_id")).as("grk"))
+        val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_tot"))
+        val bySrc = Window.partitionBy("source")
+        val sr = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            row_number().over(bySrc.orderBy("n_chars", "doc_id")).as("srk"),
+            count(lit(1)).over(bySrc).as("n_src"))
+        sr.crossJoin(broadcast(n))
+          .withColumn("gpos", expr("(srk * n_tot + n_src - 1) div n_src"))
+          .join(g, col("gpos") === col("grk"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("gchars").as("norm_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT n_chars AS gchars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS grk
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n_tot FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS srk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (srk * n_tot + n_src - 1) // n_src AS gpos
+        |  FROM s CROSS JOIN n)
+        |SELECT m.doc_id, m.source, m.n_chars, g.gchars AS norm_chars
+        |FROM m JOIN g ON m.gpos = g.grk
+        |ORDER BY m.doc_id""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

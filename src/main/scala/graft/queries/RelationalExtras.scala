@@ -764,6 +764,41 @@ object RelationalExtras {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
         |    6) AS hazard
         |FROM d
-        |ORDER BY m""".stripMargin))
+        |ORDER BY m""".stripMargin)),
+
+    // ---- entity resolution: blocked candidate pairs + match scoring ----
+    // Catalog MDM: find duplicate part listings by blocking on exact
+    // (name, brand) — the candidate generator that keeps the pair space
+    // O(block²·blocks), never |parts|² — then matching on price proximity
+    // (±1%, evaluated in identical IEEE ops). The price delta is reported
+    // in exact cents. At 100 TB the blocked self-join shuffles once on
+    // the block key; skewed blocks would salt exactly like q77.
+    QueryDef("q181_entity_resolution",
+      (s, dir) => {
+        val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"),
+          col("p_brand"), col("p_retailprice"))
+        val a = p.toDF("pk1", "name", "brand", "pr1")
+        val b = p.toDF("pk2", "name2", "brand2", "pr2")
+        a.join(b, col("name") === col("name2")
+            && col("brand") === col("brand2") && col("pk1") < col("pk2"))
+          .filter(col("pr2") >= col("pr1") * lit(0.99d)
+            && col("pr2") <= col("pr1") * lit(1.01d))
+          .select(col("pk1"), col("pk2"), col("name"), col("brand"),
+            (floor(col("pr2") * 100d + 0.5d).cast("long")
+              - floor(col("pr1") * 100d + 0.5d).cast("long"))
+              .as("price_diff_c"))
+          .orderBy("pk1", "pk2")
+      },
+      Some("""SELECT a.p_partkey AS pk1, b.p_partkey AS pk2,
+        |  a.p_name AS name, a.p_brand AS brand,
+        |  CAST(floor(b.p_retailprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    - CAST(floor(a.p_retailprice * 100 + CAST(0.5 AS DOUBLE))
+        |        AS BIGINT) AS price_diff_c
+        |FROM part a JOIN part b
+        |  ON a.p_name = b.p_name AND a.p_brand = b.p_brand
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE b.p_retailprice >= a.p_retailprice * CAST(0.99 AS DOUBLE)
+        |  AND b.p_retailprice <= a.p_retailprice * CAST(1.01 AS DOUBLE)
+        |ORDER BY pk1, pk2""".stripMargin))
   )
 }

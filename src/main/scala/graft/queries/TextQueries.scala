@@ -667,6 +667,75 @@ object TextQueries {
             " * ln((CAST(n AS DOUBLE) / n_src)" +
             " / (CAST(n_tok AS DOUBLE) / n_tot))")}, 6) AS kl
         |FROM m GROUP BY source
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // ---- cross-source duplication overlap matrix ----
+    // The corpus-mixing audit: for every source pair, how many distinct
+    // content fingerprints (q31's sorted-distinct-token hash) they share.
+    // Fingerprints reduce each doc to one 32-char key, so the overlap
+    // join is fingerprint-keyed — inverted-index shaped, never
+    // docs × docs — and the output is the bounded source × source census.
+    QueryDef("q182_source_overlap",
+      (s, dir) => {
+        val fp = Tables.documents(s, dir)
+          .select(TA.fingerprint(col("text")).as("f"), col("source"))
+          .distinct()
+        fp.toDF("f", "sa").join(fp.toDF("f2", "sb"),
+            col("f") === col("f2") && col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("shared_docs"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH fp AS (
+        |  SELECT DISTINCT
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS f,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared_docs
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY sa, sb""".stripMargin)),
+
+    // ---- log-odds token divergence between two languages ----
+    // The drill-down behind q172's KL screen: per-token Haldane-smoothed
+    // log-odds ln((cₐ+½)/(Nₐ−cₐ+½)) − ln((c_b+½)/(N_b−c_b+½)) between
+    // the two corpora — the "what words make these domains differ"
+    // report. One token aggregate pivoted to per-token (cₐ, c_b) counts;
+    // margins are broadcast scalars; ln follows the round-6 contract.
+    QueryDef("q183_log_odds",
+      (s, dir) => {
+        val c = Tables.documents(s, dir)
+          .filter(col("lang").isin("en", "es"))
+          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+          .groupBy("t")
+          .agg(sum(when(col("lang") === "en", 1).otherwise(0)).as("ca"),
+            sum(when(col("lang") === "es", 1).otherwise(0)).as("cb"))
+        val tot = c.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        c.crossJoin(broadcast(tot))
+          .select(col("t"), col("ca"), col("cb"),
+            round(log((col("ca") + 0.5d) / (col("na") - col("ca") + 0.5d))
+              - log((col("cb") + 0.5d) / (col("nb") - col("cb") + 0.5d)), 6)
+              .as("log_odds"))
+          .orderBy("t")
+      },
+      Some("""WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE lang IN ('en', 'es')),
+        |c AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |               CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+        |SELECT t, ca, cb,
+        |  round(ln((ca + CAST(0.5 AS DOUBLE))
+        |      / (na - ca + CAST(0.5 AS DOUBLE)))
+        |    - ln((cb + CAST(0.5 AS DOUBLE))
+        |      / (nb - cb + CAST(0.5 AS DOUBLE))), 6) AS log_odds
+        |FROM c CROSS JOIN tot
+        |ORDER BY t""".stripMargin))
   )
 }

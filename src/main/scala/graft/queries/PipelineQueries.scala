@@ -159,7 +159,11 @@ object PipelineQueries {
     QueryDef("q103_cluster_canonical",
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
-        val members = Dedup.connectedComponents(pairs)
+        // the label table is RDD-backed (no Catalyst stats), so without a
+        // hint the planner sort-merges the corpus against it; the cluster
+        // members are orders of magnitude smaller than the corpus →
+        // broadcast, and the doc scan never shuffles
+        val members = broadcast(Dedup.connectedComponents(pairs))
         members.join(Tables.documents(s, dir), members("id") === col("doc_id"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_members"),

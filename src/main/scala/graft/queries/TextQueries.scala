@@ -492,9 +492,14 @@ object TextQueries {
     // on the shared vertex.
     QueryDef("q160_triangle_count",
       (s, dir) => {
+        // materialize the (small) near-dup edge list once: the triangle
+        // join references it three times, and each reference would
+        // otherwise recompute the whole shingle/pair pipeline (measured
+        // ~3× the query's cost)
         val e = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
             "doc_id", "text", 3, 0.3)
           .select("i", "j")
+          .localCheckpoint(true)
         val e2 = e.select(col("i").as("j2"), col("j").as("k"))
         val e3 = e.select(col("i").as("i3"), col("j").as("k3"))
         e.join(e2, col("j") === col("j2"))

@@ -742,6 +742,54 @@ object EventQueries {
         |SELECT event_type, CAST(run_len AS INTEGER) AS run_len,
         |  COUNT(*) AS n_runs
         |FROM runs GROUP BY 1, 2
-        |ORDER BY event_type, run_len""".stripMargin))
+        |ORDER BY event_type, run_len""".stripMargin)),
+
+    // ---- last-touch attribution (purchase → preceding channel) ----
+    // Marketing attribution: every purchase credits the user's LAST
+    // non-purchase event within the preceding hour. A single keyed
+    // window (last-ignoring-nulls over an unbounded-to-previous frame)
+    // carries the candidate touch; the one-hour cutoff compares exact
+    // epoch microseconds. One shuffle on user_id, then a bounded
+    // per-channel census of exact-decimal attributed value.
+    QueryDef("q188_last_touch_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"),
+            last(when(col("event_type") =!= "purchase", col("ts")),
+              ignoreNulls = true).over(w).as("lt_ts"),
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w).as("lt_type"))
+          .filter(col("event_type") === "purchase"
+            && col("lt_ts").isNotNull
+            && unix_micros(col("ts")) - unix_micros(col("lt_ts"))
+              <= 3600000000L)
+          .groupBy(col("lt_type").as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            dsum(col("value")).as("attributed_value"))
+          .orderBy("channel")
+      },
+      Some(s"""WITH w AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lt_ts,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+        |        END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lt_type
+        |  FROM events)
+        |SELECT lt_type AS channel, COUNT(*) AS n_purchases,
+        |  ${sqlDsum("value")} AS attributed_value
+        |FROM w
+        |WHERE event_type = 'purchase' AND lt_ts IS NOT NULL
+        |  AND epoch_us(ts) - epoch_us(lt_ts) <= 3600000000
+        |GROUP BY 1
+        |ORDER BY channel""".stripMargin))
   )
 }

@@ -573,7 +573,88 @@ object PipelineQueries {
         |  FROM s CROSS JOIN n)
         |SELECT m.doc_id, m.source, m.n_chars, g.gchars AS norm_chars
         |FROM m JOIN g ON m.gpos = g.grk
-        |ORDER BY m.doc_id""".stripMargin))
+        |ORDER BY m.doc_id""".stripMargin)),
+
+    // ---- population stability index (distribution drift monitor) ----
+    // The ML-monitoring primitive: decile edges fitted on the reference
+    // window (first half-month), both windows binned against those SAME
+    // edges, per-bin PSI contribution (pₐ−p_b)·ln(pₐ/p_b) with Haldane
+    // smoothing so empty bins stay finite. Edges are values at exact
+    // rank positions (tie-safe: any tie order yields the same value);
+    // the 9-edge table broadcasts into both binning passes — no
+    // per-window sort of the fact table beyond the one edge-fitting
+    // ranking (at extreme scale: a quantile sketch instead).
+    QueryDef("q189_psi_drift",
+      (s, dir) => {
+        val cut = lit("2024-01-15").cast("timestamp")
+        val ev = Tables.events(s, dir)
+        val w1 = ev.filter(col("ts") < cut).select("event_id", "value")
+        val w2 = ev.filter(col("ts") >= cut).select("event_id", "value")
+        val r1 = w1.select(col("value"),
+          row_number().over(Window.orderBy("value")).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        val is = ev.sparkSession.range(1, 10)
+          .select(col("id").cast("int").as("i"))
+        val edges = r1.crossJoin(broadcast(is))
+          .groupBy("i")
+          .agg(max(when(col("rn") === expr("(i * n) div 10"), col("value")))
+            .as("edge"))
+        def bins(w: org.apache.spark.sql.DataFrame) = w
+          .crossJoin(broadcast(edges))
+          .groupBy("event_id")
+          .agg(sum(when(col("value") > col("edge"), 1).otherwise(0))
+            .cast("int").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("c"))
+        val c = bins(w1).toDF("bin", "ca")
+          .join(bins(w2).toDF("bin2", "cb"),
+            col("bin") === col("bin2"), "full_outer")
+          .select(coalesce(col("bin"), col("bin2")).as("bin"),
+            coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+        val tot = c.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        val pa = (col("ca") + 0.5d) / (col("na") + 5)
+        val pb = (col("cb") + 0.5d) / (col("nb") + 5)
+        c.crossJoin(broadcast(tot))
+          .select(col("bin"), col("ca"), col("cb"),
+            round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+          .orderBy("bin")
+      },
+      Some("""WITH w1 AS (SELECT event_id, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15'),
+        |w2 AS (SELECT event_id, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15'),
+        |r1 AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+        |         COUNT(*) OVER () AS n FROM w1),
+        |edges AS (
+        |  SELECT CAST(i AS INTEGER) AS i,
+        |    MAX(CASE WHEN rn = (i * n) // 10 THEN value END) AS edge
+        |  FROM r1 CROSS JOIN (SELECT unnest(range(1, 10)) AS i) g
+        |  GROUP BY i),
+        |b1 AS (
+        |  SELECT e2.event_id,
+        |    CAST(SUM(CASE WHEN e2.value > e.edge THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS bin
+        |  FROM w1 e2 CROSS JOIN edges e GROUP BY e2.event_id),
+        |b2 AS (
+        |  SELECT e2.event_id,
+        |    CAST(SUM(CASE WHEN e2.value > e.edge THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS bin
+        |  FROM w2 e2 CROSS JOIN edges e GROUP BY e2.event_id),
+        |c AS (
+        |  SELECT COALESCE(c1.bin, c2.bin) AS bin,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM (SELECT bin, COUNT(*) AS ca FROM b1 GROUP BY 1) c1
+        |  FULL OUTER JOIN (SELECT bin, COUNT(*) AS cb FROM b2 GROUP BY 1) c2
+        |    ON c1.bin = c2.bin),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |               CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+        |SELECT bin, ca, cb,
+        |  round(((ca + CAST(0.5 AS DOUBLE)) / (na + 5)
+        |      - (cb + CAST(0.5 AS DOUBLE)) / (nb + 5))
+        |    * ln(((ca + CAST(0.5 AS DOUBLE)) / (na + 5))
+        |      / ((cb + CAST(0.5 AS DOUBLE)) / (nb + 5))), 6) AS psi_contrib
+        |FROM c CROSS JOIN tot
+        |ORDER BY bin""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

@@ -242,6 +242,27 @@ object StreamQueries {
         |SELECT session_start, session_end, user_id, n_events, sum_value
         |FROM agg
         |WHERE session_end < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
-        |ORDER BY user_id, session_start""".stripMargin))
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- exactly-once sink: idempotent per-batch overwrite ----
+    // The stream runs TWICE over the same input with fresh checkpoints
+    // (full re-delivery of every micro-batch); because each batch
+    // overwrites only its own batch-id-keyed directory, the read-back
+    // still equals the plain batch aggregate — the oracle below IS that
+    // batch twin, so the exactly-once claim is hash-checked, not assumed.
+    QueryDef("q187_stream_idempotent_sink",
+      (s, dir) => {
+        val outRoot = s"${sys.props("java.io.tmpdir")}/graft_q187_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Streams.idempotentParquetSink(s, dir, outRoot)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        |${sqlDsum("value")} AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -296,6 +296,60 @@ object VectorQueries {
         |SELECT label_a, label_b,
         |  round(CAST(SUM(CAST(sq AS DECIMAL(27,6))) AS DOUBLE), 6) AS d2
         |FROM p GROUP BY 1, 2
-        |ORDER BY label_a, label_b""".stripMargin))
+        |ORDER BY label_a, label_b""".stripMargin)),
+
+    // ---- multimodal: exact binary-payload dedup ----
+    // The modality-agnostic first rung of the dedup ladder: group media
+    // records by payload content hash, report duplicate groups with the
+    // deterministic survivor. Works on the OPAQUE bytes — no decode —
+    // so it applies to images/audio exactly as to text; one hash
+    // aggregate, no shuffle of payloads beyond the md5 key. (The text
+    // corpus has few exact byte-duplicates at small SF; the empty/small
+    // result is still hash-checked, and Round6ESpec pins the semantics
+    // on planted duplicates.)
+    QueryDef("q190_media_dedup",
+      (s, dir) => Multimodal.asMedia(Tables.documents(s, dir)).toDF()
+        .select(col("media_id"), md5(col("payload")).as("content_md5"),
+          octet_length(col("payload")).as("n_bytes"))
+        .groupBy("content_md5")
+        .agg(count(lit(1)).as("n_copies"), min("media_id").as("keep_id"),
+          max("n_bytes").as("n_bytes"))
+        .filter(col("n_copies") > 1)
+        .orderBy("content_md5"),
+      Some("""SELECT md5(text) AS content_md5, COUNT(*) AS n_copies,
+        |  min(doc_id) AS keep_id,
+        |  CAST(max(length(text)) AS INTEGER) AS n_bytes
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY content_md5""".stripMargin)),
+
+    // ---- multimodal: cross-media duplicated frames ----
+    // Chunk-level dedup under the frame segmentation (q143): 64-byte
+    // frames whose content hash recurs in ≥2 media — the shared-segment
+    // detector video/audio pipelines run to find re-used clips and
+    // boilerplate intros. Inverted-index shape on the frame hash: one
+    // generate + one aggregate, the frame table partitions by hash and
+    // never collects.
+    QueryDef("q191_frame_dedup",
+      (s, dir) => Multimodal.frames(
+          Multimodal.asMedia(Tables.documents(s, dir)), frameBytes = 64)
+        .groupBy("frame_md5")
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"),
+          min(col("media_id")).as("first_media"))
+        .filter(col("n_media") >= 2)
+        .orderBy("frame_md5"),
+      Some("""WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |  FROM (SELECT doc_id, text,
+        |          CAST(unnest(range(0, (length(text) + 63) // 64))
+        |            AS INTEGER) AS frame_idx
+        |        FROM documents WHERE length(text) > 0))
+        |SELECT frame_md5, COUNT(DISTINCT media_id) AS n_media,
+        |  COUNT(*) AS n_frames, min(media_id) AS first_media
+        |FROM f
+        |GROUP BY frame_md5 HAVING COUNT(DISTINCT media_id) >= 2
+        |ORDER BY frame_md5""".stripMargin))
   )
 }

@@ -418,6 +418,32 @@ object AdvancedQueries {
         |SELECT flag, CAST(MAX(totw) AS BIGINT) AS total_weight,
         |  MIN(CASE WHEN 2 * cumw >= totw THEN price_c END) AS wmedian_c
         |FROM c GROUP BY flag
-        |ORDER BY flag""".stripMargin))
+        |ORDER BY flag""".stripMargin)),
+
+    // ---- SLA percentile report (p50/p90/p99 per stream) ----
+    // The latency-dashboard primitive: exact interpolated percentiles
+    // per group from ONE percentile buffer per group (a single
+    // array-argument aggregate, not three separate full-column
+    // collects). Spark's percentile() and DuckDB's quantile_cont share
+    // the linear-interpolation definition (parity established by q158);
+    // round 6 guards the interpolation arithmetic. At extreme group
+    // cardinality the same report comes from mergeable quantile sketches
+    // (q107's path) — this is the exact form.
+    QueryDef("q192_sla_percentiles",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, array(0.50, 0.90, 0.99))").as("ps"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("ps"), 1), 6).as("p50"),
+          round(element_at(col("ps"), 2), 6).as("p90"),
+          round(element_at(col("ps"), 3), 6).as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  round(quantile_cont(value, 0.50), 6) AS p50,
+        |  round(quantile_cont(value, 0.90), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -790,6 +790,56 @@ object EventQueries {
         |WHERE event_type = 'purchase' AND lt_ts IS NOT NULL
         |  AND epoch_us(ts) - epoch_us(lt_ts) <= 3600000000
         |GROUP BY 1
-        |ORDER BY channel""".stripMargin))
+        |ORDER BY channel""".stripMargin)),
+
+    // ---- cohort LTV curve (cumulative revenue per signup cohort) ----
+    // q159's companion: purchase revenue per (cohort-week, weeks-since-
+    // signup), accumulated along each cohort's timeline and normalized by
+    // cohort size. Weekly revenue stays an EXACT DECIMAL through the
+    // running-window re-aggregation (summing cast doubles would be
+    // order-dependent — the dsumDec contract) and casts to double once.
+    QueryDef("q194_ltv_curve",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cw"))
+        val rev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .join(u, "user_id")
+          .groupBy(col("cw"),
+            expr("datediff(date_trunc('week', ts), cw) div 7").cast("int")
+              .as("wk_n"))
+          .agg(countDistinct("user_id").as("buyers"),
+            dsumDec(col("value")).as("rev_w"))
+        val sized = u.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+        val w = Window.partitionBy("cw").orderBy("wk_n")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.join(sized, "cw")
+          .select(col("cw").as("cohort_wk"), col("wk_n"), col("buyers"),
+            col("cohort_size"),
+            (sum(col("rev_w")).over(w).cast("double")
+              / col("cohort_size")).as("cum_ltv"))
+          .orderBy("cohort_wk", "wk_n")
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |rev AS (
+        |  SELECT u.cw,
+        |    CAST(date_diff('day', CAST(u.cw AS DATE),
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER)
+        |      AS wk_n,
+        |    COUNT(DISTINCT e.user_id) AS buyers,
+        |    SUM(CAST(value AS DECIMAL(27,6))) AS rev_w
+        |  FROM events e JOIN u ON e.user_id = u.user_id
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |sized AS (SELECT cw, COUNT(*) AS cohort_size FROM u GROUP BY 1)
+        |SELECT CAST(r.cw AS TIMESTAMP) AS cohort_wk, wk_n, buyers,
+        |  cohort_size,
+        |  CAST(SUM(rev_w) OVER (PARTITION BY r.cw ORDER BY wk_n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / cohort_size AS cum_ltv
+        |FROM rev r JOIN sized s ON r.cw = s.cw
+        |ORDER BY cohort_wk, wk_n""".stripMargin))
   )
 }

@@ -799,6 +799,71 @@ object RelationalExtras {
         |  AND a.p_partkey < b.p_partkey
         |WHERE b.p_retailprice >= a.p_retailprice * CAST(0.99 AS DOUBLE)
         |  AND b.p_retailprice <= a.p_retailprice * CAST(1.01 AS DOUBLE)
-        |ORDER BY pk1, pk2""".stripMargin))
+        |ORDER BY pk1, pk2""".stripMargin)),
+
+    // ---- pairwise correlation matrix (single-pass component sums) ----
+    // All 6 Pearson correlations between the 4 numeric lineitem columns
+    // from ONE aggregate: per-column Σx and Σx², per-pair Σxy, all
+    // through exact decimal accumulators. Columns are pre-scaled by
+    // fixed constants (correlation is scale-invariant; the scaling op is
+    // the same IEEE division on both engines) so every accumulated sum
+    // stays below 2^53 scaled units — above that the decimal→double
+    // cast is not correctly rounded on all engines (OracleSafe contract).
+    QueryDef("q193_corr_matrix",
+      (s, dir) => {
+        val scaled = Tables.lineitem(s, dir).select(
+          (col("l_quantity") / lit(100d)).as("qty"),
+          (col("l_extendedprice") / lit(100000d)).as("price"),
+          col("l_discount").as("disc"),
+          col("l_tax").as("tax"))
+        val cs = Seq("qty", "price", "disc", "tax")
+        val prs = for {
+          i <- cs.indices; j <- (i + 1) until cs.size
+        } yield (cs(i), cs(j))
+        val aggs = cs.flatMap(c => Seq(
+          dsumDec(col(c)).as(s"s_$c"),
+          dsumDec(col(c) * col(c)).as(s"q_$c"))) ++
+          prs.map { case (a, b) =>
+            dsumDec(col(a) * col(b)).as(s"s_${a}_$b") }
+        val m = scaled.agg(count(lit(1)).as("n"), aggs: _*)
+        m.select(prs.map { case (a, b) =>
+          round((col("n") * col(s"s_${a}_$b").cast("double")
+            - col(s"s_$a").cast("double") * col(s"s_$b").cast("double"))
+            / (sqrt(col("n") * col(s"q_$a").cast("double")
+                - col(s"s_$a").cast("double") * col(s"s_$a").cast("double"))
+              * sqrt(col("n") * col(s"q_$b").cast("double")
+                - col(s"s_$b").cast("double") * col(s"s_$b").cast("double"))),
+            6).as(s"corr_${a}_$b")
+        }: _*)
+      },
+      Some {
+        val cs = Seq("qty" -> "l_quantity / CAST(100 AS DOUBLE)",
+          "price" -> "l_extendedprice / CAST(100000 AS DOUBLE)",
+          "disc" -> "l_discount", "tax" -> "l_tax")
+        val names = cs.map(_._1)
+        val prs = for {
+          i <- names.indices; j <- (i + 1) until names.size
+        } yield (names(i), names(j))
+        val dec = (e: String) => s"SUM(CAST(($e) AS DECIMAL(27,6)))"
+        val base = (cs.flatMap { case (nm, e) =>
+          Seq(s"${dec(e)} AS s_$nm", s"${dec(s"($e) * ($e)")} AS q_$nm")
+        } ++ prs.map { case (a, b) =>
+          val (ea, eb) = (cs.toMap.apply(a), cs.toMap.apply(b))
+          s"${dec(s"($ea) * ($eb)")} AS s_${a}_$b"
+        }).mkString(", ")
+        val sel = prs.map { case (a, b) =>
+          s"""round((n * CAST(s_${a}_$b AS DOUBLE)
+             |    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+             |  / (sqrt(n * CAST(q_$a AS DOUBLE)
+             |      - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+             |    * sqrt(n * CAST(q_$b AS DOUBLE)
+             |      - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+             |  AS corr_${a}_$b""".stripMargin
+        }.mkString(",\n")
+        s"""WITH m AS (SELECT COUNT(*) AS n, $base FROM lineitem)
+           |SELECT
+           |$sel
+           |FROM m""".stripMargin
+      })
   )
 }

@@ -497,6 +497,33 @@ object ScaleOpsQueries {
         |  SELECT COUNT(*) AS actual_rows FROM a JOIN b ON a.k = b.k)
         |SELECT round(est, 2) AS est_rows, actual_rows,
         |  round(est / actual_rows, 6) AS ratio
-        |FROM e CROSS JOIN act""".stripMargin))
+        |FROM e CROSS JOIN act""".stripMargin)),
+
+    // ---- incremental rollup maintenance (mergeable partials) ----
+    // The incremental-view-maintenance discipline: per-(key, day)
+    // partials hold MERGEABLE state — counts and exact decimal sums,
+    // never averages — so appending a day re-aggregates only partials,
+    // not raw history. The merged result provably equals the direct
+    // aggregate: the oracle below computes the same two-level shape and
+    // hash-matches the one-level truth. At 100 TB the partials table is
+    // days × keys (tiny), and each new partition folds in with one
+    // partial-sized shuffle.
+    QueryDef("q196_incremental_rollup",
+      (s, dir) => {
+        val partials = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("cnt"), dsumDec(col("value")).as("s"))
+        partials.groupBy("event_type")
+          .agg(sum("cnt").as("n"), sum("s").cast("double").as("total"))
+          .orderBy("event_type")
+      },
+      Some("""WITH partials AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt,
+        |    SUM(CAST(value AS DECIMAL(27,6))) AS s
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+        |  CAST(SUM(s) AS DOUBLE) AS total
+        |FROM partials GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -773,7 +773,54 @@ object TimeSeriesQueries {
         |       ELSE 'lower' END AS band
         |FROM m
         |WHERE value > mean + 2 * sd OR value < mean - 2 * sd
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- time-weighted average (irregular-sample mean) ----
+    // THE industrial-historian aggregate: with irregular sampling, the
+    // plain mean over-weights bursts; each reading instead holds its
+    // value until the next one, so the mean weights by holding duration
+    // (Σ vᵢ·Δtᵢ / ΣΔtᵢ). Durations come from one keyed LEAD window in
+    // exact epoch MICROS and values in exact CENTS, so both sums are
+    // pure int64 (≤1.5e17 at any tested SF — 60× below 2^63) — the
+    // decimal-cast route was tried first and hit the scale-6 midpoint
+    // trap (cents × 6-decimal seconds = an exactly-8-decimal product,
+    // which Spark and DuckDB round apart; 64/150 rows flipped). The
+    // final division is fixed IEEE ops on identical operands — raw-
+    // double parity, no rounding. One shuffle on the series key.
+    QueryDef("q195_time_weighted_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val seg = Tables.events(s, dir).select(col("user_id"),
+          floor(col("value") * 100d + 0.5d).cast("long").as("cents"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+            .as("dur_us"))
+        seg.filter(col("dur_us").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents") * col("dur_us")).as("wsum"),
+            sum(col("dur_us")).as("wtot"))
+          .select(col("user_id"), col("n"),
+            (col("wsum").cast("double")
+              / (col("wtot").cast("double") * 100d)).as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""WITH seg AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS cents,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(cents * dur_us) AS BIGINT) AS wsum,
+        |    CAST(SUM(dur_us) AS BIGINT) AS wtot
+        |  FROM seg WHERE dur_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CAST(wsum AS DOUBLE) / (CAST(wtot AS DOUBLE) * 100) AS twa
+        |FROM agg
+        |ORDER BY user_id""".stripMargin))
   )
 
   /** Unrolled-SQL twin of [[TimeSeriesOps.lttb]] for `m` total buckets:

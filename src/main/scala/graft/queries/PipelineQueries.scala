@@ -160,10 +160,13 @@ object PipelineQueries {
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
         // the label table is RDD-backed (no Catalyst stats), so without a
-        // hint the planner sort-merges the corpus against it; the cluster
-        // members are orders of magnitude smaller than the corpus →
-        // broadcast, and the doc scan never shuffles
-        val members = broadcast(Dedup.connectedComponents(pairs))
+        // hint the planner sort-merges the corpus against it. Its size is
+        // NOT bounded — it scales with the corpus duplication rate — so
+        // the hint is guarded by an actual count (cheap: the labels are
+        // already checkpointed) instead of assumed
+        val labels = Dedup.connectedComponents(pairs)
+        val members =
+          if (labels.count() <= 5000000L) broadcast(labels) else labels
         members.join(Tables.documents(s, dir), members("id") === col("doc_id"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_members"),
@@ -448,30 +451,36 @@ object PipelineQueries {
     QueryDef("q168_referential_integrity",
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
-        def edge(name: String, child: DataFrame, key: String,
-                 parentKeys: DataFrame): DataFrame = {
+        // child row counts computed ONCE per child table (they are the
+        // same value for every edge off that table), not once per edge —
+        // three redundant full scans of the biggest table otherwise
+        val li = Tables.lineitem(s, dir)
+        val liRows = li.count()
+        val ordRows = Tables.orders(s, dir).count()
+        def edge(name: String, childRows: Long, child: DataFrame,
+                 key: String, parentKeys: DataFrame): DataFrame = {
           val orphans = child.join(
             parentKeys.toDF(key).distinct(), Seq(key), "left_anti")
-          child.agg(count(lit(1)).as("child_rows"))
-            .crossJoin(orphans.agg(count(lit(1)).as("orphan_rows"),
-              countDistinct(col(key)).as("missing_parents")))
-            .select(lit(name).as("edge"), col("child_rows"),
+          orphans.agg(count(lit(1)).as("orphan_rows"),
+              countDistinct(col(key)).as("missing_parents"))
+            .select(lit(name).as("edge"),
+              lit(childRows).as("child_rows"),
               col("orphan_rows"), col("missing_parents"))
         }
-        val li = Tables.lineitem(s, dir)
-        edge("lineitem_active_part", li.select("l_partkey"), "l_partkey",
+        edge("lineitem_active_part", liRows,
+            li.select("l_partkey"), "l_partkey",
             Tables.part(s, dir).filter(col("p_size") <= 25)
               .select("p_partkey"))
-          .unionByName(edge("lineitem_orders",
+          .unionByName(edge("lineitem_orders", liRows,
             li.select("l_orderkey"), "l_orderkey",
             Tables.orders(s, dir).select("o_orderkey")))
-          .unionByName(edge("lineitem_part",
+          .unionByName(edge("lineitem_part", liRows,
             li.select("l_partkey"), "l_partkey",
             Tables.part(s, dir).select("p_partkey")))
-          .unionByName(edge("lineitem_supplier",
+          .unionByName(edge("lineitem_supplier", liRows,
             li.select("l_suppkey"), "l_suppkey",
             Tables.supplier(s, dir).select("s_suppkey")))
-          .unionByName(edge("orders_customer",
+          .unionByName(edge("orders_customer", ordRows,
             Tables.orders(s, dir).select("o_custkey"), "o_custkey",
             Tables.customer(s, dir).select("c_custkey")))
           .orderBy("edge")
@@ -512,21 +521,27 @@ object PipelineQueries {
     // so the sample is identical on any cluster size, row order, or
     // re-run (the same split discipline as q62). The accept test is a
     // pure integer compare — h·maxw < w·2^48 — no floating point at all;
-    // the max weight is a broadcast scalar.
+    // the max weight is a broadcast scalar. Both products run in
+    // DECIMAL(38,0): h is up to 2^48−1, so the int64 form would wrap
+    // (silently in Spark, an error in DuckDB) as soon as any weight
+    // reaches 2^15 = 32768 — routine for real document lengths.
     QueryDef("q176_weighted_sample",
       (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val big = DecimalType(38, 0)
         val mx = Tables.documents(s, dir).agg(max("n_chars").as("maxw"))
         Tables.documents(s, dir).crossJoin(broadcast(mx))
-          .filter(h48(col("doc_id")) * col("maxw")
-            < col("n_chars") * lit(1L << 48))
+          .filter(h48(col("doc_id")).cast(big) * col("maxw")
+            < col("n_chars").cast(big) * lit(1L << 48))
           .select("doc_id", "lang", "n_chars")
           .orderBy("doc_id")
       },
       Some(s"""WITH mx AS (SELECT MAX(n_chars) AS maxw FROM documents)
         |SELECT doc_id, lang, n_chars
         |FROM documents CROSS JOIN mx
-        |WHERE ${sqlH48("doc_id")} * maxw
-        |      < n_chars * (CAST(1 AS BIGINT) << 48)
+        |WHERE CAST(${sqlH48("doc_id")} AS DECIMAL(38,0)) * maxw
+        |      < CAST(n_chars AS DECIMAL(38,0))
+        |        * (CAST(1 AS BIGINT) << 48)
         |ORDER BY doc_id""".stripMargin)),
 
     // ---- quantile normalization across sources ----

@@ -809,11 +809,18 @@ object RelationalExtras {
     // the same IEEE division on both engines) so every accumulated sum
     // stays below 2^53 scaled units — above that the decimal→double
     // cast is not correctly rounded on all engines (OracleSafe contract).
+    // The price divisor is 2^26, NOT a power of ten: price/1e5 has
+    // exactly 7 decimal digits, parking ~10% of rows on DECIMAL(27,6)
+    // rounding midpoints where Spark (shortest-repr) and DuckDB
+    // (exact-binary) round apart — measured 21,560/583,090 divergent
+    // casts at sf0.1. Dividing by a power of two is an EXACT binary op
+    // whose results avoid scale-6 midpoints entirely: zero divergent
+    // casts measured over every base value, square, and cross product.
     QueryDef("q193_corr_matrix",
       (s, dir) => {
         val scaled = Tables.lineitem(s, dir).select(
           (col("l_quantity") / lit(100d)).as("qty"),
-          (col("l_extendedprice") / lit(100000d)).as("price"),
+          (col("l_extendedprice") / lit(67108864d)).as("price"),
           col("l_discount").as("disc"),
           col("l_tax").as("tax"))
         val cs = Seq("qty", "price", "disc", "tax")
@@ -838,7 +845,7 @@ object RelationalExtras {
       },
       Some {
         val cs = Seq("qty" -> "l_quantity / CAST(100 AS DOUBLE)",
-          "price" -> "l_extendedprice / CAST(100000 AS DOUBLE)",
+          "price" -> "l_extendedprice / CAST(67108864 AS DOUBLE)",
           "disc" -> "l_discount", "tax" -> "l_tax")
         val names = cs.map(_._1)
         val prs = for {

@@ -40,6 +40,20 @@ class Round6ESpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(1) == 2L)
   }
 
+  test("corpus is ASCII: byte semantics (engine) == char semantics (oracle)") {
+    // q190/q191 operate on UTF-8 BYTES (octet_length, binary substr)
+    // while their DuckDB oracles use CHARACTER functions (length,
+    // substr) — equivalent only while every document is single-byte.
+    // If the generator ever emits multibyte text, this fails loudly
+    // instead of the oracle mysteriously hash-mismatching.
+    val mixed = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(mixed == 0L,
+      "non-ASCII documents found: q190/q191 oracles assume byte==char")
+  }
+
   test("q191 on the corpus: every reported frame recurs in >= 2 media") {
     val rows = SparkEntry.queries("q191_frame_dedup")(
       spark, "/root/testdata/sf0.001").collect()

@@ -840,6 +840,45 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / cohort_size AS cum_ltv
         |FROM rev r JOIN sized s ON r.cw = s.cw
-        |ORDER BY cohort_wk, wk_n""".stripMargin))
+        |ORDER BY cohort_wk, wk_n""".stripMargin)),
+
+    // ---- temporal episode counting (A followed by B within 5 min) ----
+    // Sequence mining beyond adjacent transitions (q142): every ordered
+    // event pair of one user within a 5-minute horizon, counted per
+    // type pair. The engine side never builds the per-user cross
+    // product: left rows fan out to their own and the next 5-minute
+    // bucket, the join is EQUI on (user, bucket), and the exact time
+    // predicate is a residual — the q139 banding pattern, so candidate
+    // pairs are O(events·window-density) at any scale. The oracle is
+    // the plain theta join (same result, viable only at oracle scale).
+    QueryDef("q197_temporal_pairs",
+      (s, dir) => {
+        val winUs = 300000000L
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val left = e.select(col("user_id").as("u"), col("ts").as("ts1"),
+          col("event_id").as("id1"), col("event_type").as("type_a"),
+          explode(array(expr(s"unix_micros(ts) div $winUs"),
+            expr(s"unix_micros(ts) div $winUs") + 1)).as("bkt"))
+        val right = e.select(col("user_id").as("u2"), col("ts").as("ts2"),
+          col("event_id").as("id2"), col("event_type").as("type_b"),
+          expr(s"unix_micros(ts) div $winUs").as("bkt2"))
+        left.join(right, col("u") === col("u2")
+            && col("bkt") === col("bkt2")
+            && (col("ts2") > col("ts1")
+              || (col("ts2") === col("ts1") && col("id2") > col("id1")))
+            && unix_micros(col("ts2")) - unix_micros(col("ts1")) <= winUs)
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+        |GROUP BY 1, 2
+        |ORDER BY type_a, type_b""".stripMargin))
   )
 }

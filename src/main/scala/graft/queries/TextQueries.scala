@@ -741,6 +741,67 @@ object TextQueries {
         |    - ln((cb + CAST(0.5 AS DOUBLE))
         |      / (nb - cb + CAST(0.5 AS DOUBLE))), 6) AS log_odds
         |FROM c CROSS JOIN tot
-        |ORDER BY t""".stripMargin))
+        |ORDER BY t""".stripMargin)),
+
+    // ---- degree assortativity of the near-dup graph ----
+    // Do duplicated documents cluster hub-to-hub or hub-to-leaf? Pearson
+    // correlation of endpoint degrees over the directed edge list — the
+    // graph-structure audit run before choosing a clustering strategy.
+    // Degrees and all correlation components are exact integers; the
+    // zero-variance case (a graph of perfect cliques) returns NULL by an
+    // exact integer guard on both engines instead of dividing 0/0.
+    QueryDef("q198_degree_assortativity",
+      (s, dir) => {
+        val e = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+            "doc_id", "text", 3, 0.3)
+          .select("i", "j").localCheckpoint(true)
+        val dirE = e.unionAll(e.select(col("j"), col("i"))).toDF("src", "dst")
+        val deg = dirE.groupBy("src").agg(count(lit(1)).as("d"))
+        val dd = dirE
+          .join(broadcast(deg.toDF("src", "x")), Seq("src"))
+          .join(broadcast(deg.toDF("dst", "y")), Seq("dst"))
+        val m = dd.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("qx"),
+          sum(col("y") * col("y")).as("qy"),
+          sum(col("x") * col("y")).as("sxy"))
+        m.select(col("n"),
+          when(col("n") * col("qx") - col("sx") * col("sx") > 0
+              && col("n") * col("qy") - col("sy") * col("sy") > 0,
+            round((col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (sqrt(col("n") * col("qx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double"))
+                * sqrt(col("n") * col("qy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))),
+              6)).as("assortativity"))
+      },
+      Some(s"""$shingleCte,
+        |e AS (SELECT i, j FROM pairs
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3),
+        |dirE AS (SELECT i AS src, j AS dst FROM e
+        |         UNION ALL SELECT j, i FROM e),
+        |deg AS (SELECT src, COUNT(*) AS d FROM dirE GROUP BY src),
+        |dd AS (
+        |  SELECT ds.d AS x, dt.d AS y
+        |  FROM dirE JOIN deg ds ON dirE.src = ds.src
+        |  JOIN deg dt ON dirE.dst = dt.src),
+        |m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS qx,
+        |    CAST(SUM(y * y) AS BIGINT) AS qy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM dd)
+        |SELECT n,
+        |  CASE WHEN n * qx - sx * sx > 0 AND n * qy - sy * sy > 0 THEN
+        |    round((n * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(n * CAST(qx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(n * CAST(qy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS assortativity
+        |FROM m""".stripMargin))
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the eighth round-6 batch (temporal episode pairs,
+  * degree assortativity).
+  */
+class Round6HSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("temporal pairs: banded join counts only pairs within the horizon") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    val e = Seq(
+      (1L, t(0), 1L, "A"),
+      (1L, t(100), 2L, "B"), // within 300s of A → counted
+      (1L, t(500), 3L, "C"), // 500s after A → not; 400s after B → not
+      (2L, t(0), 4L, "A")    // other user — no pairing with user 1
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val winUs = 300000000L
+    val left = e.select(col("user_id").as("u"), col("ts").as("ts1"),
+      col("event_id").as("id1"), col("event_type").as("type_a"),
+      explode(array(expr(s"unix_micros(ts) div $winUs"),
+        expr(s"unix_micros(ts) div $winUs") + 1)).as("bkt"))
+    val right = e.select(col("user_id").as("u2"), col("ts").as("ts2"),
+      col("event_id").as("id2"), col("event_type").as("type_b"),
+      expr(s"unix_micros(ts) div $winUs").as("bkt2"))
+    val pairs = left.join(right, col("u") === col("u2")
+        && col("bkt") === col("bkt2")
+        && (col("ts2") > col("ts1")
+          || (col("ts2") === col("ts1") && col("id2") > col("id1")))
+        && unix_micros(col("ts2")) - unix_micros(col("ts1")) <= winUs)
+      .select("type_a", "type_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq.sorted == Seq(("A", "B")))
+  }
+
+  test("degree assortativity of a star graph is -1") {
+    // K1,3: hub degree 3, leaves degree 1 → perfectly disassortative
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("i", "j")
+    val dirE = e.unionAll(e.select(col("j"), col("i"))).toDF("src", "dst")
+    val deg = dirE.groupBy("src").agg(count(lit(1)).as("d"))
+    val dd = dirE
+      .join(deg.toDF("src", "x"), Seq("src"))
+      .join(deg.toDF("dst", "y"), Seq("dst"))
+    val m = dd.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("qx"),
+      sum(col("y") * col("y")).as("qy"),
+      sum(col("x") * col("y")).as("sxy")).head()
+    val (n, sx, sy, qx, qy, sxy) = (m.getLong(0).toDouble, m.getLong(1),
+      m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5))
+    val r = (n * sxy - sx.toDouble * sy) /
+      (math.sqrt(n * qx - sx.toDouble * sx) *
+        math.sqrt(n * qy - sy.toDouble * sy))
+    assert(math.abs(r + 1.0) < 1e-12)
+  }
+
+  test("zero-variance graph (triangle clique) yields NULL, not NaN") {
+    // triangle: every node degree 2 → no degree variance
+    val rows = {
+      val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("i", "j")
+      val dirE = e.unionAll(e.select(col("j"), col("i"))).toDF("src", "dst")
+      val deg = dirE.groupBy("src").agg(count(lit(1)).as("d"))
+      val dd = dirE.join(deg.toDF("src", "x"), Seq("src"))
+        .join(deg.toDF("dst", "y"), Seq("dst"))
+      val m = dd.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("qx"),
+        sum(col("y") * col("y")).as("qy"),
+        sum(col("x") * col("y")).as("sxy"))
+      m.select(when(col("n") * col("qx") - col("sx") * col("sx") > 0
+          && col("n") * col("qy") - col("sy") * col("sy") > 0,
+        lit(1d)).as("guarded")).collect()
+    }
+    assert(rows.length == 1 && rows.head.isNullAt(0))
+  }
+}

@@ -263,6 +263,44 @@ object StreamQueries {
         |${sqlDsum("value")} AS sum_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- streaming top-k (complete-mode windowed counts + rank) ----
+    // The live leaderboard: tumbling-hour counts maintained by the
+    // streaming aggregate in COMPLETE mode (ranking is not a streaming
+    // operator — it needs the whole window's final counts), then the
+    // top-2 per window ranked over the settled sink table. The batch
+    // twin below is the oracle, so "the leaderboard equals the batch
+    // truth" is hash-checked.
+    QueryDef("q199_stream_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val st = graft.streaming.Streams.eventsStream(s, dir)
+        val counts = st
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val settled = Streams.runToTable(counts, "q199_sink",
+          OutputMode.Complete())
+        settled
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("ws")
+              .orderBy(col("n").desc, col("event_type").asc)))
+          .filter(col("rk") <= 2)
+          .select(col("ws"), col("rk").cast("int").as("rk"),
+            col("event_type"), col("n"))
+          .orderBy("ws", "rk")
+      },
+      Some("""WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY ws
+        |      ORDER BY n DESC, event_type ASC) AS INTEGER) AS rk
+        |  FROM c)
+        |SELECT ws, rk, event_type, n
+        |FROM r WHERE rk <= 2
+        |ORDER BY ws, rk""".stripMargin))
   )
 }

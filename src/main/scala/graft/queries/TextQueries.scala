@@ -802,6 +802,91 @@ object TextQueries {
         |        * sqrt(n * CAST(qy AS DOUBLE)
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS assortativity
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // ---- the end-to-end curation pipeline, composed ----
+    // The "switch your corpus pipeline to this library" proof: quality
+    // gate (q29's score, threshold 0.68) → exact dedup on the content
+    // fingerprint keeping the lowest id (q31) → n-gram-Jaccard near-dup
+    // graph → connected components → one survivor per cluster by
+    // (n_chars, −doc_id) (q103) → per-language corpus census. Every
+    // stage is the already-oracle-checked operator, COMPOSED; the oracle
+    // below chains the same stages as one CTE, so the whole pipeline —
+    // not just its parts — is hash-checked end to end.
+    QueryDef("q200_curation_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality = Tables.documents(s, dir)
+          .filter(TA.qualityScore(col("text")) >= 0.68)
+        val keep1 = quality
+          .withColumn("fp", TA.fingerprint(col("text")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select("doc_id", "lang", "n_chars", "text")
+        val pairs = Dedup.ngramJaccardPairs(keep1, "doc_id", "text", 3, 0.5)
+        val comp = Dedup.connectedComponents(pairs)
+        val members = comp.join(keep1, comp("id") === keep1("doc_id"))
+        val survIds = members.groupBy("label")
+          .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+            .as("sid"))
+          .select("sid")
+        val finalKept = keep1
+          .join(comp.select("id"), keep1("doc_id") === col("id"), "left_anti")
+          .unionByName(keep1.join(survIds,
+            keep1("doc_id") === col("sid"), "left_semi"))
+        finalKept.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH RECURSIVE q AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents
+        |  WHERE 0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a')))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * least(1.0, (length(replace(text, ' ', ''))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)
+        |    >= 0.68),
+        |keep1 AS (
+        |  SELECT doc_id, lang, n_chars, text FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(array_to_string(list_sort(list_distinct(
+        |        string_split(lower(text), ' '))), ' '))
+        |      ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |docs2 AS (SELECT doc_id, string_split(text, ' ') w FROM keep1),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |    for i in range(1, len(w)-1)]) ds
+        |  FROM docs2),
+        |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n
+        |       FROM sh WHERE len(ds) > 0),
+        |cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (SELECT i, j FROM cand
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |edges AS (SELECT i AS src, j AS dst FROM jpairs
+        |          UNION ALL SELECT j, i FROM jpairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |surv AS (
+        |  SELECT doc_id FROM (
+        |    SELECT k.doc_id, row_number() OVER (PARTITION BY c.label
+        |      ORDER BY k.n_chars DESC, k.doc_id ASC) AS rk
+        |    FROM comp c JOIN keep1 k ON c.id = k.doc_id) WHERE rk = 1),
+        |final AS (
+        |  SELECT * FROM keep1
+        |  WHERE doc_id NOT IN (SELECT id FROM comp)
+        |     OR doc_id IN (SELECT doc_id FROM surv))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM final GROUP BY lang
+        |ORDER BY lang""".stripMargin))
   )
 }

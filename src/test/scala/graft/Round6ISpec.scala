@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the closing round-6 batch (streaming top-k, composed
+  * curation pipeline).
+  */
+class Round6ISpec extends SparkSpec {
+
+  test("streaming top-k: at most 2 ranks per window, counts descending") {
+    val rows = SparkEntry.queries("q199_stream_topk")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val byWindow = rows.groupBy(_.getTimestamp(0))
+    byWindow.values.foreach { w =>
+      val ranked = w.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length))
+      assert(ranked.length <= 2)
+      // counts non-increasing with rank
+      val ns = ranked.map(_.getLong(3))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("curation pipeline only ever removes documents, never invents them") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = docs.count()
+    val perLangIn = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("q200_curation_pipeline")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val kept = out.map(_.getLong(1)).sum
+    assert(kept > 0 && kept <= total)
+    out.foreach { r =>
+      assert(r.getLong(1) <= perLangIn(r.getString(0)))
+    }
+    // chars-per-doc sanity: census totals are consistent
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1))) // >=1 char/doc
+  }
+
+  test("curation pipeline equals its stages run separately") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val ta = graft.ext.TextAnalysis
+    val quality = docs.filter(ta.qualityScore(col("text")) >= 0.68)
+    val keep1 = quality.withColumn("fp", ta.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val pairs = graft.ext.Dedup.ngramJaccardPairs(
+      keep1.select("doc_id", "text"), "doc_id", "text", 3, 0.5)
+    val nClustered = graft.ext.Dedup.connectedComponents(pairs).count()
+    val nClusters = graft.ext.Dedup.connectedComponents(pairs)
+      .select("label").distinct().count()
+    val expected = keep1.count() - nClustered + nClusters
+    val out = SparkEntry.queries("q200_curation_pipeline")(spark, dir)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(out == expected)
+  }
+}

@@ -818,12 +818,17 @@ object TextQueries {
         import org.apache.spark.sql.expressions.Window
         val quality = Tables.documents(s, dir)
           .filter(TA.qualityScore(col("text")) >= 0.68)
+        // materialize the exact-dedup survivors once: four downstream
+        // references (pair generation, member join, anti-join, semi-join)
+        // would otherwise each recompute the quality + fingerprint +
+        // window stack (measured ~2× the composed pipeline's cost)
         val keep1 = quality
           .withColumn("fp", TA.fingerprint(col("text")))
           .withColumn("rn", row_number().over(
             Window.partitionBy("fp").orderBy("doc_id")))
           .filter(col("rn") === 1)
           .select("doc_id", "lang", "n_chars", "text")
+          .localCheckpoint(true)
         val pairs = Dedup.ngramJaccardPairs(keep1, "doc_id", "text", 3, 0.5)
         val comp = Dedup.connectedComponents(pairs)
         val members = comp.join(keep1, comp("id") === keep1("doc_id"))

@@ -253,4 +253,73 @@ class PropertySpec extends SparkSpec {
     assert(run(edges.toDF("src", "dst")) ==
       run(edges.toDF("src", "dst").repartition(11)))
   }
+
+  test("Bollinger bands are invariant to input partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(27, 6)
+    val vs = samples(Gen.choose(0.0, 500.0), 60)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "t" + (i % 2), new java.sql.Timestamp(i * 1000L),
+        math.rint(v * 100) / 100)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val win = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+      df.select(col("event_id"),
+          sum(col("value").cast(dec)).over(win).as("s"),
+          count(lit(1)).over(win).as("n20"))
+        .filter(col("n20") === 20)
+        .orderBy("event_id")
+        .collect().toSeq.map(r => (r.getLong(0), r.getDecimal(1)))
+    }
+    val base = rows.toDF("event_id", "event_type", "ts", "value")
+    assert(run(base) == run(base.repartition(7)))
+  }
+
+  test("time-weighted average is invariant to input partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val vs = samples(Gen.choose(0.0, 500.0), 50)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      (i % 4L, new java.sql.Timestamp(i * 31000L), i.toLong,
+        math.rint(v * 100) / 100)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      df.select(col("user_id"),
+          floor(col("value") * 100d + 0.5d).cast("long").as("cents"),
+          (unix_micros(lead(col("ts"), 1).over(w))
+            - unix_micros(col("ts"))).as("dur_us"))
+        .filter(col("dur_us").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("cents") * col("dur_us")).as("wsum"),
+          sum(col("dur_us")).as("wtot"))
+        .orderBy("user_id")
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val base = rows.toDF("user_id", "ts", "event_id", "value")
+    assert(run(base) == run(base.repartition(9)))
+  }
+
+  test("run-length islands are invariant to input partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val ts = samples(Gen.oneOf("A", "B", "C"), 50)
+    val rows = ts.zipWithIndex.map { case (t, i) =>
+      (i % 3L, t, new java.sql.Timestamp(i * 1000L), i.toLong)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val byUserType = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      df.select(col("user_id"), col("event_type"),
+          (row_number().over(byUser) - row_number().over(byUserType))
+            .as("grp"))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(count(lit(1)).as("run_len"))
+        .orderBy("user_id", "event_type", "grp")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    }
+    val base = rows.toDF("user_id", "event_type", "ts", "event_id")
+    assert(run(base) == run(base.repartition(6)))
+  }
 }

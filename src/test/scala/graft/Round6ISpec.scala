@@ -59,4 +59,25 @@ class Round6ISpec extends SparkSpec {
       .agg(sum("n_docs")).head().getLong(0)
     assert(out == expected)
   }
+
+  test("ANN recall: bounded by 1, and brute force against itself is 1") {
+    val rows = SparkEntry.queries("q201_ann_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // hits <= k
+      val rec = r.getDouble(3)
+      assert(rec >= 0d && rec <= 1d)
+    }
+    // sanity of the metric itself: truth evaluated against truth is 1.0
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val brute = graft.ext.Similarity.bruteForceTopK(q, emb, 5)
+      .select(col("qid"), col("nid"))
+    val self = brute.join(brute.toDF("qid2", "nid2"),
+        col("qid") === col("qid2") && col("nid") === col("nid2"),
+        "left_semi")
+      .count()
+    assert(self == brute.count())
+  }
 }

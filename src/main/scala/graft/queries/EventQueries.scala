@@ -879,6 +879,56 @@ object EventQueries {
         |  AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
         |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
         |GROUP BY 1, 2
-        |ORDER BY type_a, type_b""".stripMargin))
+        |ORDER BY type_a, type_b""".stripMargin)),
+
+    // ---- session journey paths (ordered event-type sequences) ----
+    // The user-journey census: 30-minute-gap sessionization (q21's
+    // island key), each session's event types concatenated IN EVENT
+    // ORDER into a path string, frequent paths reported. Ordering
+    // inside the aggregate is made deterministic by sorting the
+    // collected (ts, event_id, type) structs — collect_list alone has
+    // no order contract across partitions — mirroring DuckDB's
+    // list(... ORDER BY). One keyed shuffle for sessionization, one
+    // aggregate per session, one bounded path census.
+    QueryDef("q202_session_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val o = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"),
+            when(lag(col("ts"), 1).over(w).isNull
+              || unix_micros(col("ts"))
+                - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L,
+              1).otherwise(0).as("brk"))
+        val sess = o.withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy("user_id", "sid")
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(ts, event_id, event_type)))," +
+            " x -> x.event_type), '>')").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .filter(col("n_sessions") >= 3)
+          .orderBy(col("n_sessions").desc, col("path").asc)
+      },
+      Some("""WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    array_to_string(list(event_type ORDER BY ts, event_id), '>')
+        |      AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM p GROUP BY path HAVING COUNT(*) >= 3
+        |ORDER BY n_sessions DESC, path ASC""".stripMargin))
   )
 }

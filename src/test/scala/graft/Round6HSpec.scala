@@ -73,4 +73,33 @@ class Round6HSpec extends SparkSpec {
     }
     assert(rows.length == 1 && rows.head.isNullAt(0))
   }
+
+  test("session paths: sorted-struct collect preserves event order") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Long) = new java.sql.Timestamp(ts0.getTime + min * 60000L)
+    // one session (gaps < 30 min): A(0) C(5) B(10); then a new session D(60)
+    val e = Seq((1L, t(0), 1L, "A"), (1L, t(5), 2L, "C"),
+        (1L, t(10), 3L, "B"), (1L, t(60), 4L, "D"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val o = e.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"),
+      when(lag(col("ts"), 1).over(w).isNull
+        || unix_micros(col("ts"))
+          - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L,
+        1).otherwise(0).as("brk"))
+    val paths = o.withColumn("sid", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .repartition(5) // order must survive any layout
+      .groupBy("user_id", "sid")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(ts, event_id, event_type)))," +
+        " x -> x.event_type), '>')").as("path"))
+      .select("path").as[String].collect().sorted.toSeq
+    assert(paths == Seq("A>C>B", "D"))
+  }
 }

@@ -13,10 +13,12 @@ import graft.util.OracleSafe._
 object TextQueries {
 
   /** Shared oracle CTE: distinct 3-shingle sets per document (DuckDB list
-    * comprehension mirrors TextAnalysis.shingleSet).
+    * comprehension mirrors TextAnalysis.shingleSet). Parameterized by the
+    * source relation so composed pipelines (q200) reuse the SAME text
+    * instead of pasting a copy that could drift.
     */
-  private val shingleCte =
-    """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+  private def shingleCteFor(src: String): String =
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') w FROM $src),
       |sh AS (SELECT doc_id,
       |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) ds
       |  FROM docs),
@@ -25,6 +27,8 @@ object TextQueries {
       |    any_value(a.n) AS na, any_value(b.n) AS nb
       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  private val shingleCte = "WITH " + shingleCteFor("documents")
 
   private val jaccardOracle =
     s"""$shingleCte
@@ -765,9 +769,15 @@ object TextQueries {
           sum(col("x") * col("x")).as("qx"),
           sum(col("y") * col("y")).as("qy"),
           sum(col("x") * col("y")).as("sxy"))
+        // the variance guard compares in DECIMAL(38,0): sx² wraps int64
+        // once a near-dup clique reaches ~1500 docs (n·qx ≈ 2^63) —
+        // silently on Spark, an error on DuckDB (the q176 lesson)
+        val big = org.apache.spark.sql.types.DecimalType(38, 0)
         m.select(col("n"),
-          when(col("n") * col("qx") - col("sx") * col("sx") > 0
-              && col("n") * col("qy") - col("sy") * col("sy") > 0,
+          when(col("n").cast(big) * col("qx")
+                - col("sx").cast(big) * col("sx") > 0
+              && col("n").cast(big) * col("qy")
+                - col("sy").cast(big) * col("sy") > 0,
             round((col("n") * col("sxy").cast("double")
               - col("sx").cast("double") * col("sy").cast("double"))
               / (sqrt(col("n") * col("qx").cast("double")
@@ -794,7 +804,10 @@ object TextQueries {
         |    CAST(SUM(x * y) AS BIGINT) AS sxy
         |  FROM dd)
         |SELECT n,
-        |  CASE WHEN n * qx - sx * sx > 0 AND n * qy - sy * sy > 0 THEN
+        |  CASE WHEN CAST(n AS DECIMAL(38,0)) * qx
+        |         - CAST(sx AS DECIMAL(38,0)) * sx > 0
+        |       AND CAST(n AS DECIMAL(38,0)) * qy
+        |         - CAST(sy AS DECIMAL(38,0)) * sy > 0 THEN
         |    round((n * CAST(sxy AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |      / (sqrt(n * CAST(qx AS DOUBLE)
@@ -844,7 +857,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
           .orderBy("lang")
       },
-      Some("""WITH RECURSIVE q AS (
+      Some(s"""WITH RECURSIVE q AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents
         |  WHERE 0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
         |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
@@ -860,18 +873,8 @@ object TextQueries {
         |        string_split(lower(text), ' '))), ' '))
         |      ORDER BY doc_id) AS rn
         |    FROM q) WHERE rn = 1),
-        |docs2 AS (SELECT doc_id, string_split(text, ' ') w FROM keep1),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
-        |    for i in range(1, len(w)-1)]) ds
-        |  FROM docs2),
-        |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n
-        |       FROM sh WHERE len(ds) > 0),
-        |cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
-        |    any_value(a.n) AS na, any_value(b.n) AS nb
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jpairs AS (SELECT i, j FROM cand
+        |${shingleCteFor("keep1")},
+        |jpairs AS (SELECT i, j FROM pairs
         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
         |edges AS (SELECT i AS src, j AS dst FROM jpairs
         |          UNION ALL SELECT j, i FROM jpairs),

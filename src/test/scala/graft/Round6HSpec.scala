@@ -102,4 +102,24 @@ class Round6HSpec extends SparkSpec {
       .select("path").as[String].collect().sorted.toSeq
     assert(paths == Seq("A>C>B", "D"))
   }
+
+  test("registered q197/q198/q202 run on the corpus with sane invariants") {
+    // regression hooks on the PRODUCTION registrations (the golden tests
+    // above pin semantics on private copies and would miss edits to the
+    // registered query bodies)
+    val dir = "/root/testdata/sf0.001"
+    val pairs = SparkEntry.queries("q197_temporal_pairs")(spark, dir)
+      .collect()
+    assert(pairs.nonEmpty && pairs.forall(_.getLong(2) > 0))
+    val assort = SparkEntry.queries("q198_degree_assortativity")(spark, dir)
+      .head()
+    if (!assort.isNullAt(1)) {
+      val a = assort.getDouble(1)
+      assert(a >= -1.0 && a <= 1.0)
+    }
+    val sessions = SparkEntry.queries("q202_session_paths")(spark, dir)
+      .collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(_.getLong(1) >= 3)) // HAVING floor holds
+  }
 }

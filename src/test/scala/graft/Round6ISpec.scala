@@ -51,9 +51,9 @@ class Round6ISpec extends SparkSpec {
       .filter(col("rn") === 1)
     val pairs = graft.ext.Dedup.ngramJaccardPairs(
       keep1.select("doc_id", "text"), "doc_id", "text", 3, 0.5)
-    val nClustered = graft.ext.Dedup.connectedComponents(pairs).count()
-    val nClusters = graft.ext.Dedup.connectedComponents(pairs)
-      .select("label").distinct().count()
+    val comp = graft.ext.Dedup.connectedComponents(pairs)
+    val nClustered = comp.count()
+    val nClusters = comp.select("label").distinct().count()
     val expected = keep1.count() - nClustered + nClusters
     val out = SparkEntry.queries("q200_curation_pipeline")(spark, dir)
       .agg(sum("n_docs")).head().getLong(0)

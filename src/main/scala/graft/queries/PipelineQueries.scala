@@ -669,7 +669,68 @@ object PipelineQueries {
         |    * ln(((ca + CAST(0.5 AS DOUBLE)) / (na + 5))
         |      / ((cb + CAST(0.5 AS DOUBLE)) / (nb + 5))), 6) AS psi_contrib
         |FROM c CROSS JOIN tot
-        |ORDER BY bin""".stripMargin))
+        |ORDER BY bin""".stripMargin)),
+
+    // ---- contrastive negative sampling (training-pair synthesis) ----
+    // For every near-dup positive pair (i, j), mint two deterministic
+    // negatives for anchor i: candidate = stable-hash(i, j, slot) mod N,
+    // rejected (not resampled — determinism over exact count) when it
+    // equals the anchor or collides with a known positive in either
+    // orientation. Content-addressed like every sampler here: identical
+    // pairs on any cluster size, layout, or re-run. The positive set is
+    // checkpointed once; negatives are two anti-joins on the (tiny)
+    // positive list — no corpus shuffle at all.
+    QueryDef("q203_negative_sampling",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pos = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .select("i", "j").localCheckpoint(true)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val slots = s.range(1, 3).select(col("id").cast("int").as("neg_slot"))
+        val cand = pos.crossJoin(broadcast(slots))
+          .crossJoin(broadcast(nDocs))
+          .select(col("i"), col("neg_slot"),
+            (h48(concat(col("i").cast("string"), lit("_"),
+              col("j").cast("string"), lit("_"),
+              col("neg_slot").cast("string"))) % col("n_docs")).as("neg"))
+        cand.filter(col("neg") =!= col("i"))
+          .join(pos.toDF("pi", "pj"),
+            col("i") === col("pi") && col("neg") === col("pj"), "left_anti")
+          .join(pos.toDF("pi2", "pj2"),
+            col("neg") === col("pi2") && col("i") === col("pj2"),
+            "left_anti")
+          .select("i", "neg_slot", "neg")
+          .orderBy("i", "neg_slot", "neg")
+      },
+      Some("""WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |    for i in range(1, len(w)-1)]) ds
+        |  FROM docs),
+        |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n
+        |       FROM sh WHERE len(ds) > 0),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pos AS (SELECT i, j FROM pairs
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |cand AS (
+        |  SELECT p.i, k.k AS neg_slot,
+        |    CAST(('0x' || substr(md5(CAST(p.i AS VARCHAR) || '_'
+        |      || CAST(p.j AS VARCHAR) || '_' || CAST(k.k AS VARCHAR)),
+        |      1, 12)) AS BIGINT) % n_docs AS neg
+        |  FROM pos p
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 3)) AS INTEGER) AS k) k
+        |  CROSS JOIN nn)
+        |SELECT c.i, c.neg_slot, c.neg FROM cand c
+        |WHERE c.neg <> c.i
+        |  AND NOT EXISTS (SELECT 1 FROM pos p2
+        |    WHERE (p2.i = c.i AND p2.j = c.neg)
+        |       OR (p2.i = c.neg AND p2.j = c.i))
+        |ORDER BY i, neg_slot, neg""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

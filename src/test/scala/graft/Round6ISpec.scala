@@ -98,4 +98,20 @@ class Round6ISpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(negs.toSeq == again.toSeq)
   }
+
+  test("calibration curve: balanced deciles, outcome rate within [0,1]") {
+    val rows = SparkEntry.queries("q204_calibration_curve")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    // ntile balance: decile sizes differ by at most 1
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0d && r.getDouble(3) <= 1d)
+    }
+    // mean quality is non-decreasing across deciles by construction
+    val mq = rows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(mq.zip(mq.tail).forall { case (a, b) => b >= a })
+  }
 }

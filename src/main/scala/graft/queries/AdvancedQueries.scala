@@ -246,23 +246,26 @@ object AdvancedQueries {
         |ORDER BY event_id""".stripMargin)),
 
     // ---- distinct-count sketch: deterministic KMV (k minimum values) ----
-    // The mergeable-sketch story at scale: per partition keep the k smallest
-    // stable hashes, merge by re-min — here expressed relationally (distinct
-    // hash -> per-group rank <= k -> estimate (k-1)/u_k). md5-derived 48-bit
-    // hashes are exactly reproducible in the DuckDB oracle, unlike engine-
+    // The mergeable-sketch story at scale, now AS an aggregate: kmin_hashes
+    // (functions/KMinHashAgg.scala) keeps the k smallest distinct stable
+    // hashes per group in an O(k) partial and merges by re-min, so the only
+    // shuffle is a hash-agg on l_returnflag carrying ≤k longs per group —
+    // no global distinct, no window sort (the former row_number formulation
+    // sorted every distinct hash through |groups| window partitions).
+    // md5-derived 48-bit hashes are exactly reproducible in the DuckDB
+    // oracle (which keeps the rank-≤-k relational phrasing), unlike engine-
     // specific HLL registers (approx_count_distinct stays spec-only).
     QueryDef("q50_sketches",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val k = 64
         val h = graft.util.StableHash.h48(col("l_partkey"))
-        val dist = Tables.lineitem(s, dir)
-          .select(col("l_returnflag"), h.as("h")).distinct()
-        val w = Window.partitionBy("l_returnflag").orderBy("h")
-        val kmv = dist.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
+        val kmv = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), h.as("h"))
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("kmv_k"), max(col("h")).as("kth"))
+          .agg(graft.functions.KMinHashAgg.kminHashes(col("h"), k).as("ks"))
+          .select(col("l_returnflag"),
+            size(col("ks")).cast("long").as("kmv_k"),
+            element_at(col("ks"), -1).as("kth"))
           .withColumn("kmv_est",
             when(col("kmv_k") < k, col("kmv_k").cast("double"))
               .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 48)) / col("kth").cast("double")))

@@ -185,6 +185,56 @@ object Similarity {
     topKPerQuery(scored.select("qid", "nid", "cos"), k)
   }
 
+  /** Per-band LSH signatures: `bands` codes of `bitsPerBand` hyperplane
+    * bits each, as an array column (index = band id). Planes are the same
+    * md5-parity recipe as [[hyperplaneSignature]], drawn from one pool of
+    * `bands * bitsPerBand` planes so every band is independent.
+    */
+  def bandedSignature(v: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
+    val planes = md5Planes(bands * bitsPerBand, dim)
+    array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        val p = planes(b * bitsPerBand + j)
+        val planeCol = array(p.map(lit): _*)
+        when(dot(v, planeCol) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Banded (OR-amplified) LSH top-k — the recall-knobbed ANN path. A
+    * query/corpus pair is a candidate iff it collides in AT LEAST ONE of
+    * `bands` codes of `bitsPerBand` bits (p_collide = 1-(1-p^r)^B, p =
+    * 1-θ/π per hyperplane bit), so recall rises with `bands` and candidate
+    * volume falls with `bitsPerBand` — same banding algebra as
+    * `Dedup.minhashLshPairs`. Candidates are deduped BEFORE scoring
+    * (ids only through the signature join — vectors are re-fetched after),
+    * so each surviving pair is scored exactly once and the signature
+    * shuffle carries (id, band, sig) triples, never embeddings.
+    *
+    * Tuning is corpus-relative: this engine's synthetic embeddings are
+    * near-isotropic (true top-5 cosines ≈ 0.27–0.45 → per-bit p ≈ 0.59–
+    * 0.65), so ≥0.9 recall forces wide probing — 48 bands × 6 bits
+    * measures 0.92–0.94 recall at ~53% candidate mass (q201's eval). On a
+    * production near-dup corpus (neighbor cos ≥ 0.9, p ≥ 0.86) the SAME
+    * operator at 32 bands × 16 bits keeps ≥0.9 recall at ~0.05% candidate
+    * mass — the knob, not the operator, encodes the corpus geometry.
+    */
+  def lshBandedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    dim: Int = 64, bands: Int = 48, bitsPerBand: Int = 6): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+    val qsig = q.select(col("qid"),
+      posexplode(bandedSignature(col("qv"), dim, bands, bitsPerBand)).as(Seq("band", "bsig")))
+    val csig = c.select(col("nid"),
+      posexplode(bandedSignature(col("nv"), dim, bands, bitsPerBand)).as(Seq("band", "bsig")))
+    val cand = qsig.join(csig, Seq("band", "bsig"))
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "nid").distinct()
+    val scored = cand.join(c, Seq("nid")).join(broadcast(q), Seq("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    topKPerQuery(scored.select("qid", "nid", "cos"), k)
+  }
+
   /** Iterative Lloyd k-means over an embedding column (Euclidean).
     *
     * Deterministic init (the k lowest-vec_id vectors — swap in k-means++

@@ -352,36 +352,44 @@ object VectorQueries {
         |GROUP BY frame_md5 HAVING COUNT(DISTINCT media_id) >= 2
         |ORDER BY frame_md5""".stripMargin)),
 
-    // ---- ANN recall evaluation (LSH path vs brute-force truth) ----
+    // ---- ANN recall evaluation (both LSH paths vs brute-force truth) ----
     // The eval harness every approximate index needs before production:
-    // per query, how much of the exact top-5 the LSH-bucketed path
-    // recovers. Both sides are the library's own oracle-checked
-    // operators (q35 / q38); the recall join is (qid, nid)-keyed over
-    // two k-row-per-query tables — negligible next to the searches. At
+    // per query and per method, how much of the exact top-5 the bucketed
+    // path recovers. All sides are the library's own oracle-checked
+    // operators (q35 / q38 / q205); the recall join is (qid, nid)-keyed
+    // over k-row-per-query tables — negligible next to the searches. At
     // scale the ground truth comes from a sampled query set, which this
-    // predicate already is. Measured verdict on this corpus: the
-    // single-probe 8-bit hyperplane LSH recalls only ~2% of the true
-    // top-5 (256 buckets over near-isotropic vectors) — the eval op
-    // doing its job; the multi-probe IVF path (q78) is the scale route.
+    // predicate already is. Measured verdict on this corpus:
+    //   lsh_single (one 8-bit code, q38): recall ≈ 0.02 — 256 buckets
+    //     over near-isotropic vectors; the eval op doing its job.
+    //   lsh_banded (48 bands × 6 bits, q205): recall 0.92–0.94 at both
+    //     SFs — the documented probe setting that clears 0.8 on this
+    //     corpus (see Similarity.lshBandedTopK for the recall/candidate
+    //     algebra and the near-dup-corpus setting).
     QueryDef("q201_ann_recall",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") % 50 === 0)
+        // truth is referenced by both methods' hit joins and the k census:
+        // pin it once (tiny: |queries|·k ids) instead of re-running brute
         val brute = Similarity.bruteForceTopK(q, emb, 5)
-          .select(col("qid"), col("nid"))
-        val lsh = Similarity.lshTopK(q, emb, 5)
-          .select(col("qid").as("qid2"), col("nid").as("nid2"))
-        val hits = brute.join(lsh,
-            col("qid") === col("qid2") && col("nid") === col("nid2"),
-            "left_semi")
-          .groupBy("qid").agg(count(lit(1)).as("hits"))
-        brute.groupBy("qid").agg(count(lit(1)).as("k"))
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid"), col("k"),
-            coalesce(col("hits"), lit(0L)).as("hits"),
-            round(coalesce(col("hits"), lit(0L)).cast("double")
-              / col("k"), 6).as("recall"))
-          .orderBy("qid")
+          .select(col("qid"), col("nid")).localCheckpoint(true)
+        val kdf = brute.groupBy("qid").agg(count(lit(1)).as("k"))
+        def recallOf(approx: org.apache.spark.sql.DataFrame, method: String) = {
+          val hits = brute.join(approx
+              .select(col("qid").as("qid2"), col("nid").as("nid2")),
+              col("qid") === col("qid2") && col("nid") === col("nid2"),
+              "left_semi")
+            .groupBy("qid").agg(count(lit(1)).as("hits"))
+          kdf.join(hits, Seq("qid"), "left")
+            .select(lit(method).as("method"), col("qid"), col("k"),
+              coalesce(col("hits"), lit(0L)).as("hits"),
+              round(coalesce(col("hits"), lit(0L)).cast("double")
+                / col("k"), 6).as("recall"))
+        }
+        recallOf(Similarity.lshTopK(q, emb, 5), "lsh_single")
+          .unionAll(recallOf(Similarity.lshBandedTopK(q, emb, 5), "lsh_banded"))
+          .orderBy("method", "qid")
       },
       Some(s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -418,15 +426,98 @@ object VectorQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cos DESC, nid ASC) AS rn
         |  FROM lscored),
-        |lsh AS (SELECT qid, nid FROM lrk WHERE rn <= 5),
-        |h AS (
+        |lsh1 AS (SELECT qid, nid FROM lrk WHERE rn <= 5),
+        |bplanes AS (
+        |  SELECT b.range AS bit,
+        |    list(CASE WHEN (CAST(('0x' || substr(md5(CAST(b.range AS VARCHAR)
+        |          || '_' || CAST(d.range AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        & 1) = 1
+        |      THEN 1.0 ELSE -1.0 END ORDER BY d.range) AS pv
+        |  FROM range(288) b, range(64) d
+        |  GROUP BY b.range),
+        |bsig AS (
+        |  SELECT e.vec_id, CAST(p.bit // 6 AS INTEGER) AS band,
+        |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(p.bit % 6 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS bs
+        |  FROM e CROSS JOIN bplanes p
+        |  GROUP BY e.vec_id, p.bit // 6),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+        |  FROM bsig q JOIN bsig c ON q.band = c.band AND q.bs = c.bs
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |cscored AS (
+        |  SELECT qid, nid,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+        |      * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM cand JOIN e a ON a.vec_id = qid JOIN e b ON b.vec_id = nid),
+        |crk AS (SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS rn
+        |  FROM cscored),
+        |lshB AS (SELECT qid, nid FROM crk WHERE rn <= 5),
+        |kk AS (SELECT qid, COUNT(*) AS k FROM brute GROUP BY qid),
+        |h1 AS (
         |  SELECT b.qid, COUNT(*) AS hits
-        |  FROM brute b JOIN lsh l ON b.qid = l.qid AND b.nid = l.nid
+        |  FROM brute b JOIN lsh1 l ON b.qid = l.qid AND b.nid = l.nid
         |  GROUP BY b.qid),
-        |kk AS (SELECT qid, COUNT(*) AS k FROM brute GROUP BY qid)
-        |SELECT kk.qid, kk.k, COALESCE(h.hits, 0) AS hits,
-        |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall
-        |FROM kk LEFT JOIN h ON kk.qid = h.qid
-        |ORDER BY kk.qid""".stripMargin))
+        |hB AS (
+        |  SELECT b.qid, COUNT(*) AS hits
+        |  FROM brute b JOIN lshB l ON b.qid = l.qid AND b.nid = l.nid
+        |  GROUP BY b.qid)
+        |SELECT method, qid, k, hits,
+        |  round(CAST(hits AS DOUBLE) / k, 6) AS recall FROM (
+        |  SELECT 'lsh_single' AS method, kk.qid, kk.k,
+        |    COALESCE(h1.hits, 0) AS hits
+        |  FROM kk LEFT JOIN h1 ON kk.qid = h1.qid
+        |  UNION ALL
+        |  SELECT 'lsh_banded' AS method, kk.qid, kk.k,
+        |    COALESCE(hB.hits, 0) AS hits
+        |  FROM kk LEFT JOIN hB ON kk.qid = hB.qid)
+        |ORDER BY method, qid""".stripMargin)),
+
+    // ---- banded multi-probe LSH top-k (the recall-knobbed ANN path) ----
+    // OR-amplification over 48 bands of 6 hyperplane bits: a candidate
+    // collides in at least one band, recovering 0.92–0.94 of the exact
+    // top-5 on this near-isotropic corpus (vs ~2% for q38's single code;
+    // measured by q201). Deterministic md5-parity planes → the DuckDB
+    // oracle rebuilds identical band codes and the result is hash-checked.
+    QueryDef("q205_ann_banded_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshBandedTopK(emb.filter(col("vec_id") % 50 === 0), emb, 5)
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planes AS (
+        |  SELECT b.range AS bit,
+        |    list(CASE WHEN (CAST(('0x' || substr(md5(CAST(b.range AS VARCHAR)
+        |          || '_' || CAST(d.range AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        & 1) = 1
+        |      THEN 1.0 ELSE -1.0 END ORDER BY d.range) AS pv
+        |  FROM range(288) b, range(64) d
+        |  GROUP BY b.range),
+        |sig AS (
+        |  SELECT e.vec_id, CAST(p.bit // 6 AS INTEGER) AS band,
+        |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(p.bit % 6 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS bs
+        |  FROM e CROSS JOIN planes p
+        |  GROUP BY e.vec_id, p.bit // 6),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+        |  FROM sig q JOIN sig c ON q.band = c.band AND q.bs = c.bs
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+        |      * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM cand JOIN e a ON a.vec_id = qid JOIN e b ON b.vec_id = nid),
+        |ranked AS (SELECT qid, nid, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin))
   )
 }

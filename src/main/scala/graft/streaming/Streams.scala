@@ -14,10 +14,74 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** The events table as a file-source stream (schema fixed up front, ns
-    * timestamps handled as in Tables.events).
+    * timestamps handled as in Tables.events). Thin alias for
+    * [[eventsSource]] with the "file" format — the factory is the seam.
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame =
-    eventsStreamIsolated(s, dir, statePartitions = 4)
+    eventsSource(s, "file", dir)
+
+  /** O1 — ingest-source factory: every streaming operator in this library
+    * takes a DataFrame with the events schema
+    * (event_id, ts, user_id, event_type, value[, props]), and this factory
+    * is the one seam that produces it. The reference's O1 is PUSH ingest
+    * from an upstream pipeline stage (`/root/reference/plugin.cpp:226-352`);
+    * in Spark that role is played by a broker-backed source, selected here
+    * by `format`:
+    *
+    *  - `"file"`  — the corpus parquet directory as a file stream (this
+    *    sandbox's stand-in for an object-store landing zone). Options: none.
+    *  - `"rate"`  — Spark's rate source mapped deterministically onto the
+    *    events schema; useful for load tests and liveness specs with no
+    *    data dependency. Options: `rowsPerSecond` (default "100").
+    *  - `"kafka"` — the production push path: one topic partition per
+    *    upstream shard, `value` as the JSON reading the reference pushes.
+    *    Requires the spark-sql-kafka connector on the classpath, which this
+    *    offline sandbox does not ship, so the branch is config-documented
+    *    but cannot be exercised here: options must carry
+    *    `kafka.bootstrap.servers` and `subscribe`, and the payload is
+    *    parsed with `from_json` against the events schema. Codegen note:
+    *    nothing below the parse differs from the other formats — operators
+    *    are source-agnostic by construction.
+    *
+    * All formats build on a child session with the stream's state width
+    * pinned (see [[eventsStreamIsolated]] for why).
+    */
+  def eventsSource(s: SparkSession, format: String, dir: String = "",
+                   options: Map[String, String] = Map.empty,
+                   statePartitions: Int = 4): DataFrame = format match {
+    case "file" =>
+      eventsStreamIsolated(s, dir, statePartitions)
+    case "rate" =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val rps = options.getOrElse("rowsPerSecond", "100")
+      // deterministic value->row mapping: the same tick always yields the
+      // same event, so rate-driven specs can assert exact transforms
+      s2.readStream.format("rate").option("rowsPerSecond", rps).load()
+        .select(
+          col("value").as("event_id"),
+          col("timestamp").as("ts"),
+          (col("value") % 100).as("user_id"),
+          element_at(
+            typedLit(Seq("view", "click", "purchase", "share", "login")),
+            (col("value") % 5 + 1).cast("int")).as("event_type"),
+          (col("value") % 1000).cast("double").as("value"))
+    case "kafka" =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val eventSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      s2.readStream.format("kafka").options(options).load()
+        .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+        .select("e.*")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown events source format '$other' (file | rate | kafka)")
+  }
 
   /** Build the stream on a CHILD session (`newSession`: own conf + catalog,
     * shared SparkContext and cache) with the stream's state width pinned at
@@ -316,6 +380,65 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .format("memory").queryName(sinkTable).outputMode(mode)
       .start()
+  }
+
+  /** Mutable configuration cell for [[hotScaledStream]]: the query holds a
+    * reference and re-reads it at every micro-batch boundary, so
+    * [[HotConfig.swap]] takes effect on the NEXT batch without stopping the
+    * query. Single atomic reference — a batch sees exactly one config (no
+    * torn reads), and swaps between batches are linearizable.
+    */
+  final class HotConfig(initial: graft.ops.FilterConfig) {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference[graft.ops.FilterConfig](initial)
+    def get: graft.ops.FilterConfig = ref.get
+    def swap(next: graft.ops.FilterConfig): Unit = ref.set(next)
+  }
+
+  /** O9, ZERO-downtime variant — the SURVEY §3.3 broadcast-refresh /
+    * config-join pattern. [[reconfigure]] swaps parameters by restarting
+    * the StreamingQuery against its checkpoint: nothing is lost, but there
+    * is a restart gap (seconds of no processing) and topology must be
+    * unchanged anyway for state compatibility. Here the query NEVER stops:
+    *
+    *  - parameters live in a [[HotConfig]] cell, read once per micro-batch
+    *    inside `foreachBatch` (the batch boundary IS the consistency point);
+    *  - the allowlist is applied as a per-batch broadcast semi-join against
+    *    a tiny config table rebuilt from the cell — the "config-join": each
+    *    batch re-broadcasts the latest allowlist, which is how a 1000-
+    *    executor cluster picks up the swap without any driver restart;
+    *  - scale/offset are stamped into the batch plan as literals.
+    *
+    * Because the swap happens between batches of ONE continuously-running
+    * query, the source offset log guarantees every input batch is delivered
+    * exactly once across the swap — no restart gap, no re-delivery. This
+    * mirrors the reference's `plugin_reconfigure` liveness
+    * (`/root/reference/plugin.cpp:402-408`: swap under mutex, pipeline keeps
+    * flowing) while keeping Spark's stronger state durability
+    * (the reference loses script globals on reload,
+    * `python35_filter.cpp:375-388`). Use [[reconfigure]] only for topology
+    * changes (different aggregation/state shape), where a restart is
+    * semantically required.
+    *
+    * @param events  streaming events (event_type, value, ... columns)
+    * @param cfg     live config cell; swap() between batches to retune
+    * @param deliver per-batch sink callback (batch output, batch id)
+    */
+  def hotScaledStream(events: DataFrame, cfg: HotConfig)
+                     (deliver: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val c = cfg.get // one config per batch: the batch boundary is the swap point
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val gated = c.assetAllowlist.filter(_.nonEmpty).fold(batch) { allow =>
+        batch.join(broadcast(allow.toDF("event_type")), Seq("event_type"), "left_semi")
+      }
+      val out =
+        if (!c.enable) gated.withColumn("scaled", col("value"))
+        else gated.withColumn("scaled", col("value") * lit(c.scale) + lit(c.offset))
+      deliver(out, id)
+    }.start()
   }
 
   /** O7 error-passthrough host around a per-batch pipeline: on any failure

@@ -139,6 +139,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("O9 zero-downtime reconfigure: param swap mid-stream, same query, no dropped or duplicated rows") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "event_type", "value")
+    val cfg = new Streams.HotConfig(graft.ops.FilterConfig(
+      scale = 2.0, offset = 0.0, assetAllowlist = Some(Seq("a", "b"))))
+    // event_id -> (event_type, scaled); insert asserts exactly-once delivery
+    val got = new scala.collection.concurrent.TrieMap[Long, (String, Double)]()
+    val q = Streams.hotScaledStream(df, cfg) { (out, _) =>
+      out.select("event_id", "event_type", "scaled").collect().foreach { r =>
+        val prev = got.putIfAbsent(r.getLong(0), (r.getString(1), r.getDouble(2)))
+        assert(prev.isEmpty, s"row ${r.getLong(0)} delivered twice")
+      }
+    }
+    try {
+      val runId = q.runId
+      mem.addData((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      q.processAllAvailable()
+      // swap BETWEEN batches: narrower allowlist, different affine params
+      cfg.swap(graft.ops.FilterConfig(
+        scale = 100.0, offset = 1.0, assetAllowlist = Some(Seq("a"))))
+      mem.addData((4L, "a", 1.0), (5L, "b", 2.0))
+      q.processAllAvailable()
+      // the QUERY never restarted (vs Streams.reconfigure, which starts a
+      // new run): zero downtime, offsets continuous across the swap
+      assert(q.isActive && q.runId == runId)
+      // batch 1 under the old config: a and b kept, scaled ×2
+      assert(got(1L) == (("a", 20.0)) && got(2L) == (("b", 40.0)))
+      assert(!got.contains(3L)) // c: filtered by allowlist, not dropped by the swap
+      // batch 2 under the new config: only a survives, ×100 + 1
+      assert(got(4L) == (("a", 101.0)))
+      assert(!got.contains(5L)) // b now outside the allowlist
+    } finally q.stop()
+  }
+
+  test("O1 source factory: rate source flows through the hot-config pipeline end-to-end") {
+    val src = Streams.eventsSource(spark, "rate", options = Map("rowsPerSecond" -> "500"))
+    assert(src.isStreaming)
+    assert(src.columns.toSeq == Seq("event_id", "ts", "user_id", "event_type", "value"))
+    val cfg = new Streams.HotConfig(graft.ops.FilterConfig(
+      scale = 3.0, offset = 1.0, assetAllowlist = None))
+    val got = new scala.collection.concurrent.TrieMap[Long, Double]()
+    val q = Streams.hotScaledStream(src, cfg) { (out, _) =>
+      out.select("event_id", "scaled").collect()
+        .foreach(r => got(r.getLong(0)) = r.getDouble(1))
+    }
+    try {
+      val deadline = System.currentTimeMillis + 15000
+      while (got.isEmpty && System.currentTimeMillis < deadline) {
+        Thread.sleep(300); q.processAllAvailable()
+      }
+      assert(got.nonEmpty, "rate source produced no rows in 15s")
+      // the tick->event mapping is deterministic: scaled = (id % 1000) * 3 + 1
+      got.foreach { case (id, scaled) =>
+        assert(scaled == (id % 1000).toDouble * 3.0 + 1.0, s"event $id scaled $scaled")
+      }
+    } finally q.stop()
+  }
+
+  test("O1 source factory rejects unknown formats with the supported list") {
+    val e = intercept[IllegalArgumentException] {
+      Streams.eventsSource(spark, "socket")
+    }
+    assert(e.getMessage.contains("file | rate | kafka"))
+  }
+
   test("streaming ewma continues each key's recurrence across micro-batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]

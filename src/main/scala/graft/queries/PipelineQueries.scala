@@ -163,10 +163,17 @@ object PipelineQueries {
         // hint the planner sort-merges the corpus against it. Its size is
         // NOT bounded — it scales with the corpus duplication rate — so
         // the hint is guarded by an actual count (cheap: the labels are
-        // already checkpointed) instead of assumed
+        // already checkpointed) instead of assumed. The gate is MEMORY-
+        // based, not a bare row count: an explicit broadcast() bypasses
+        // Spark's size safety, and a HashedRelation of (long, long) rows
+        // costs ~48 bytes each resident on the driver AND every executor —
+        // cap the relation at 32 MB (~700k labels), far inside any
+        // executor's broadcast budget, and fall back to the shuffle join
+        // above that.
         val labels = Dedup.connectedComponents(pairs)
+        val maxBroadcastRows = 32L * 1024 * 1024 / 48
         val members =
-          if (labels.count() <= 5000000L) broadcast(labels) else labels
+          if (labels.count() <= maxBroadcastRows) broadcast(labels) else labels
         members.join(Tables.documents(s, dir), members("id") === col("doc_id"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_members"),

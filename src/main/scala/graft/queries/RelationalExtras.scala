@@ -620,9 +620,12 @@ object RelationalExtras {
     // ---- Gini concentration of customer spend per market segment ----
     // The inequality audit run before choosing a partitioning key: exact
     // cent-integer spend totals, a deterministic (spend, custkey) rank,
-    // and the closed-form Gini (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Every sum
-    // stays in int64 (≤2^63 at any tested SF), so the only doubles are
-    // the final casts — identical single IEEE ops on both engines.
+    // and the closed-form Gini (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Σcents stays
+    // in int64, but Σi·cents grows ~n²/2·avg_cents — quadratic in SF, it
+    // would wrap int64 around SF≈15 (Spark wraps SILENTLY; DuckDB errors),
+    // so the rank-weighted sum accumulates in DECIMAL(38,0) on BOTH
+    // engines (cast before multiply — the q176/q198 overflow pattern) and
+    // casts to double exactly once in the final expression.
     QueryDef("q169_gini_spend",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -639,7 +642,7 @@ object RelationalExtras {
         seg.withColumn("i", row_number().over(w))
           .groupBy("segment")
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("b"),
-            sum(col("i") * col("cents")).as("a"))
+            sum(col("i").cast("decimal(38,0)") * col("cents")).as("a"))
           .select(col("segment"), col("n"), col("b"),
             round((lit(2d) * col("a").cast("double")
               - (col("n") + 1).cast("double") * col("b").cast("double"))
@@ -662,7 +665,7 @@ object RelationalExtras {
         |  FROM seg),
         |g AS (
         |  SELECT segment, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS b,
-        |    CAST(SUM(i * cents) AS BIGINT) AS a
+        |    SUM(CAST(i AS DECIMAL(38,0)) * cents) AS a
         |  FROM r GROUP BY segment)
         |SELECT segment, n, b,
         |  round((2 * CAST(a AS DOUBLE)

@@ -252,8 +252,13 @@ object StreamQueries {
     // batch twin, so the exactly-once claim is hash-checked, not assumed.
     QueryDef("q187_stream_idempotent_sink",
       (s, dir) => {
+        // sink dir keyed by the SANITIZED full input path (hashCode can
+        // collide across datasets) plus the pid, so concurrent harness
+        // runs (Verify + Bench on one machine) never race on the same
+        // directory that the sink deletes at start
         val outRoot = s"${sys.props("java.io.tmpdir")}/graft_q187_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current().pid()
         Streams.idempotentParquetSink(s, dir, outRoot)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

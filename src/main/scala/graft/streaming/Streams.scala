@@ -471,6 +471,16 @@ object Streams {
     * needs exactly this discipline. At scale the same pattern keys the
     * directory by (epochId) under `foreachBatch`, and the read side
     * prunes on the partition column for free.
+    *
+    * Batch-boundary robustness: per-batch overwrite alone is only exactly-
+    * once if every delivery packs rows into the SAME batch ids — with a
+    * multi-file input or `maxFilesPerTrigger`, a re-run could use fewer
+    * batches and leave a stale `batch=<id>` directory from an earlier
+    * delivery duplicating rows in the read-back. So each run records the
+    * batch ids it actually delivered (the manifest), and directories not
+    * in the final run's manifest are pruned before reading — the sink's
+    * on-disk state is exactly the last complete delivery no matter how the
+    * batch boundaries moved.
     */
   def idempotentParquetSink(s: SparkSession, dir: String,
                             outRoot: String): DataFrame = {
@@ -480,16 +490,25 @@ object Streams {
     }
     val root = new java.io.File(outRoot)
     if (root.exists) del(root) // deterministic start: no stale batch dirs
-    def runOnce(): Unit = {
+    def runOnce(): Set[Long] = {
+      val delivered = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
       val st = eventsStreamIsolated(s, dir, statePartitions = 4)
         .select("event_type", "value")
-      val write: (DataFrame, Long) => Unit = (b, id) =>
+      val write: (DataFrame, Long) => Unit = (b, id) => {
         b.write.mode("overwrite").parquet(s"$outRoot/batch=$id")
+        delivered.add(id); ()
+      }
       val q = st.writeStream.foreachBatch(write).start()
       try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      delivered.asScala.toSet
     }
     runOnce()
-    runOnce() // restart without checkpoint = every batch delivered again
+    val manifest = runOnce() // restart without checkpoint = full re-delivery
+    // prune any batch dir the final delivery did not produce
+    root.listFiles().filter(_.getName.startsWith("batch="))
+      .filterNot(f => manifest.contains(f.getName.stripPrefix("batch=").toLong))
+      .foreach(del)
     s.read.parquet(outRoot).drop("batch")
   }
 }

@@ -474,16 +474,36 @@ object PipelineQueries {
               lit(childRows).as("child_rows"),
               col("orphan_rows"), col("missing_parents"))
         }
-        edge("lineitem_active_part", liRows,
-            li.select("l_partkey"), "l_partkey",
-            Tables.part(s, dir).filter(col("p_size") <= 25)
-              .select("p_partkey"))
+        // the two l_partkey edges (full catalog / active catalog) share ONE
+        // aggregated key census: lineitem is scanned once and reduced to
+        // per-key counts, then both parent sets are tested against the
+        // census with a single join — one scan and one partkey-sized
+        // shuffle instead of two full-lineitem anti-joins
+        val pk = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        val partEdges = pk.join(
+            Tables.part(s, dir)
+              .select(col("p_partkey"), (col("p_size") <= 25).as("active")),
+            col("l_partkey") === col("p_partkey"), "left")
+          .agg(
+            sum(when(col("p_partkey").isNull, col("cnt")).otherwise(0L))
+              .as("orphan_all"),
+            count(when(col("p_partkey").isNull, 1)).as("missing_all"),
+            sum(when(col("p_partkey").isNull || !col("active"), col("cnt"))
+              .otherwise(0L)).as("orphan_active"),
+            count(when(col("p_partkey").isNull || !col("active"), 1))
+              .as("missing_active"))
+          .localCheckpoint(true) // both edge rows read it; census runs once
+        partEdges.select(lit("lineitem_active_part").as("edge"),
+            lit(liRows).as("child_rows"),
+            col("orphan_active").as("orphan_rows"),
+            col("missing_active").as("missing_parents"))
           .unionByName(edge("lineitem_orders", liRows,
             li.select("l_orderkey"), "l_orderkey",
             Tables.orders(s, dir).select("o_orderkey")))
-          .unionByName(edge("lineitem_part", liRows,
-            li.select("l_partkey"), "l_partkey",
-            Tables.part(s, dir).select("p_partkey")))
+          .unionByName(partEdges.select(lit("lineitem_part").as("edge"),
+            lit(liRows).as("child_rows"),
+            col("orphan_all").as("orphan_rows"),
+            col("missing_all").as("missing_parents")))
           .unionByName(edge("lineitem_supplier", liRows,
             li.select("l_suppkey"), "l_suppkey",
             Tables.supplier(s, dir).select("s_suppkey")))

@@ -471,6 +471,72 @@ object TimeSeriesOps {
       }.toDF(keyCol, idCol, valueCol)
   }
 
+  /** Two-level trailing-row window: the scale-out formulation of
+    * `Window.partitionBy(key).orderBy(ts, id).rowsBetween(-frameRows, 0)`
+    * for LOW-CARDINALITY keys. A single-level window on a 5-value key runs
+    * at most 5-way parallel no matter how many executors exist; here each
+    * key is range-split into time buckets and the frame is stitched across
+    * the boundary, so parallelism = |keys| × |buckets| and grows with the
+    * corpus time span (the bucket width is the knob).
+    *
+    * Exactness, for ANY bucket distribution (short buckets, empty buckets):
+    *  1. per-(key, bucket) local row_number — parallel small windows;
+    *  2. bucket row-counts prefix-summed into each bucket's global start
+    *     offset (a window over the TINY per-bucket table);
+    *  3. global index g = start + local rank reproduces the single-window
+    *     total order;
+    *  4. a row is COPIED into every later bucket whose first `frameRows`
+    *     rows need it (g ∈ [start₂-frameRows+1, start₂]) via a broadcast
+    *     range join against the bucket-boundary table — ≤ frameRows carry
+    *     rows per bucket, wherever the frame's tail actually lives;
+    *  5. the rolling aggregate runs per (key, bucket) ordered by g over
+    *     natives ∪ carries; carry rows complete leading frames and are
+    *     dropped from the output.
+    *
+    * `rollingAgg(valueName, w)` builds the frame aggregate (the value
+    * column is exposed under `valueName` so SQL-string aggregates like
+    * `percentile` compose).
+    */
+  def bucketedRollingWindow(df: DataFrame, keyCol: String, tsCol: String,
+                            idCol: String, valueCol: String, frameRows: Int,
+                            bucketWidthMicros: Long,
+                            rollingAgg: (String, org.apache.spark.sql.expressions.WindowSpec) => Column,
+                            outName: String): DataFrame = {
+    require(frameRows >= 1 && bucketWidthMicros >= 1)
+    val base = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(idCol).as("id"), col(valueCol).as("v"),
+      floor(unix_micros(col(tsCol)) / bucketWidthMicros).cast("long").as("b"))
+    val wLocal = Window.partitionBy("k", "b").orderBy(col("ts"), col("id"))
+    val local = base.withColumn("rl", row_number().over(wLocal))
+    // bucket boundary table: rows-before-bucket prefix sums. Tiny
+    // (|keys|×|buckets|) but read by two consumers below — pin it
+    val wBuckets = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = local.groupBy("k", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("start", coalesce(sum(col("cnt")).over(wBuckets), lit(0L)))
+      .select("k", "b", "start")
+      .localCheckpoint(true)
+    val glob = local.join(bounds, Seq("k", "b"))
+      .withColumn("g", col("start") + col("rl"))
+      .select(col("k"), col("b"), col("ts"), col("id"), col("v"), col("g"))
+    val targets = bounds.select(col("k").as("k2"), col("b").as("b2"),
+      col("start").as("start2"))
+    val carries = glob.join(broadcast(targets),
+        col("k") === col("k2") && col("b2") > col("b")
+          && col("g") >= col("start2") - (frameRows - 1)
+          && col("g") <= col("start2"))
+      .select(col("k"), col("b2").as("b"), col("ts"), col("id"), col("v"),
+        col("g"), lit(true).as("carry"))
+    val wRoll = Window.partitionBy("k", "b").orderBy("g")
+      .rowsBetween(-frameRows, 0)
+    glob.withColumn("carry", lit(false))
+      .unionByName(carries)
+      .withColumn(outName, rollingAgg("v", wRoll))
+      .filter(!col("carry"))
+      .select(col("k").as(keyCol), col("ts").as(tsCol), col("id").as(idCol),
+        col("v").as(valueCol), col(outName))
+  }
+
   /** Per-key z-score anomaly counts against the key's GLOBAL mean/stddev,
     * both derived from exact decimal sums (Σx, Σx²) so every engine/layout
     * computes bit-identical statistics; the per-row flag then joins the

@@ -297,15 +297,22 @@ object AdvancedQueries {
     // ---- rolling median (order statistic over a sliding row frame) ----
     // percentile() as a WINDOW aggregate: exact order statistics per
     // 10-row trailing frame, per key — the robust-smoothing counterpart of
-    // the mean-based windows in q23/q45.
+    // the mean-based windows in q23/q45. The key has ~5 distinct values, so
+    // a plain partitionBy(event_type) window caps parallelism at 5
+    // regardless of cluster size; this runs the TWO-LEVEL formulation
+    // (TimeSeriesOps.bucketedRollingWindow): daily time-buckets within each
+    // key, frames stitched across bucket boundaries by carrying ≤9 rows —
+    // hash-checked here against the oracle's single-window phrasing, so the
+    // stitching is proven exact, not assumed.
     QueryDef("q102_rolling_median",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
-        Tables.events(s, dir)
-          .select(col("event_type"), col("event_id"),
-            round(expr("percentile(value, 0.5)").over(w), 6).as("rolling_median"))
+        graft.ops.TimeSeriesOps.bucketedRollingWindow(
+            Tables.events(s, dir), "event_type", "ts", "event_id", "value",
+            frameRows = 9, bucketWidthMicros = 86400000000L,
+            rollingAgg = (v, w) =>
+              round(expr(s"percentile($v, 0.5)").over(w), 6),
+            outName = "rolling_median")
+          .select("event_type", "event_id", "rolling_median")
           .orderBy("event_type", "event_id")
       },
       Some("""SELECT event_type, event_id,

@@ -285,6 +285,14 @@ object RelationalExtras {
     // The windows are computed over the FULL partition, then the output is
     // decimated to every-100th order key — the window shuffle/sort happens
     // once on the partition key regardless of output size.
+    // PARALLELISM-CEILING CONTRACT: l_returnflag has 3 values, so this
+    // window runs ≤3-way parallel by design. Unlike the frame windows
+    // (q102/q180, bucket-stitched via bucketedRollingWindow), the rank
+    // family here is partition-GLOBAL (ntile/percent_rank need the total
+    // order and tie-aware ranks, and the sort triple is not unique in
+    // lineitem), so a two-level rewrite would have to reproduce Spark's
+    // exact tie semantics from stitched global indexes — accepted ceiling;
+    // at 100 TB run this per returnflag-partitioned shard instead.
     QueryDef("q123_rank_distribution",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

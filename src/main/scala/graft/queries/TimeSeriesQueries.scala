@@ -270,17 +270,26 @@ object TimeSeriesQueries {
         |ORDER BY user_id, event_id""".stripMargin)),
 
     // ---- sliding-window pattern match (subsequence similarity search) ----
-    // best-3 windows per key closest to a fixed "spike" motif
+    // best-3 windows per key closest to a fixed "spike" motif. The ranking
+    // is a bounded top-k AGGREGATE (k best (d2, id) pairs per key, O(k)
+    // partials, map-side merge), not a row_number window: partitionBy on a
+    // ~5-value key would sort every scored row through 5 tasks at any
+    // cluster size. (The lead-window inside patternDistance still keys on
+    // event_type — its ceiling is documented there; the q102 bucket-stitch
+    // generalizes to forward frames when a corpus needs it.)
     QueryDef("q114_pattern_match",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val pattern = Seq(100.0, 150.0, 200.0, 250.0, 300.0, 250.0, 200.0, 150.0)
-        val rk = Window.partitionBy("event_type")
-          .orderBy(col("d2").asc, col("event_id").asc)
         TimeSeriesOps.patternDistance(Tables.events(s, dir),
             "event_type", "event_id", "ts", "value", pattern)
-          .withColumn("rk", row_number().over(rk)).filter(col("rk") <= 3)
-          .select(col("event_type"), col("rk"), col("event_id"), col("d2"))
+          .filter(col("d2").isNotNull)
+          .groupBy("event_type")
+          // top-k orders (cos DESC, nid ASC); negate d2 for (d2 ASC, id ASC)
+          .agg(graft.functions.TopKNeighborsAgg
+            .topkNeighbors(-col("d2"), col("event_id"), 3).as("top"))
+          .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "nb")))
+          .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+            col("nb.nid").as("event_id"), (-col("nb.cos")).as("d2"))
           .orderBy("event_type", "rk")
       },
       Some {
@@ -723,20 +732,27 @@ object TimeSeriesQueries {
     // sums for Σx and Σx² (order-independent at any parallelism), the
     // textbook sample-variance identity evaluated in one fixed IEEE
     // sequence, and the breakout flags compared on the UNROUNDED band
-    // edges so the kept set is engine-independent. One shuffle on the
-    // series key; the 20-row frame is a bounded in-partition scan.
+    // edges so the kept set is engine-independent. The trailing frame
+    // runs through the TWO-LEVEL bucket-stitched window
+    // (TimeSeriesOps.bucketedRollingWindow, as in q102): event_type has
+    // ~5 values, so the single-level window would cap at 5-way
+    // parallelism; daily buckets scale it with the corpus span, and the
+    // hash-check against the single-window oracle proves the stitching.
     QueryDef("q180_bollinger_breakouts",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.types.DecimalType
         val dec = DecimalType(27, 6)
-        val win = Window.partitionBy("event_type")
-          .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
-        val w = Tables.events(s, dir)
+        val w = TimeSeriesOps.bucketedRollingWindow(
+            Tables.events(s, dir), "event_type", "ts", "event_id", "value",
+            frameRows = 19, bucketWidthMicros = 86400000000L,
+            rollingAgg = (v, win) => struct(
+              count(lit(1)).over(win).as("n20"),
+              sum(col(v).cast(dec)).over(win).as("s"),
+              sum((col(v) * col(v)).cast(dec)).over(win).as("ssq")),
+            outName = "roll")
           .select(col("event_id"), col("event_type"), col("value"),
-            count(lit(1)).over(win).as("n20"),
-            sum(col("value").cast(dec)).over(win).as("s"),
-            sum((col("value") * col("value")).cast(dec)).over(win).as("ssq"))
+            col("roll.n20").as("n20"), col("roll.s").as("s"),
+            col("roll.ssq").as("ssq"))
         val m = w.filter(col("n20") === 20)
           .select(col("event_id"), col("event_type"), col("value"),
             (col("s").cast("double") / col("n20")).as("mean"),

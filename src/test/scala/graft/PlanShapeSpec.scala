@@ -183,4 +183,104 @@ class PlanShapeSpec extends SparkSpec {
         && !plan.contains("BroadcastNestedLoopJoin"),
       s"gram re-join must stay an equi-join on the gram key:\n$plan")
   }
+
+  // ---- scale-critical shape pins for the most expensive bench queries ----
+  // (VERDICT r5 item 6): each assertion fails if a future edit
+  // reintroduces the anti-pattern the query was designed around.
+
+  test("q50 KMV sketch: bounded aggregate, no window sort of distinct hashes") {
+    val df = graft.queries.AdvancedQueries.defs
+      .find(_.name == "q50_sketches").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("Window"),
+      s"KMV must stay an aggregate, not a row_number window:\n$plan")
+    assert(plan.contains("kmin_hashes"),
+      s"expected the bounded kmin_hashes aggregate:\n$plan")
+  }
+
+  test("q51 IVF top-k: broadcast centroids, bounded ranking, no cartesian") {
+    val df = graft.queries.AdvancedQueries.defs
+      .find(_.name == "q51_ivf_ann_topk").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"cell assignment must broadcast the centroids:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-query ranking must be the bounded top-k aggregate:\n$plan")
+    assert(plan.contains("topk_neighbors"),
+      s"expected the bounded topk_neighbors aggregate:\n$plan")
+  }
+
+  test("q65 dedup clusters: CC output reads a checkpoint, not an iteration tower") {
+    val df = graft.queries.PipelineQueries.defs
+      .find(_.name == "q65_dedup_clusters").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("ExistingRDD"),
+      s"the CC loop must cut lineage via checkpoint:\n$plan")
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 6, s"iteration tower leaked into the final plan ($joins joins):\n$plan")
+  }
+
+  test("q200 curation pipeline: survivors checkpointed, no cartesian, blocked pairs") {
+    val df = graft.queries.TextQueries.defs
+      .find(_.name == "q200_curation_pipeline").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("ExistingRDD"),
+      s"survivor set must be pinned once and reused:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair generation must stay blocked:\n$plan")
+  }
+
+  test("q168 referential integrity: the two part edges share one lineitem scan") {
+    val df = graft.queries.PipelineQueries.defs
+      .find(_.name == "q168_referential_integrity").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).size
+    // the part-edge census is checkpointed (ExistingRDD); only the
+    // l_orderkey and l_suppkey edges re-scan lineitem
+    assert(liScans == 2,
+      s"expected exactly 2 lineitem scans (folded part edges), saw $liScans:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed part-edge census:\n$plan")
+  }
+
+  test("q198 assortativity: degree join stays keyed, stats in one pass") {
+    val df = graft.queries.TextQueries.defs
+      .find(_.name == "q198_degree_assortativity").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("Window"),
+      s"assortativity must be keyed joins + one aggregate:\n$plan")
+  }
+
+  test("q160 triangle count: oriented edge joins, never nodes x nodes") {
+    val df = graft.queries.TextQueries.defs
+      .find(_.name == "q160_triangle_count").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle join must stay an equi-join on oriented edges:\n$plan")
+  }
+
+  test("q70 stream-stream join: both sides watermarked (bounded state)") {
+    val st = graft.streaming.Streams.viewPurchaseJoin(
+      graft.streaming.Streams.eventsStream(spark, dir))
+    val analyzed = st.queryExecution.analyzed.toString
+    val watermarks = "EventTimeWatermark".r.findAllIn(analyzed).size
+    assert(watermarks == 2,
+      s"both join inputs need watermarks for state eviction, saw $watermarks:\n$analyzed")
+  }
+
+  test("q102 rolling median: two-level window partitions on (key, bucket)") {
+    val df = graft.queries.AdvancedQueries.defs
+      .find(_.name == "q102_rolling_median").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("Union"),
+      s"expected the carry-row union of the bucket-stitched window:\n$plan")
+    // every frame window must partition on BOTH the key and the time bucket
+    val singleKeyWindow = "windowspecdefinition\\(k#\\d+, ts#".r
+      .findFirstIn(plan)
+    assert(singleKeyWindow.isEmpty,
+      s"found a window partitioned on the bare low-cardinality key:\n$plan")
+  }
 }

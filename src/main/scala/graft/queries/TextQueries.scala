@@ -246,10 +246,13 @@ object TextQueries {
     // ---- bigram language-model scoring (perplexity-style quality filter) ----
     // Train a corpus bigram model (two aggregates), then score every doc by
     // its mean log-probability — the classic "drop gibberish by LM score"
-    // training-data op. The model tables are vocabulary-sized → broadcast;
-    // each ln term is rounded to 6 before the order-independent decimal sum
-    // (ln differs across engines in the last ulp — per-term rounding keeps
-    // the sum bit-stable; see the verify gotcha list).
+    // training-data op. The model tables are vocabulary-sized → broadcast.
+    // Cross-engine determinism: each ln term is snapped to integer
+    // micro-units (round(ln·1e6)), summed exactly in int64, and the mean is
+    // rounded half-away-from-zero in INTEGER arithmetic — engine round() of
+    // a double mean hits true decimal midpoints (sum·2 ≡ n mod 2n) whose
+    // HALF_UP-on-exact-binary (Spark) vs scaled-nearbyint (DuckDB) rounding
+    // disagree by 1e-6 at larger corpora; see the verify gotcha list.
     QueryDef("q117_bigram_logprob",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -261,11 +264,16 @@ object TextQueries {
         val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
         val model = broadcast(c12.join(c1, "w1")
-          .withColumn("lp", round(log(col("c12") / col("c1")), 6)))
+          .withColumn("lp_micro", round(log(col("c12") / col("c1")) * lit(1e6), 0).cast("long")))
+        // p = -Σlp_micro ≥ 0; mean micro-units rounded half-up on the
+        // magnitude = floor((2p + n) / 2n) via exact integer ops ≤ 2^53.
         bigrams.join(model, Seq("w1", "w2"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-               round(dsum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s_micro"))
+          .withColumn("avg_logprob",
+            -floor((lit(-2) * col("s_micro") + col("n_bigrams")) /
+                   (lit(2.0) * col("n_bigrams"))).cast("double") / lit(1e6))
+          .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
           .orderBy("doc_id")
       },
       Some(s"""WITH toks AS (
@@ -278,10 +286,12 @@ object TextQueries {
         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
         |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
         |model AS (
-        |  SELECT c12.w1, c12.w2, round(ln(c12.c12 / c1.c1), 6) AS lp
+        |  SELECT c12.w1, c12.w2,
+        |    CAST(round(ln(c12.c12 / c1.c1) * 1e6) AS BIGINT) AS lp_micro
         |  FROM c12 JOIN c1 ON c12.w1 = c1.w1)
         |SELECT b.doc_id, COUNT(*) AS n_bigrams,
-        |  round(${sqlDsum("m.lp")} / COUNT(*), 6) AS avg_logprob
+        |  -floor((-2 * SUM(m.lp_micro) + COUNT(*)) / (2.0 * COUNT(*))) / 1e6
+        |    AS avg_logprob
         |FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin)),

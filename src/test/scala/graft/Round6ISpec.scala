@@ -64,9 +64,10 @@ class Round6ISpec extends SparkSpec {
     val rows = SparkEntry.queries("q201_ann_recall")(
       spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
+    // schema: (method, qid, k, hits, recall)
     rows.foreach { r =>
-      assert(r.getLong(2) <= r.getLong(1)) // hits <= k
-      val rec = r.getDouble(3)
+      assert(r.getLong(3) <= r.getLong(2)) // hits <= k
+      val rec = r.getDouble(4)
       assert(rec >= 0d && rec <= 1d)
     }
     // sanity of the metric itself: truth evaluated against truth is 1.0

@@ -487,10 +487,15 @@ object PipelineQueries {
           .agg(
             sum(when(col("p_partkey").isNull, col("cnt")).otherwise(0L))
               .as("orphan_all"),
-            count(when(col("p_partkey").isNull, 1)).as("missing_all"),
+            // a NULL child key is never a "missing parent": COUNT(DISTINCT k)
+            // (the pre-census formulation and the oracle) excludes NULL, so
+            // the census row for l_partkey IS NULL must not be counted
+            count(when(col("p_partkey").isNull && col("l_partkey").isNotNull, 1))
+              .as("missing_all"),
             sum(when(col("p_partkey").isNull || !col("active"), col("cnt"))
               .otherwise(0L)).as("orphan_active"),
-            count(when(col("p_partkey").isNull || !col("active"), 1))
+            count(when((col("p_partkey").isNull || !col("active")) &&
+                col("l_partkey").isNotNull, 1))
               .as("missing_active"))
           .localCheckpoint(true) // both edge rows read it; census runs once
         partEdges.select(lit("lineitem_active_part").as("edge"),

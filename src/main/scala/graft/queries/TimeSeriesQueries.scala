@@ -282,7 +282,6 @@ object TimeSeriesQueries {
         val pattern = Seq(100.0, 150.0, 200.0, 250.0, 300.0, 250.0, 200.0, 150.0)
         TimeSeriesOps.patternDistance(Tables.events(s, dir),
             "event_type", "event_id", "ts", "value", pattern)
-          .filter(col("d2").isNotNull)
           .groupBy("event_type")
           // top-k orders (cos DESC, nid ASC); negate d2 for (d2 ASC, id ASC)
           .agg(graft.functions.TopKNeighborsAgg

@@ -13,6 +13,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  import org.apache.spark.sql.types._
+
+  /** Canonical events schema — single owner for every source format that
+    * must declare it up front (kafka's from_json, external landing zones).
+    * Keep in sync with the promoted columns of `Tables.events`.
+    */
+  private[graft] val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Child session with the stream's state width pinned — shared by every
+    * source branch (see [[eventsStreamIsolated]] for why a child session).
+    */
+  private def pinnedSession(s: SparkSession, statePartitions: Int): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s2
+  }
+
   /** The events table as a file-source stream (schema fixed up front, ns
     * timestamps handled as in Tables.events). Thin alias for
     * [[eventsSource]] with the "file" format — the factory is the seam.
@@ -52,8 +74,7 @@ object Streams {
     case "file" =>
       eventsStreamIsolated(s, dir, statePartitions)
     case "rate" =>
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val s2 = pinnedSession(s, statePartitions)
       val rps = options.getOrElse("rowsPerSecond", "100")
       // deterministic value->row mapping: the same tick always yields the
       // same event, so rate-driven specs can assert exact transforms
@@ -67,16 +88,9 @@ object Streams {
             (col("value") % 5 + 1).cast("int")).as("event_type"),
           (col("value") % 1000).cast("double").as("value"))
     case "kafka" =>
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      val eventSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
-      s2.readStream.format("kafka").options(options).load()
-        .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      pinnedSession(s, statePartitions)
+        .readStream.format("kafka").options(options).load()
+        .select(from_json(col("value").cast("string"), eventsSchema).as("e"))
         .select("e.*")
     case other =>
       throw new IllegalArgumentException(
@@ -94,8 +108,7 @@ object Streams {
     * observe the temporary width, and nothing needs restoring.
     */
   def eventsStreamIsolated(s: SparkSession, dir: String, statePartitions: Int): DataFrame = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val s2 = pinnedSession(s, statePartitions)
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = s2.read.parquet(path).schema
@@ -431,12 +444,21 @@ object Streams {
       val c = cfg.get // one config per batch: the batch boundary is the swap point
       val spark = batch.sparkSession
       import spark.implicits._
-      val gated = c.assetAllowlist.filter(_.nonEmpty).fold(batch) { allow =>
-        batch.join(broadcast(allow.toDF("event_type")), Seq("event_type"), "left_semi")
-      }
+      // O3 contract parity with CoreOps.guarded: disabled means the WHOLE
+      // pipeline (allowlist included) is skipped and the batch passes
+      // through; `scaled` stays identity so the sink schema is stable
+      // across a mid-stream enable/disable swap.
       val out =
-        if (!c.enable) gated.withColumn("scaled", col("value"))
-        else gated.withColumn("scaled", col("value") * lit(c.scale) + lit(c.offset))
+        if (!c.enable) batch.withColumn("scaled", col("value"))
+        else {
+          // an empty allowlist blocks every row — same as
+          // CoreOps.assetFilter's zero-arg isin(), and the semi-join
+          // against an empty broadcast table gives exactly that
+          val gated = c.assetAllowlist.fold(batch) { allow =>
+            batch.join(broadcast(allow.toDF("event_type")), Seq("event_type"), "left_semi")
+          }
+          gated.withColumn("scaled", col("value") * lit(c.scale) + lit(c.offset))
+        }
       deliver(out, id)
     }.start()
   }

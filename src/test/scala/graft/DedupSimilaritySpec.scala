@@ -197,9 +197,9 @@ class DedupSimilaritySpec extends SparkSpec {
     out.groupBy(_._1).foreach { case (_, rows) =>
       val sorted = rows.sortBy(_._2)
       assert(sorted.map(_._2).toSeq == (1 to rows.length).toSeq)
-      // cos non-increasing with rank
+      // cos strictly decreasing with rank, or nid ascending on exact ties
       assert(sorted.sliding(2).forall(p =>
-        p.length < 2 || p(0)._4 >= p(1)._4 ||
+        p.length < 2 || p(0)._4 > p(1)._4 ||
           (p(0)._4 == p(1)._4 && p(0)._3 < p(1)._3)))
     }
   }

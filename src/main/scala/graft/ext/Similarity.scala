@@ -235,6 +235,67 @@ object Similarity {
     topKPerQuery(scored.select("qid", "nid", "cos"), k)
   }
 
+  /** Hard-negative mining: for each anchor, the k highest-cosine corpus
+    * vectors with a DIFFERENT label — the "confusable but wrong" examples
+    * contrastive training wants (vs q203's random negatives). Same shape as
+    * [[bruteForceTopK]]: anchors broadcast, corpus streams map-side, the
+    * label exclusion rides the join predicate, and the per-anchor top-k is
+    * the bounded aggregate — O(|anchors|·k) shuffle, no corpus movement.
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      asDouble(col("embedding")).as("nv"))
+    val scored = c.join(broadcast(q),
+        col("nid") =!= col("qid") && col("nlabel") =!= col("qlabel"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    topKPerQuery(scored.select("qid", "nid", "cos"), k)
+  }
+
+  /** Product quantization: split each vector into `nSub` subspaces of
+    * `subDim` dims, assign each subvector to the nearest of `nCent`
+    * deterministic codebook centroids (md5-parity ±1 corners — the
+    * [[md5Planes]] recipe keyed "sub_cid_dim", so the DuckDB oracle rebuilds
+    * the identical codebook), and emit the packed code plus the total
+    * quantization error. This is the compression leg of IVF-PQ — at scale
+    * the 8-byte code stands in for the 256-byte vector in candidate scoring.
+    *
+    * Scale shape: the codebook is literal (nSub·nCent·subDim values folded
+    * into the projection), so assignment is a PURE MAP — no join, no
+    * shuffle, whole-stage codegen end to end; only the final orderBy (a
+    * display concern) moves data. Numeric discipline: each squared term is
+    * snapped to int64 micro-units (`round(t²·1e6)` of bit-identical doubles
+    * — float→double is exact, centroid ±1 exact, IEEE sub/mul
+    * deterministic), so distances, argmins, and the emitted error are
+    * integer-exact on both engines.
+    */
+  def productQuantize(emb: DataFrame, nSub: Int = 8, subDim: Int = 8,
+                      nCent: Int = 16): DataFrame = {
+    // per-ELEMENT float→double cast (exact), not asDouble's whole-array
+    // transform: a HOF here would be re-evaluated once per codebook term
+    def x(idx: Int): Column = element_at(col("embedding"), idx).cast("double")
+    // dist²(sub, cid) in micro-units: exact int64 sum of 8 snapped terms
+    def dist2(sub: Int, cid: Int): Column =
+      (0 until subDim).map { j =>
+        val c = if ((md5Long15(s"${sub}_${cid}_${j}") & 1L) == 1L) 1.0 else -1.0
+        val t = x(sub * subDim + j + 1) - lit(c)
+        round(t * t * lit(1e6), 0).cast("long")
+      }.reduce(_ + _)
+    // per-subspace argmin via array_min over (dist², cid) structs —
+    // lexicographic struct order = lowest distance, ties to lowest cid
+    val best = (0 until nSub).map { sub =>
+      array_min(array((0 until nCent).map(cid =>
+        struct(dist2(sub, cid).as("d"), lit(cid).as("cid"))): _*)).as(s"b$sub")
+    }
+    val packed = (0 until nSub).map(sub =>
+      shiftleft(col(s"b$sub").getField("cid").cast("long"), 4 * sub))
+      .reduce(_ + _)
+    val err = (0 until nSub).map(sub => col(s"b$sub").getField("d")).reduce(_ + _)
+    emb.select(col("vec_id") +: best: _*)
+      .select(col("vec_id"), packed.as("pq_code"), err.as("err_micro"))
+  }
+
   /** Iterative Lloyd k-means over an embedding column (Euclidean).
     *
     * Deterministic init (the k lowest-vec_id vectors — swap in k-means++

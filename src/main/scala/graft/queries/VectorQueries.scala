@@ -518,6 +518,69 @@ object VectorQueries {
         |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
         |  FROM scored)
         |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- product quantization (the compression leg of IVF-PQ) ----
+    // 64-dim vector → 8 subspaces × 4-bit codes = one int32-packed code +
+    // integer-exact reconstruction error. Codebook = md5-parity ±1 corners
+    // (sign quantization with content-addressed codebooks), folded into the
+    // projection as literals: assignment is a pure map, zero shuffle — the
+    // shape that turns a 100 TB vector corpus into a table of 8-byte codes.
+    QueryDef("q206_product_quantization",
+      (s, dir) => Similarity.productQuantize(Tables.embeddings(s, dir))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (
+        |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
+        |         v[CAST(d.range AS INTEGER) + 1] AS x
+        |  FROM e, range(64) d),
+        |cb AS (
+        |  SELECT CAST(s.range AS INTEGER) AS sub, CAST(c.range AS INTEGER) AS cid,
+        |         CAST(d.range AS INTEGER) AS dsub,
+        |    CASE WHEN (CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || '_' ||
+        |         CAST(c.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)), 1, 15))
+        |         AS BIGINT) & 1) = 1
+        |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS cv
+        |  FROM range(8) s, range(16) c, range(8) d),
+        |terms AS (
+        |  SELECT dims.vec_id, cb.sub, cb.cid,
+        |    CAST(round((dims.x - cb.cv) * (dims.x - cb.cv) * 1e6) AS BIGINT) AS tm
+        |  FROM dims JOIN cb ON dims.d // 8 = cb.sub AND dims.d % 8 = cb.dsub),
+        |cells AS (
+        |  SELECT vec_id, sub, cid, CAST(SUM(tm) AS BIGINT) AS dist2
+        |  FROM terms GROUP BY vec_id, sub, cid),
+        |best AS (
+        |  SELECT vec_id, sub, cid, dist2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist2 ASC, cid ASC) AS rn
+        |  FROM cells)
+        |SELECT vec_id,
+        |  CAST(SUM(CAST(cid AS BIGINT) << (4 * sub)) AS BIGINT) AS pq_code,
+        |  CAST(SUM(dist2) AS BIGINT) AS err_micro
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ---- hard-negative mining (contrastive training data) ----
+    // For each anchor, the top-3 most-similar vectors with a DIFFERENT
+    // label — the "confusable but wrong" negatives that make contrastive
+    // losses learn, complementing q203's random negatives. Anchors
+    // broadcast; corpus streams; label exclusion rides the join predicate.
+    QueryDef("q207_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegativeTopK(emb.filter(col("vec_id") % 50 === 0), emb, 3)
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosSql AS cos
+        |  FROM e a JOIN e b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+        |    AND b.label <> a.label),
+        |ranked AS (SELECT qid, nid, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 3
         |ORDER BY qid, rn""".stripMargin))
   )
 }

@@ -283,4 +283,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(singleKeyWindow.isEmpty,
       s"found a window partitioned on the bare low-cardinality key:\n$plan")
   }
+
+  test("q206 product quantization: pure map assignment, no join or aggregate") {
+    val df = graft.ext.Similarity.productQuantize(
+      graft.sources.Tables.embeddings(spark, dir))
+    val plan = finalPlanString(df)
+    // the literal codebook folds into one projection: any join, aggregate,
+    // or exchange means assignment stopped being map-side
+    assert(!plan.contains("Join"), s"codebook must not be joined:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"assignment must not aggregate:\n$plan")
+    // toString renders whole-stage codegen as "*(n)" stage markers
+    assert(plan.contains("*("), s"expected codegen stages:\n$plan")
+    // the whole-array cast HOF must not appear: per-element casts only
+    assert(!plan.contains("lambdafunction"),
+      s"whole-array transform leaked into the assignment projection:\n$plan")
+  }
 }

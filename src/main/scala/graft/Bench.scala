@@ -51,6 +51,11 @@ object Bench {
       .filter { case (n, _) => graft.util.DevSubset.keep(n) }
       .map { case (name, fn) =>
       spark.catalog.clearCache() // isolate per-query caches between timings
+      // ...and release checkpoint blocks the previous query pinned
+      // (localCheckpoint blocks live in the block manager, NOT the catalog
+      // cache — clearCache alone would let them tax every later timing)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -64,22 +64,53 @@ object Graph {
     // iterative chain of sub-second jobs whose shapes are already known —
     // off for the loop (session-scoped; the caller's conf is untouched)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val sc = spark.sparkContext
+    // checkpoint-generation tracking, same discipline as
+    // [[Dedup.connectedComponents]]: every pinned block set is released as
+    // soon as its successor is materialized, so the operator's resident
+    // footprint is ONE edge copy during the loop and only the |V|-row final
+    // ranks after it returns — not session-lifetime pins of 2|E| rows.
+    def checkpointed(df: => DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val result = locally {
       // materialize the caller-built edge list ONCE before doubling it:
       // the two union branches below would otherwise each recompute the
       // full upstream build (exchange reuse does not cross union branches
       // here — measured as the dominant cost of the whole operator)
-      val pairs0 = spark.createDataFrame(
-        undirectedEdges.select(col("src"), col("dst")).rdd,
-        undirectedEdges.select(col("src"), col("dst")).schema)
-        .localCheckpoint(true)
+      val (pairs0, pairs0Ids) = checkpointed {
+        spark.createDataFrame(
+          undirectedEdges.select(col("src"), col("dst")).rdd,
+          undirectedEdges.select(col("src"), col("dst")).schema)
+          .localCheckpoint(true)
+      }
       val both = pairs0.unionAll(
         pairs0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edgesW = both.join(broadcast(deg), "src").localCheckpoint(true)
-      var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      val (edgesW, edgesWIds) = checkpointed {
+        both.join(broadcast(deg), "src").localCheckpoint(true)
+      }
+      // the initial rank table must derive from the CHECKPOINTED edge
+      // table, not from `deg` — `deg`'s plan still reads pairs0, and ranks
+      // only materialize at `out` below, long after pairs0 is released
+      // (releasing early with a live lazy reference loses the checkpoint
+      // blocks mid-broadcast). edgesW carries every vertex as `src`, so the
+      // vertex sets are identical.
+      var ranks = edgesW.select(col("src").as("id")).distinct()
+        .withColumn("r", lit(1000000L))
+      release(pairs0Ids) // edgesW is truncated — the raw pair copy is dead
       for (_ <- 1 to iterations) ranks = rankStep(edgesW, ranks)
-      ranks.select(col("id"), (col("r") / 1000000.0).as("rank"))
+      // materialize the final ranks (|V| rows) so the 2|E| weighted edge
+      // list can be released NOW instead of staying pinned for the session,
+      // and so downstream actions replay a table read, not the whole loop
+      val out = ranks.select(col("id"), (col("r") / 1000000.0).as("rank"))
+        .localCheckpoint(true)
+      release(edgesWIds)
+      out
     }
     // re-anchor on the caller's session so downstream ops do not silently
     // inherit the narrow loop width

@@ -23,6 +23,26 @@ class PipelineSpec extends SparkSpec {
     assert(labels.values.toSet == Set(0L))
   }
 
+  test("iterative loops release every checkpoint generation but the result") {
+    // a convergence loop that pins a localCheckpoint per materialization
+    // would grow the block manager linearly in rounds — the operators must
+    // leave ONLY the returned table pinned, however many rounds they ran
+    def pinned: Int = spark.sparkContext.getPersistentRDDs
+      .values.count(_.getStorageLevel.useMemory)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val before = pinned
+    // 64-node path → multiple outer iterations (reach ×4 per checkpoint)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("i", "j")
+    val labels = Dedup.connectedComponents(chain)
+    assert(labels.as[(Long, Long)].collect().toMap.values.toSet == Set(0L))
+    assert(pinned - before <= 1,
+      s"connectedComponents left ${pinned - before} pinned RDDs (want ≤1: the labels)")
+    val ranks = graft.ext.Graph.pageRank(chain.toDF("src", "dst"), iterations = 6)
+    assert(ranks.count() == 64)
+    assert(pinned - before <= 2,
+      s"pageRank left ${pinned - before - 1} extra pinned RDDs (want ≤1: the ranks)")
+  }
+
   test("hash split is a pure function of the key: stable across recomputation") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)

@@ -762,7 +762,79 @@ object PipelineQueries {
         |  AND NOT EXISTS (SELECT 1 FROM pos p2
         |    WHERE (p2.i = c.i AND p2.j = c.neg)
         |       OR (p2.i = c.neg AND p2.j = c.i))
-        |ORDER BY i, neg_slot, neg""".stripMargin))
+        |ORDER BY i, neg_slot, neg""".stripMargin)),
+
+    // ---- mixture rebalance: per-source repeat schedule (epochs) ----
+    // The data-mixing step before pretraining: rebalance a skewed source
+    // mix to a uniform per-source token share. Target tokens per source =
+    // total/n_sources; epochs = target/tokens_s held as EXACT integer
+    // micro-units (one integer division — no double ever enters, so no
+    // rounding to diverge on). A source above its share gets epochs < 1
+    // (downsampling), below gets > 1 (repetition). The fractional epoch is
+    // realized per document, content-addressed: doc d gets an extra repeat
+    // iff h48(d) mod 1e6 < frac_micro — a pure function of identity, so
+    // any cluster size or re-run plans the same repeats (same discipline
+    // as the q62 split), and the realized token count concentrates tightly
+    // around the target. Output is the per-source audit: planned docs and
+    // tokens after the schedule. Plan shape: two tiny aggregates (sources
+    // ~ handfuls) broadcast back over one corpus map — no corpus shuffle
+    // beyond the per-source count itself.
+    QueryDef("q211_mixture_rebalance",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ", -1)).as("tok"))
+        val src = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+        val tot = src.agg(sum("tokens").as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        val sched = src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            expr("(total_tokens div n_sources) * 1000000 div tokens")
+              .as("epochs_micro"))
+        docs.join(broadcast(sched), "source")
+          .select(col("source"), col("n_docs"), col("tokens"),
+            col("epochs_micro"), col("tok"),
+            (expr("epochs_micro div 1000000")
+              + when(h48(col("doc_id")) % 1000000L
+                  < col("epochs_micro") % 1000000L, 1L).otherwise(0L))
+              .as("rep"))
+          .groupBy("source")
+          .agg(min("n_docs").as("n_docs"), min("tokens").as("tokens"),
+            min("epochs_micro").as("epochs_micro"),
+            sum(when(col("rep") > expr("epochs_micro div 1000000"), 1L)
+              .otherwise(0L)).as("n_extra"),
+            sum(col("rep")).as("planned_docs"),
+            sum(col("rep") * col("tok")).as("planned_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS tok
+        |  FROM documents),
+        |src AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS tokens
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |    COUNT(*) AS n_sources FROM src),
+        |sched AS (SELECT source, n_docs, tokens,
+        |    ((total_tokens // n_sources) * 1000000) // tokens
+        |      AS epochs_micro
+        |  FROM src CROSS JOIN tot),
+        |rep AS (
+        |  SELECT d.source, s.n_docs, s.tokens, s.epochs_micro, d.tok,
+        |    s.epochs_micro // 1000000
+        |      + CASE WHEN ${sqlH48("d.doc_id")} % 1000000
+        |          < s.epochs_micro % 1000000 THEN 1 ELSE 0 END AS rep
+        |  FROM d JOIN sched s ON d.source = s.source)
+        |SELECT source, MIN(n_docs) AS n_docs, MIN(tokens) AS tokens,
+        |  MIN(epochs_micro) AS epochs_micro,
+        |  CAST(SUM(CASE WHEN rep > epochs_micro // 1000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+        |  CAST(SUM(rep) AS BIGINT) AS planned_docs,
+        |  CAST(SUM(rep * tok) AS BIGINT) AS planned_tokens
+        |FROM rep GROUP BY source
+        |ORDER BY source""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

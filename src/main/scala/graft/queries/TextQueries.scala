@@ -968,6 +968,87 @@ object TextQueries {
         |  round(CAST(CAST(SUM(is_long) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
         |    AS frac_long
         |FROM d GROUP BY decile
-        |ORDER BY decile""".stripMargin))
+        |ORDER BY decile""".stripMargin)),
+
+    // ---- context-window chunking + deterministic training order ----
+    // The tokenize-and-chunk step every pretraining pipeline runs before
+    // packing: slide a 32-token window with stride 24 (8-token overlap, so
+    // no boundary loses context) over each document and emit one row per
+    // chunk, keyed for a content-addressed global shuffle — the training
+    // order is h48(doc, chunk), a pure function of identity, so any cluster
+    // size, file layout, or re-run shards the corpus into the identical
+    // order (same discipline as the q62 split). Plan shape: one generate
+    // per row (sequence→transform→posexplode), no join, no shuffle until
+    // the final order — at 100 TB chunking is a pure map and the shuffle
+    // key is already uniform, so range partitioning by shuffle_key has
+    // zero skew by construction.
+    QueryDef("q209_context_chunking",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+          .select(col("doc_id"), col("w"), posexplode(expr(
+            "transform(sequence(0, (size(w)-1) div 24)," +
+              " k -> array_join(slice(w, k*24+1, 32), ' '))"))
+            .as(Seq("chunk_idx", "chunk")))
+        t.select(col("doc_id"), col("chunk_idx"),
+            least(lit(32), size(col("w")) - col("chunk_idx") * 24).as("n_tok"),
+            md5(col("chunk")).as("chunk_md5"),
+            graft.util.StableHash.h48(concat(col("doc_id").cast("string"),
+              lit("_"), col("chunk_idx").cast("string"))).as("shuffle_key"))
+          .orderBy("shuffle_key", "doc_id", "chunk_idx")
+      },
+      // the range(0, 256) scaffold bounds documents at 256 chunks (6151
+      // tokens) — far above this corpus's longest; the Spark side has no
+      // cap (sequence is exact)
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(k.k AS INTEGER) AS chunk_idx,
+        |    array_to_string(w[(k.k*24+1):(k.k*24+32)], ' ') AS chunk,
+        |    CAST(least(32, len(w) - k.k*24) AS INTEGER) AS n_tok
+        |  FROM docs, (SELECT unnest(range(0, 256)) AS k) k
+        |  WHERE k.k <= (len(w) - 1) // 24)
+        |SELECT doc_id, chunk_idx, n_tok, md5(chunk) AS chunk_md5,
+        |  ${graft.util.StableHash.sql48(
+             "CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_idx AS VARCHAR)")}
+        |    AS shuffle_key
+        |FROM ch
+        |ORDER BY shuffle_key, doc_id, chunk_idx""".stripMargin)),
+
+    // ---- BPE merge census (one byte-pair-encoding merge round) ----
+    // The first step of BPE vocabulary induction: corpus-frequency counts
+    // of every adjacent character pair inside word tokens (occurrence-
+    // weighted, not per-document — BPE merges on corpus frequency), ranked
+    // into the merge-priority list; rank 1 is the pair the next merge
+    // would fuse. Integer counts → exact on any engine. Plan shape: two
+    // generates (token explode, pair explode) then one hash aggregate on
+    // pair — partial map-side combine makes the shuffle |distinct pairs|,
+    // tiny for any corpus over a fixed byte alphabet.
+    QueryDef("q212_bpe_pair_census",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ", -1)).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(20)
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("cnt").desc, col("pair"))))
+          .orderBy("rn")
+      },
+      Some("""WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT pair, COUNT(*) AS cnt,
+        |  CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair)
+        |    AS INTEGER) AS rn
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair
+        |LIMIT 20""".stripMargin))
   )
 }

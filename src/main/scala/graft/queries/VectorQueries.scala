@@ -581,6 +581,179 @@ object VectorQueries {
         |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
         |  FROM scored)
         |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 3
-        |ORDER BY qid, rn""".stripMargin))
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- hybrid retrieval: reciprocal rank fusion (lexical ⊕ semantic) ----
+    // The standard two-tower retrieval merge: a BM25 rank list (q161's exact
+    // formulation, query {table, join, fast}) and an embedding cosine rank
+    // list (query = vector 0; doc_id ≡ vec_id in this corpus) fused by
+    // RRF(d) = Σ_lists 1/(60 + rank_d) over the lists d appears in —
+    // rank-space fusion needs no score calibration between towers, which is
+    // why it is the default hybrid merge in production search. Both rank
+    // lists are top-50 (rank = position under a fully tie-broken order), so
+    // the fusion join touches ≤100 rows regardless of corpus size; the RRF
+    // doubles are 1/int IEEE divisions of identical operands — exact on
+    // both engines, no rounding needed. Scale shape: each tower is its own
+    // bounded top-k (the BM25 side one (doc, term) shuffle, the cosine side
+    // a broadcast of ONE query vector over a corpus map); the global
+    // row_number windows run on ≤50-row inputs — bounded, not corpus-wide.
+    QueryDef("q208_hybrid_rank_fusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val qTerms = Seq("table", "join", "fast")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        val dl = toks.select(col("doc_id"), size(col("w")).as("dl"))
+        val tf = toks.select(col("doc_id"), explode(col("w")).as("t"))
+          .filter(col("t").isin(qTerms: _*))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
+        val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val bm25 = tf.join(broadcast(dfq), "t")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (log((col("n_docs").cast("double") - col("df") + 0.5)
+                / (col("df").cast("double") + 0.5) + 1.0)
+              * (col("tf").cast("double") * 2.2)
+              / (col("tf").cast("double")
+                 + lit(1.2) * (lit(0.25) + lit(0.75)
+                   * col("dl").cast("double")
+                   / (col("tot_len").cast("double") / col("n_docs")))))
+              .as("contrib"))
+          .groupBy("doc_id")
+          .agg(round(graft.util.OracleSafe.dsum(col("contrib")), 6).as("bm25"))
+        val lex = bm25.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+          .withColumn("lex_rn", row_number()
+            .over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .select("doc_id", "lex_rn")
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(Similarity.asDouble(col("embedding")).as("qv"))
+        val sem = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"),
+            Similarity.asDouble(col("embedding")).as("nv"))
+          .crossJoin(broadcast(qv))
+          .withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
+          .orderBy(col("cos").desc, col("doc_id")).limit(50)
+          .withColumn("sem_rn", row_number()
+            .over(Window.orderBy(col("cos").desc, col("doc_id"))))
+          .select("doc_id", "sem_rn")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("sem_rn")), lit(0.0)))
+          .withColumn("lex_rn", coalesce(col("lex_rn"), lit(0)))
+          .withColumn("sem_rn", coalesce(col("sem_rn"), lit(0)))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+          .withColumn("fused_rn", row_number()
+            .over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+          .select("fused_rn", "doc_id", "lex_rn", "sem_rn", "rrf")
+          .orderBy("fused_rn")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl FROM toks),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tfq
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        |  WHERE t IN ('table', 'join', 'fast')
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_len FROM dl),
+        |df AS (SELECT t, COUNT(*) AS dfq FROM tf GROUP BY t),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    ln((CAST(n_docs AS DOUBLE) - dfq + CAST(0.5 AS DOUBLE))
+        |        / (CAST(dfq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |       + CAST(1 AS DOUBLE))
+        |      * (CAST(tfq AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(tfq AS DOUBLE)
+        |         + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+        |             / (CAST(tot_len AS DOUBLE) / n_docs))) AS c
+        |  FROM tf
+        |  JOIN df ON df.t = tf.t
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats),
+        |bm AS (SELECT doc_id, round(${graft.util.OracleSafe.sqlDsum("c")}, 6)
+        |    AS bm25
+        |  FROM contrib GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number()
+        |      OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rn
+        |  FROM bm QUALIFY lex_rn <= 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT b.vec_id AS doc_id, $cosSql AS cos
+        |  FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0),
+        |sem AS (
+        |  SELECT doc_id, CAST(row_number()
+        |      OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS sem_rn
+        |  FROM scored QUALIFY sem_rn <= 50),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |    COALESCE(lex_rn, 0) AS lex_rn, COALESCE(sem_rn, 0) AS sem_rn,
+        |    COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rn), CAST(0 AS DOUBLE))
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + sem_rn),
+        |          CAST(0 AS DOUBLE)) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+        |    AS INTEGER) AS fused_rn,
+        |  doc_id, lex_rn, sem_rn, rrf
+        |FROM fused
+        |ORDER BY rrf DESC, doc_id
+        |LIMIT 20""".stripMargin)),
+
+    // ---- semantic dedup (SemDeDup-style embedding near-dup pruning) ----
+    // The embedding-space analogue of MinHash dedup (Abbas et al. 2023,
+    // "SemDeDup"): coarse-cluster the corpus (q51's deterministic IVF
+    // cells stand in for the paper's k-means — broadcast centroids, pure
+    // map assignment), then inside each cell mark every vector that has a
+    // LOWER-id neighbor with cosine ≥ τ as a semantic duplicate; the
+    // lowest id in each near-dup group survives. Greedy-by-id gives a
+    // deterministic, order-free survivor rule (no iterative CC needed —
+    // dedup here is per-cell pruning, not transitive closure). Scale
+    // shape: the quadratic pair space is bounded per cell (the SemDeDup
+    // point — |cell|² ≪ |corpus|²), the verdict join is a semi-join on id,
+    // and nothing ever leaves its cell — candidate generation is an
+    // equi-join on the cell key exactly like q33's LSH banding.
+    QueryDef("q210_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val assigned = Similarity.ivfAssign(emb, 8).localCheckpoint(true)
+        val a = assigned.select(col("cell"), col("vec_id").as("i"),
+          col("v").as("vi"))
+        val b = assigned.select(col("cell").as("cell_b"),
+          col("vec_id").as("j"), col("v").as("vj"))
+        val dups = a.join(b, col("cell") === col("cell_b")
+            && col("i") < col("j"))
+          .filter(Similarity.cosine(col("vi"), col("vj")) >= 0.3)
+          .select(col("j").as("dup_id")).distinct()
+        assigned.join(dups, col("vec_id") === col("dup_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cid AS cell, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv)
+        |            / (sqrt(list_dot_product(e.v, e.v))
+        |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |          c.cid ASC) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id AS dup_id
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |        * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+        |SELECT asg.vec_id, asg.cell,
+        |  CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |FROM asg LEFT JOIN dups d ON asg.vec_id = d.dup_id
+        |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the round-6 pipeline additions: hybrid rank fusion
+  * (q208), context chunking (q209), semantic dedup (q210), mixture
+  * rebalance (q211), and the BPE pair census (q212).
+  */
+class Round6LSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q208: RRF scores recompute from the rank columns and rank densely") {
+    val rows = SparkEntry.queries("q208_hybrid_rank_fusion")(spark, dir)
+      .collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 20))
+    rows.foreach { r =>
+      val (lex, sem, rrf) = (r.getInt(2), r.getInt(3), r.getDouble(4))
+      val expect = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      assert(rrf == expect, s"rrf $rrf != recomputed $expect")
+      assert(lex > 0 || sem > 0, "fused doc must appear in >=1 rank list")
+    }
+    // fused order is (rrf desc, doc_id asc) with no inversions
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(0).getDouble(4) > p(1).getDouble(4) ||
+          (p(0).getDouble(4) == p(1).getDouble(4) &&
+            p(0).getLong(1) < p(1).getLong(1)))
+    }
+  }
+
+  test("q209: chunk grid tiles every document exactly (stride 24, window 32)") {
+    import spark.implicits._
+    val lens = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = SparkEntry.queries("q209_context_chunking")(spark, dir)
+      .select("doc_id", "chunk_idx", "n_tok")
+      .as[(Long, Int, Int)].collect()
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = lens(doc)
+      assert(cs.length == (n - 1) / 24 + 1, s"doc $doc chunk count")
+      cs.foreach { case (_, k, nt) =>
+        assert(nt == math.min(32, n - k * 24), s"doc $doc chunk $k n_tok")
+      }
+    }
+    assert(chunks.map(_._1).toSet == lens.keySet) // no document dropped
+  }
+
+  test("q209: training order is content-addressed (stable across re-runs)") {
+    import spark.implicits._
+    def order = SparkEntry.queries("q209_context_chunking")(spark, dir)
+      .select("doc_id", "chunk_idx").as[(Long, Int)].collect().toSeq
+    val o = order
+    assert(o == order)
+    // the shuffle actually permutes: not in (doc, chunk) order
+    assert(o != o.sorted)
+  }
+
+  test("q210: the lowest id in every cell survives (greedy survivor rule)") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q210_semantic_dedup")(spark, dir)
+      .select("vec_id", "cell", "is_dup").as[(Long, Long, Int)].collect()
+    assert(rows.length == 500)
+    rows.groupBy(_._2).values.foreach { cell =>
+      val lowest = cell.minBy(_._1)
+      assert(lowest._3 == 0,
+        s"cell ${lowest._2}: lowest id ${lowest._1} marked dup")
+      assert(cell.exists(_._3 == 0), "every cell keeps a survivor")
+    }
+  }
+
+  test("q211: planned docs decompose into floor-epochs plus hash extras") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q211_mixture_rebalance")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val total = rows.map(_._3).sum
+    val target = total / rows.length
+    rows.foreach { case (src, nDocs, tokens, epochsMicro, nExtra, pDocs, _) =>
+      assert(epochsMicro == target * 1000000L / tokens, s"$src epochs")
+      assert(pDocs == nDocs * (epochsMicro / 1000000L) + nExtra, s"$src docs")
+      if (tokens > target) assert(epochsMicro < 1000000L, s"$src downsamples")
+      if (tokens < target) assert(epochsMicro > 1000000L, s"$src upsamples")
+    }
+  }
+
+  test("q212: merge priorities match a brute-force pair count") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("text").as[String].collect()
+    val brute = texts.flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = SparkEntry.queries("q212_bpe_pair_census")(spark, dir)
+      .select("pair", "cnt", "rn").as[(String, Long, Int)].collect()
+    assert(top.length == 20)
+    assert(top.map(_._3).toSeq == (1 to 20))
+    top.foreach { case (pair, cnt, _) =>
+      assert(brute(pair) == cnt, s"pair $pair count")
+    }
+    // rank 1 is the global argmax the next BPE merge would fuse
+    val expected = brute.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(top.map(t => (t._1, t._2)).toSeq == expected)
+  }
+}

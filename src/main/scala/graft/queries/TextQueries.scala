@@ -1049,6 +1049,127 @@ object TextQueries {
         |    AS INTEGER) AS rn
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair
-        |LIMIT 20""".stripMargin))
+        |LIMIT 20""".stripMargin)),
+
+    // ---- the chunk-level training-mix pipeline, composed ----
+    // Flagship #2 (q200's document-curation sibling, on the CHUNK axis):
+    // quality gate (q29, ≥0.68) → exact document dedup on the content
+    // fingerprint (q31, lowest id) → context-window chunking (q209's
+    // stride-24/window-32 grid) → cross-document chunk dedup on the chunk
+    // fingerprint (boilerplate removal at chunk granularity — the min-
+    // struct hash aggregate, not a window: no sort, map-side partials) →
+    // mixture rebalance of the surviving chunks to uniform per-source
+    // token share (q211's integer micro-unit epochs with hash-addressed
+    // fractional repeats, keyed by (doc, chunk)). Output is the per-source
+    // planning audit. Every stage is an already-oracle-checked operator,
+    // COMPOSED; the oracle chains the same stages as one CTE, so the
+    // pipeline is hash-checked END TO END, not just per part.
+    QueryDef("q213_chunk_mix_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val keep1 = Tables.documents(s, dir)
+          .filter(TA.qualityScore(col("text")) >= 0.68)
+          .withColumn("fp", TA.fingerprint(col("text")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select("doc_id", "source", "text")
+        val chunks = keep1
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ", -1).as("w"))
+          .select(col("doc_id"), col("source"), col("w"), posexplode(expr(
+            "transform(sequence(0, (size(w)-1) div 24)," +
+              " k -> array_join(slice(w, k*24+1, 32), ' '))"))
+            .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("source"), col("chunk_idx"),
+            least(lit(32), size(col("w")) - col("chunk_idx") * 24)
+              .as("n_tok"),
+            md5(col("chunk")).as("cfp"))
+        // chunk survivor = lexicographic min (doc_id, chunk_idx) per
+        // fingerprint; n_tok/source ride along in the struct. Pinned once:
+        // the two schedule aggregates and the repeat map all read it.
+        val dedup = chunks.groupBy("cfp")
+          .agg(min(struct(col("doc_id"), col("chunk_idx"), col("n_tok"),
+            col("source"))).as("sv"))
+          .select(col("sv.doc_id").as("doc_id"),
+            col("sv.chunk_idx").as("chunk_idx"),
+            col("sv.n_tok").as("n_tok"), col("sv.source").as("source"))
+          .localCheckpoint(true)
+        val src = dedup.groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"), sum("n_tok").as("tokens"))
+        val tot = src.agg(sum("tokens").as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        val sched = src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_chunks"), col("tokens"),
+            expr("(total_tokens div n_sources) * 1000000 div tokens")
+              .as("epochs_micro"))
+        dedup.join(broadcast(sched), "source")
+          .select(col("source"), col("n_chunks"), col("tokens"),
+            col("epochs_micro"), col("n_tok"),
+            (expr("epochs_micro div 1000000")
+              + when(graft.util.StableHash.h48(
+                  concat(col("doc_id").cast("string"), lit("_"),
+                    col("chunk_idx").cast("string"))) % 1000000L
+                  < col("epochs_micro") % 1000000L, 1L).otherwise(0L))
+              .as("rep"))
+          .groupBy("source")
+          .agg(min("n_chunks").as("n_chunks"), min("tokens").as("tokens"),
+            min("epochs_micro").as("epochs_micro"),
+            sum(col("rep")).as("planned_chunks"),
+            sum(col("rep") * col("n_tok")).as("planned_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE 0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a')))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * least(1.0, (length(replace(text, ' ', ''))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)
+        |    >= 0.68),
+        |keep1 AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(array_to_string(list_sort(list_distinct(
+        |        string_split(lower(text), ' '))), ' '))
+        |      ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |docs2 AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM keep1),
+        |ch AS (
+        |  SELECT doc_id, source, CAST(k.k AS INTEGER) AS chunk_idx,
+        |    array_to_string(w[(k.k*24+1):(k.k*24+32)], ' ') AS chunk,
+        |    CAST(least(32, len(w) - k.k*24) AS INTEGER) AS n_tok
+        |  FROM docs2, (SELECT unnest(range(0, 256)) AS k) k
+        |  WHERE k.k <= (len(w) - 1) // 24),
+        |dch AS (
+        |  SELECT doc_id, chunk_idx, n_tok, source FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+        |      ORDER BY doc_id, chunk_idx) AS crn FROM ch)
+        |  WHERE crn = 1),
+        |src AS (SELECT source, COUNT(*) AS n_chunks,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tokens
+        |  FROM dch GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |    COUNT(*) AS n_sources FROM src),
+        |sched AS (SELECT source, n_chunks, tokens,
+        |    ((total_tokens // n_sources) * 1000000) // tokens
+        |      AS epochs_micro
+        |  FROM src CROSS JOIN tot),
+        |rep AS (
+        |  SELECT d.source, s.n_chunks, s.tokens, s.epochs_micro, d.n_tok,
+        |    s.epochs_micro // 1000000
+        |      + CASE WHEN ${graft.util.StableHash.sql48(
+             "CAST(d.doc_id AS VARCHAR) || '_' || CAST(d.chunk_idx AS VARCHAR)")}
+        |            % 1000000
+        |          < s.epochs_micro % 1000000 THEN 1 ELSE 0 END AS rep
+        |  FROM dch d JOIN sched s ON d.source = s.source)
+        |SELECT source, MIN(n_chunks) AS n_chunks, MIN(tokens) AS tokens,
+        |  MIN(epochs_micro) AS epochs_micro,
+        |  CAST(SUM(rep) AS BIGINT) AS planned_chunks,
+        |  CAST(SUM(rep * n_tok) AS BIGINT) AS planned_tokens
+        |FROM rep GROUP BY source
+        |ORDER BY source""".stripMargin))
   )
 }

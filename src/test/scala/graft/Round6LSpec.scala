@@ -104,4 +104,25 @@ class Round6LSpec extends SparkSpec {
     val expected = brute.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
     assert(top.map(t => (t._1, t._2)).toSeq == expected)
   }
+
+  test("q213: composed pipeline prunes at every stage and plans to target") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q213_chunk_mix_pipeline")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    val target = total / rows.length
+    rows.foreach { case (src, nChunks, tokens, epochsMicro, pChunks, pTok) =>
+      assert(epochsMicro == target * 1000000L / tokens, s"$src epochs")
+      assert(pChunks >= nChunks * (epochsMicro / 1000000L), s"$src chunks")
+      assert(pTok <= tokens * (epochsMicro / 1000000L + 1), s"$src tokens")
+    }
+    // the quality gate + the two dedup rungs actually prune: the scheduled
+    // chunk census is strictly below the raw chunk grid of the corpus
+    val rawChunks = graft.sources.Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ", -1)).as("n"))
+      .as[Int].collect().map(n => (n - 1) / 24 + 1).map(_.toLong).sum
+    assert(rows.map(_._2).sum < rawChunks,
+      "pipeline must drop gated/duplicate chunks")
+  }
 }

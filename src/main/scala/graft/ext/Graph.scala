@@ -90,19 +90,20 @@ object Graph {
       }
       val both = pairs0.unionAll(
         pairs0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
+      // the degree table is checkpointed EAGERLY (it is tiny — |V| rows)
+      // so that (a) the aggregation over 2|E| runs once, reused by both
+      // the edge join and the initial ranks (the lazy plan would compute
+      // it twice), and (b) nothing downstream references pairs0 once
+      // edgesW is live — releasing pairs0 early with a live lazy `deg`
+      // would lose its checkpoint blocks mid-broadcast.
+      val (deg, degIds) = checkpointed {
+        both.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      }
       val (edgesW, edgesWIds) = checkpointed {
         both.join(broadcast(deg), "src").localCheckpoint(true)
       }
-      // the initial rank table must derive from the CHECKPOINTED edge
-      // table, not from `deg` — `deg`'s plan still reads pairs0, and ranks
-      // only materialize at `out` below, long after pairs0 is released
-      // (releasing early with a live lazy reference loses the checkpoint
-      // blocks mid-broadcast). edgesW carries every vertex as `src`, so the
-      // vertex sets are identical.
-      var ranks = edgesW.select(col("src").as("id")).distinct()
-        .withColumn("r", lit(1000000L))
       release(pairs0Ids) // edgesW is truncated — the raw pair copy is dead
+      var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
       for (_ <- 1 to iterations) ranks = rankStep(edgesW, ranks)
       // materialize the final ranks (|V| rows) so the 2|E| weighted edge
       // list can be released NOW instead of staying pinned for the session,
@@ -110,6 +111,7 @@ object Graph {
       val out = ranks.select(col("id"), (col("r") / 1000000.0).as("rank"))
         .localCheckpoint(true)
       release(edgesWIds)
+      release(degIds)
       out
     }
     // re-anchor on the caller's session so downstream ops do not silently

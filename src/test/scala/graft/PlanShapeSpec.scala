@@ -299,4 +299,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"),
       s"whole-array transform leaked into the assignment projection:\n$plan")
   }
+
+  test("q208 rank fusion: towers end in bounded top-k, no cartesian blowup") {
+    val df = graft.queries.VectorQueries.defs
+      .find(_.name == "q208_hybrid_rank_fusion").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast singletons may cross:\n$plan")
+    // both rank lists bound through orderBy+limit, never a corpus window
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected bounded top-50 towers:\n$plan")
+  }
+
+  test("q209 chunking: pure map over one scan — no join, no keyed shuffle") {
+    val df = graft.queries.TextQueries.defs
+      .find(_.name == "q209_context_chunking").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle by key (only the final range sort):\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single documents scan, saw $scans:\n$plan")
+  }
+
+  test("q210 semantic dedup: cell-bounded equi-join over a pinned assignment") {
+    val df = graft.queries.VectorQueries.defs
+      .find(_.name == "q210_semantic_dedup").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("ExistingRDD"),
+      s"the IVF assignment must be pinned once and reused:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair space must stay bounded by the cell equi-join:\n$plan")
+  }
+
+  test("q213 chunk-mix pipeline: chunk dedup pinned, schedule broadcast back") {
+    val df = graft.queries.TextQueries.defs
+      .find(_.name == "q213_chunk_mix_pipeline").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("ExistingRDD"),
+      s"the deduped chunk table must be pinned once and reused:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-source schedule must broadcast to the chunk map:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the schedule join should sort-merge:\n$plan")
+  }
 }

@@ -105,6 +105,20 @@ class Round6LSpec extends SparkSpec {
     assert(top.map(t => (t._1, t._2)).toSeq == expected)
   }
 
+  test("q209/q213 oracle scaffold: no document exceeds the 256-chunk cap") {
+    // the DuckDB oracles tile chunks from a range(0, 256) scaffold; a
+    // document longer than 6144 tokens would silently lose chunks on the
+    // oracle side only. Guard the corpus assumption like Round6ESpec's
+    // ASCII guard — at the oracle SF as well as the spec SF.
+    import spark.implicits._
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val maxTok = graft.sources.Tables.documents(spark, d)
+        .select(size(split(col("text"), " ", -1)).as("n"))
+        .agg(max("n")).as[Int].head()
+      assert(maxTok <= 6144, s"$d: $maxTok-token document overruns the cap")
+    }
+  }
+
   test("q213: composed pipeline prunes at every stage and plans to target") {
     import spark.implicits._
     val rows = SparkEntry.queries("q213_chunk_mix_pipeline")(spark, dir)

@@ -626,26 +626,40 @@ object PipelineQueries {
     // The ML-monitoring primitive: decile edges fitted on the reference
     // window (first half-month), both windows binned against those SAME
     // edges, per-bin PSI contribution (pₐ−p_b)·ln(pₐ/p_b) with Haldane
-    // smoothing so empty bins stay finite. Edges are values at exact
-    // rank positions (tie-safe: any tie order yields the same value);
-    // the 9-edge table broadcasts into both binning passes — no
-    // per-window sort of the fact table beyond the one edge-fitting
-    // ranking (at extreme scale: a quantile sketch instead).
+    // smoothing so empty bins stay finite. Edge fitting never sorts the
+    // raw window: counts compress to the distinct value domain first
+    // (events.value is 2-decimal by corpus fact — a BOUNDED domain at any
+    // SF, guard-specced in Round6ESpec), the cumulative census runs over
+    // that bounded table, and edge i = the least value whose cumulative
+    // count reaches rank (i·n) div 10 — with ties grouped, identical to
+    // the value at that exact rank under any tie order (the formulation
+    // the oracle uses). The 9-edge table broadcasts into both binning
+    // passes.
     QueryDef("q189_psi_drift",
       (s, dir) => {
         val cut = lit("2024-01-15").cast("timestamp")
         val ev = Tables.events(s, dir)
         val w1 = ev.filter(col("ts") < cut).select("event_id", "value")
         val w2 = ev.filter(col("ts") >= cut).select("event_id", "value")
-        val r1 = w1.select(col("value"),
-          row_number().over(Window.orderBy("value")).as("rn"),
-          count(lit(1)).over(Window.partitionBy()).as("n"))
+        // the value census is read by the cumulative window AND the total:
+        // pin the (tiny, domain-bounded) table once instead of re-scanning
+        // the window twice
+        val vc = w1.groupBy("value").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        // global window, but over the DISTINCT-value census only — the
+        // single-partition sort is bounded by the value domain, not |rows|.
+        // Values are unique here, so the explicit ROWS frame (the O(1)
+        // running-sum path) equals the default RANGE frame.
+        val cum = vc.select(col("value"),
+          sum("c").over(Window.orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum"))
+        val tot1 = vc.agg(sum("c").as("n"))
         val is = ev.sparkSession.range(1, 10)
           .select(col("id").cast("int").as("i"))
-        val edges = r1.crossJoin(broadcast(is))
-          .groupBy("i")
-          .agg(max(when(col("rn") === expr("(i * n) div 10"), col("value")))
-            .as("edge"))
+        val edges = cum.crossJoin(broadcast(is)).crossJoin(broadcast(tot1))
+          .filter(col("cum") >= expr("(i * n) div 10"))
+          .groupBy("i").agg(min(col("value")).as("edge"))
         def bins(w: org.apache.spark.sql.DataFrame) = w
           .crossJoin(broadcast(edges))
           .groupBy("event_id")

@@ -390,40 +390,45 @@ object ScaleOpsQueries {
     // ---- join-key skew profile (the pre-shuffle audit) ----
     // The distribution report consulted before picking a shuffle key:
     // per-key row counts reduced to one row of cardinality, exact
-    // p50/p90/p99 count quantiles (position = ceil(q·n) over the
-    // cnt-ordered ranking), and the top-1/top-10 key shares that decide
-    // whether salting is needed. The per-key aggregate is partial+final;
-    // the ranking windows run over the (small) key-count table, not the
-    // fact — at extreme key cardinality the same report comes from an
-    // approx-quantile sketch instead of the global sort.
+    // p50/p90/p99 count quantiles, and the top-1/top-10 key shares that
+    // decide whether salting is needed. NOTHING globally sorts the key
+    // table: the quantiles come from the count-of-counts census (bounded
+    // by the maximum key multiplicity, not by |keys|) as the least count
+    // whose cumulative key tally reaches the ceil(q·n) rank — identical
+    // to the value at that rank under any tie order — and the top-10
+    // share is a bounded TakeOrdered. The key table is pinned once for
+    // its three consumers (one fact scan; swap checkpoint() for
+    // localCheckpoint at cluster scale, as in connectedComponents).
     QueryDef("q170_key_skew_profile",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val c = Tables.lineitem(s, dir)
           .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
-        val ranked = c.select(col("l_partkey"), col("cnt"),
-          row_number().over(
-            Window.orderBy(col("cnt").asc, col("l_partkey").asc)).as("rn"),
-          row_number().over(
-            Window.orderBy(col("cnt").desc, col("l_partkey").asc)).as("rd"),
-          count(lit(1)).over(Window.partitionBy()).as("nk"))
-        ranked.agg(
-            count(lit(1)).as("n_keys"),
-            sum("cnt").as("total_rows"),
-            max("cnt").as("max_cnt"),
-            max(when(col("rn") === ceil(col("nk") * 0.5).cast("long"),
+          .localCheckpoint(true)
+        val stats = c.agg(count(lit(1)).as("nk"), sum("cnt").as("tot"),
+          max("cnt").as("mx"))
+        val cum = c.groupBy("cnt").agg(count(lit(1)).as("kc"))
+          .select(col("cnt"), sum("kc").over(Window.orderBy("cnt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum"))
+        val quant = cum.crossJoin(broadcast(stats.select(col("nk"))))
+          .agg(
+            min(when(col("cum") >= ceil(col("nk") * 0.5).cast("long"),
               col("cnt"))).as("p50_cnt"),
-            max(when(col("rn") === ceil(col("nk") * 0.9).cast("long"),
+            min(when(col("cum") >= ceil(col("nk") * 0.9).cast("long"),
               col("cnt"))).as("p90_cnt"),
-            max(when(col("rn") === ceil(col("nk") * 0.99).cast("long"),
-              col("cnt"))).as("p99_cnt"),
-            sum(when(col("rd") <= 10, col("cnt")).otherwise(0L)).as("t10"))
-          .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+            min(when(col("cum") >= ceil(col("nk") * 0.99).cast("long"),
+              col("cnt"))).as("p99_cnt"))
+        val t10 = c.orderBy(col("cnt").desc, col("l_partkey").asc).limit(10)
+          .agg(sum("cnt").as("t10"))
+        stats.crossJoin(broadcast(quant)).crossJoin(broadcast(t10))
+          .select(col("nk").as("n_keys"), col("tot").as("total_rows"),
+            col("mx").as("max_cnt"),
             col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
-            round(col("max_cnt").cast("double")
-              / col("total_rows").cast("double"), 6).as("top1_share"),
+            round(col("mx").cast("double")
+              / col("tot").cast("double"), 6).as("top1_share"),
             round(col("t10").cast("double")
-              / col("total_rows").cast("double"), 6).as("top10_share"))
+              / col("tot").cast("double"), 6).as("top10_share"))
       },
       Some("""WITH c AS (
         |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),

@@ -582,23 +582,52 @@ object PipelineQueries {
     // position its length holds WITHIN its source — all sources then
     // share one length distribution. Pure integer rank arithmetic
     // (gpos = ⌈srk·N/n_src⌉ via exact integer ceil-division), so the
-    // mapping is engine- and layout-independent. Scale note: the global
-    // ranking is the only unpartitioned window — at extreme corpus size
-    // the same mapping comes from a merged quantile sketch instead.
+    // mapping is engine- and layout-independent.
+    //
+    // Scale shape — EXACT distributed ranking, no corpus-wide sort: all
+    // ranks decompose through the (source, n_chars) census (bounded by
+    // source count × the length domain, not by |docs|). A document's
+    // source rank = docs-below-its-length offset (census cumsum) + its
+    // doc_id rank WITHIN its (source, length) group — the only window
+    // over the corpus partitions on that HIGH-cardinality pair. The
+    // global value-at-rank lookup is a banded join against the ~|domain|
+    // cumulative census (prev-cum < gpos ≤ cum picks exactly one row),
+    // broadcast because it is domain-bounded. Ties share their length
+    // value, so every decomposition is rank-for-rank identical to the
+    // windowed formulation the oracle keeps.
     QueryDef("q185_quantile_normalize",
       (s, dir) => {
-        val g = Tables.documents(s, dir)
-          .select(col("n_chars").as("gchars"),
-            row_number().over(Window.orderBy("n_chars", "doc_id")).as("grk"))
-        val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_tot"))
-        val bySrc = Window.partitionBy("source")
-        val sr = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            row_number().over(bySrc.orderBy("n_chars", "doc_id")).as("srk"),
-            count(lit(1)).over(bySrc).as("n_src"))
-        sr.crossJoin(broadcast(n))
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "source", "n_chars")
+        val cs = docs.groupBy("source", "n_chars")
+          .agg(count(lit(1)).as("kc"))
+          .localCheckpoint(true) // tiny census; four consumers below
+        // per-source cumulative counts: low-card partitions, but over the
+        // CENSUS (domain-bounded), never over the corpus
+        val csCum = cs.select(col("source").as("s2"), col("n_chars").as("c2"),
+          (sum("kc").over(Window.partitionBy("source").orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("kc")).as("soff"))
+        val srcTot = cs.groupBy("source").agg(sum("kc").as("n_src"))
+        val cg = cs.groupBy("n_chars").agg(sum("kc").as("gkc"))
+          .select(col("n_chars").as("gchars"), col("gkc"),
+            sum("gkc").over(Window.orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("ghi"))
+          .select(col("gchars"), (col("ghi") - col("gkc")).as("glo"),
+            col("ghi"))
+        val n = cs.agg(sum("kc").as("n_tot"))
+        docs
+          .withColumn("wrk", row_number().over(
+            Window.partitionBy("source", "n_chars").orderBy("doc_id")))
+          .join(broadcast(csCum),
+            col("source") === col("s2") && col("n_chars") === col("c2"))
+          .join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("srk", col("soff") + col("wrk"))
           .withColumn("gpos", expr("(srk * n_tot + n_src - 1) div n_src"))
-          .join(g, col("gpos") === col("grk"))
+          .join(broadcast(cg),
+            col("gpos") > col("glo") && col("gpos") <= col("ghi"))
           .select(col("doc_id"), col("source"), col("n_chars"),
             col("gchars").as("norm_chars"))
           .orderBy("doc_id")

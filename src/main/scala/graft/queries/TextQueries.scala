@@ -917,16 +917,29 @@ object TextQueries {
     // corpus the curve is sharply monotone (0% long docs in decile 1 →
     // 98% in decile 9) — the score is predictive, the q200 threshold
     // defensible.
+    //
+    // Scale shape: the median never sorts the corpus — it is the least
+    // length whose cumulative census count reaches rank (n+1) div 2,
+    // over the domain-bounded length census (same decomposition as
+    // q185/q189). The decile window ranks the near-continuous score, so
+    // it stays rank-positional over the eval population — calibration
+    // runs on a scored SAMPLE at extreme scale (or deciles from a merged
+    // score-quantile sketch), which this query models.
     QueryDef("q204_calibration_curve",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val q = Tables.documents(s, dir).select(col("doc_id"),
           col("n_chars"), TA.qualityScore(col("text")).as("quality"))
-        val med = q.select(col("n_chars"),
-            row_number().over(Window.orderBy("n_chars", "doc_id")).as("rn"),
-            count(lit(1)).over(Window.partitionBy()).as("n"))
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("n_chars").as("m"))
+        val lc = Tables.documents(s, dir).groupBy("n_chars")
+          .agg(count(lit(1)).as("kc"))
+          .localCheckpoint(true) // cum window + total read the tiny census
+        val med = lc.select(col("n_chars"),
+            sum("kc").over(Window.orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cum"))
+          .crossJoin(broadcast(lc.agg(sum("kc").as("n"))))
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .agg(min(col("n_chars")).as("m"))
         q.crossJoin(broadcast(med))
           .select(ntile(10).over(
               Window.orderBy(col("quality").asc, col("doc_id").asc))

@@ -300,6 +300,22 @@ class PlanShapeSpec extends SparkSpec {
       s"whole-array transform leaked into the assignment projection:\n$plan")
   }
 
+  test("rank-positional stats never sort the corpus (census decomposition)") {
+    // q170/q185/q189/q204 all compute exact value-at-rank results; their
+    // engine-side plans must keep every unpartitioned window on a
+    // DOMAIN-BOUNDED census, which shows up as no window input wider than
+    // a grouped aggregate. The cheap pin: the plans contain no
+    // row_number over an unpartitioned corpus-wide ordering — the only
+    // remaining corpus window is q204's documented score-decile ntile
+    // and q185's high-cardinality (source, length) group rank.
+    for (name <- Seq("q170_key_skew_profile", "q189_psi_drift")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = finalPlanString(df)
+      assert(!plan.contains("row_number"),
+        s"$name must rank via the cumulative census, not row_number:\n$plan")
+    }
+  }
+
   test("q208 rank fusion: towers end in bounded top-k, no cartesian blowup") {
     val df = graft.queries.VectorQueries.defs
       .find(_.name == "q208_hybrid_rank_fusion").get.fn(spark, dir)

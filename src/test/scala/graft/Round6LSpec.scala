@@ -119,6 +119,22 @@ class Round6LSpec extends SparkSpec {
     }
   }
 
+  test("census scaffold: events.value is a 2-decimal bounded domain") {
+    // q189's decile edges (and the census-decomposition pattern generally)
+    // compress the corpus to its distinct-value domain; that is only a
+    // compression if the domain is bounded. Pin the corpus fact the
+    // formulation rides on: values are 2-decimal and range-bounded, so
+    // |distinct| saturates while |rows| grows.
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val r = graft.sources.Tables.events(spark, d)
+        .agg(max(abs(col("value") * 100 - round(col("value") * 100, 0)))
+          .as("frac"), min("value").as("lo"), max("value").as("hi")).head()
+      assert(r.getDouble(0) < 1e-6, s"$d: value is not 2-decimal")
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(2) <= 100000.0,
+        s"$d: value domain outside [0, 1e5]")
+    }
+  }
+
   test("q213: composed pipeline prunes at every stage and plans to target") {
     import spark.implicits._
     val rows = SparkEntry.queries("q213_chunk_mix_pipeline")(spark, dir)

@@ -686,9 +686,14 @@ object PipelineQueries {
         val tot1 = vc.agg(sum("c").as("n"))
         val is = ev.sparkSession.range(1, 10)
           .select(col("id").cast("int").as("i"))
+        // rank 0 (a reference window of fewer than 10 rows) must yield a
+        // NULL edge — the oracle's MAX-over-no-rows semantics — not the
+        // domain minimum; the k >= 1 guard inside the conditional keeps
+        // all nine edge rows with exact parity at ANY window size
         val edges = cum.crossJoin(broadcast(is)).crossJoin(broadcast(tot1))
-          .filter(col("cum") >= expr("(i * n) div 10"))
-          .groupBy("i").agg(min(col("value")).as("edge"))
+          .groupBy("i").agg(min(when(expr("(i * n) div 10 >= 1")
+              && col("cum") >= expr("(i * n) div 10"), col("value")))
+            .as("edge"))
         def bins(w: org.apache.spark.sql.DataFrame) = w
           .crossJoin(broadcast(edges))
           .groupBy("event_id")

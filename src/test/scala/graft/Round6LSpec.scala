@@ -135,6 +135,15 @@ class Round6LSpec extends SparkSpec {
     }
   }
 
+  test("q214: found dups are a subset of true dups, recall well-formed") {
+    val r = SparkEntry.queries("q214_semantic_dedup_recall")(spark, dir)
+      .collect().head
+    val (nTrue, nFound, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nTrue > 0, "eval needs a non-empty truth sample")
+    assert(nFound <= nTrue, "cell-bounded verdicts cannot exceed the truth")
+    assert(recall >= 0.0 && recall <= 1.0)
+  }
+
   test("q213: composed pipeline prunes at every stage and plans to target") {
     import spark.implicits._
     val rows = SparkEntry.queries("q213_chunk_mix_pipeline")(spark, dir)

@@ -265,7 +265,12 @@ object ScaleOpsQueries {
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         // one percentile buffer for all three edges (three separate
-        // percentile() aggs each collect the full column)
+        // percentile() aggs each collect the full column). Scale
+        // contract: exact interpolated quantiles over a NEAR-UNIQUE
+        // domain (583k distinct / 600k rows here) cannot census-compress
+        // like q189's 2-decimal values — at corpus scale the edges come
+        // from q107's mergeable GK sketch instead; this query is the
+        // exact leg of that pair.
         val edges = li
           .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("es"))
           .select(element_at(col("es"), 1).as("e1"),

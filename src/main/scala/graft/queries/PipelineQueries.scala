@@ -882,7 +882,62 @@ object PipelineQueries {
         |  CAST(SUM(rep) AS BIGINT) AS planned_docs,
         |  CAST(SUM(rep * tok) AS BIGINT) AS planned_tokens
         |FROM rep GROUP BY source
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // ---- leakage-safe train/valid/test split (cluster-granular) ----
+    // q62 splits per document — but near-duplicate documents split apart
+    // leak training text into the test set, the classic eval
+    // contamination bug. This split assigns at NEAR-DUP-CLUSTER
+    // granularity: connected components over the q32 Jaccard pair graph
+    // (singletons keep their own id as the group), then the
+    // content-addressed 80/10/10 hash split ON THE GROUP KEY — every
+    // cluster lands whole in exactly one split, on any cluster size,
+    // layout, or re-run. Output is the per-split census; the
+    // no-straddling property is structural (split is a pure function of
+    // grp) and spec-asserted on the pair endpoints. Scale shape: pairs
+    // and CC are the q65 machinery (blocked, checkpoint-bounded); the
+    // label join is the q103 guarded broadcast shape; the split itself
+    // adds zero shuffles beyond the final census aggregate.
+    QueryDef("q215_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        val labels = Dedup.connectedComponents(pairs)
+        // same memory-gated broadcast as q103: the label table scales
+        // with the duplication rate, so the hint is guarded by a count
+        // of the (already-checkpointed) labels, not assumed
+        val lab =
+          if (labels.count() <= 32L * 1024 * 1024 / 48) broadcast(labels)
+          else labels
+        val grouped = docs
+          .join(lab, docs("doc_id") === labels("id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("label"), col("doc_id")).as("grp"))
+        val bucket = h48(col("grp")) % 100
+        grouped
+          .withColumn("split", when(bucket < 80, "train")
+            .when(bucket < 90, "valid").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("grp")).as("n_groups"),
+            sum("n_chars").as("total_chars"))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE $ccOracleCte,
+        |dl AS (
+        |  SELECT d.doc_id, d.n_chars, COALESCE(c.label, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |sp AS (
+        |  SELECT doc_id, n_chars, grp,
+        |    CASE WHEN ${sqlH48("grp")} % 100 < 80 THEN 'train'
+        |         WHEN ${sqlH48("grp")} % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM dl)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT grp) AS n_groups,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM sp GROUP BY split
+        |ORDER BY split""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

@@ -144,6 +144,37 @@ class Round6LSpec extends SparkSpec {
     assert(recall >= 0.0 && recall <= 1.0)
   }
 
+  test("q215: no near-dup pair straddles a split boundary (leakage-safe)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val pairs = graft.ext.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus must contain near-dup pairs to test")
+    // recompute the per-doc split exactly as q215 assigns it
+    val labels = graft.ext.Dedup
+      .connectedComponents(docs.sparkSession
+        .createDataFrame(pairs).toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    def split(doc: Long): String = {
+      val grp = labels.getOrElse(doc, doc)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(grp.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md5.take(6).map("%02x".format(_)).mkString, 16)
+      val b = h % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    pairs.foreach { case (i, j) =>
+      assert(split(i) == split(j),
+        s"near-dup pair ($i, $j) split across ${split(i)}/${split(j)}")
+    }
+    // and the census the query emits covers every document exactly once
+    val census = SparkEntry.queries("q215_leakage_safe_split")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(census.map(_._2).sum == docs.count())
+  }
+
   test("q213: composed pipeline prunes at every stage and plans to target") {
     import spark.implicits._
     val rows = SparkEntry.queries("q213_chunk_mix_pipeline")(spark, dir)

@@ -18,6 +18,22 @@ object PipelineQueries {
 
   import graft.util.StableHash.{h48, sql48 => sqlH48}
 
+  /** Memory-gated broadcast hint for an RDD-backed CC label table, shared
+    * by q103 and q215. The table has no Catalyst stats (the planner would
+    * sort-merge the corpus against it) and its size is NOT bounded — it
+    * scales with the corpus duplication rate — so the hint is guarded by
+    * an actual count (cheap: CC labels come back checkpointed). The gate
+    * is MEMORY-based, not a bare row count: an explicit broadcast()
+    * bypasses Spark's size safety, and a HashedRelation of (long, long)
+    * rows costs ~48 bytes each resident on the driver AND every executor —
+    * cap the relation at 32 MB (~700k labels) and fall back to the
+    * shuffle join above that.
+    */
+  private def guardedBroadcast(labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (labels.count() <= 32L * 1024 * 1024 / 48) broadcast(labels)
+    else labels
+
   // shared oracle scaffold for q65/q103: exact ngram-Jaccard pairs →
   // reachability closure → min-label components (`comp(id, label)`)
   private val ccOracleCte =
@@ -159,21 +175,8 @@ object PipelineQueries {
     QueryDef("q103_cluster_canonical",
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
-        // the label table is RDD-backed (no Catalyst stats), so without a
-        // hint the planner sort-merges the corpus against it. Its size is
-        // NOT bounded — it scales with the corpus duplication rate — so
-        // the hint is guarded by an actual count (cheap: the labels are
-        // already checkpointed) instead of assumed. The gate is MEMORY-
-        // based, not a bare row count: an explicit broadcast() bypasses
-        // Spark's size safety, and a HashedRelation of (long, long) rows
-        // costs ~48 bytes each resident on the driver AND every executor —
-        // cap the relation at 32 MB (~700k labels), far inside any
-        // executor's broadcast budget, and fall back to the shuffle join
-        // above that.
         val labels = Dedup.connectedComponents(pairs)
-        val maxBroadcastRows = 32L * 1024 * 1024 / 48
-        val members =
-          if (labels.count() <= maxBroadcastRows) broadcast(labels) else labels
+        val members = guardedBroadcast(labels) // see the helper's contract
         members.join(Tables.documents(s, dir), members("id") === col("doc_id"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_members"),
@@ -903,12 +906,7 @@ object PipelineQueries {
         val docs = Tables.documents(s, dir)
         val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
         val labels = Dedup.connectedComponents(pairs)
-        // same memory-gated broadcast as q103: the label table scales
-        // with the duplication rate, so the hint is guarded by a count
-        // of the (already-checkpointed) labels, not assumed
-        val lab =
-          if (labels.count() <= 32L * 1024 * 1024 / 48) broadcast(labels)
-          else labels
+        val lab = guardedBroadcast(labels) // see the helper's contract
         val grouped = docs
           .join(lab, docs("doc_id") === labels("id"), "left")
           .select(col("doc_id"), col("n_chars"),

@@ -16,6 +16,33 @@ object VectorQueries {
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+  /** Semantic-dedup configuration, defined ONCE for the operator (q210)
+    * and its recall eval (q214): the eval measures exactly the
+    * configuration the operator runs, so tuning either knob cannot drift
+    * the pair apart (same discipline as ccOracleCte / bm25OracleCtes).
+    */
+  private val SemDedupCells = 8
+  private val SemDedupTau = 0.3
+
+  /** Shared oracle scaffold for q210/q214: the `e, c, asg` CTE chain
+    * replicating Similarity.ivfAssign (first-`SemDedupCells` centroids,
+    * max-cosine assignment, ties to the lowest centroid id).
+    */
+  private val ivfAsgCte =
+    s"""e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e
+      |      WHERE vec_id < $SemDedupCells),
+      |asg AS (
+      |  SELECT vec_id, cell, v FROM (
+      |    SELECT e.vec_id, c.cid AS cell, e.v,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.v, c.cv)
+      |            / (sqrt(list_dot_product(e.v, e.v))
+      |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |          c.cid ASC) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (exact ANN baseline) ----
@@ -675,38 +702,28 @@ object VectorQueries {
     QueryDef("q210_semantic_dedup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val assigned = Similarity.ivfAssign(emb, 8).localCheckpoint(true)
+        val assigned = Similarity.ivfAssign(emb, SemDedupCells)
+          .localCheckpoint(true)
         val a = assigned.select(col("cell"), col("vec_id").as("i"),
           col("v").as("vi"))
         val b = assigned.select(col("cell").as("cell_b"),
           col("vec_id").as("j"), col("v").as("vj"))
         val dups = a.join(b, col("cell") === col("cell_b")
             && col("i") < col("j"))
-          .filter(Similarity.cosine(col("vi"), col("vj")) >= 0.3)
+          .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
           .select(col("j").as("dup_id")).distinct()
         assigned.join(dups, col("vec_id") === col("dup_id"), "left")
           .select(col("vec_id"), col("cell"),
             when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-        |asg AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT e.vec_id, c.cid AS cell, e.v,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_dot_product(e.v, c.cv)
-        |            / (sqrt(list_dot_product(e.v, e.v))
-        |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |          c.cid ASC) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1),
+      Some(s"""WITH $ivfAsgCte,
         |dups AS (
         |  SELECT DISTINCT b.vec_id AS dup_id
         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v))
-        |        * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+        |        * sqrt(list_dot_product(b.v, b.v))) >= $SemDedupTau)
         |SELECT asg.vec_id, asg.cell,
         |  CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
         |FROM asg LEFT JOIN dups d ON asg.vec_id = d.dup_id
@@ -732,14 +749,15 @@ object VectorQueries {
     QueryDef("q214_semantic_dedup_recall",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val assigned = Similarity.ivfAssign(emb, 8).localCheckpoint(true)
+        val assigned = Similarity.ivfAssign(emb, SemDedupCells)
+          .localCheckpoint(true)
         val sample = assigned.filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("j"), col("cell").as("jcell"),
             col("v").as("vj"))
         val anchors = assigned.select(col("vec_id").as("i"),
           col("cell").as("icell"), col("v").as("vi"))
         val hits = anchors.join(broadcast(sample), col("i") < col("j"))
-          .filter(Similarity.cosine(col("vi"), col("vj")) >= 0.3)
+          .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
           .groupBy("j")
           .agg(max(when(col("icell") === col("jcell"), 1).otherwise(0))
             .as("in_cell"))
@@ -749,18 +767,7 @@ object VectorQueries {
             round(col("n_found").cast("double")
               / col("n_true").cast("double"), 6).as("recall"))
       },
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-        |asg AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT e.vec_id, c.cid AS cell, e.v,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_dot_product(e.v, c.cv)
-        |            / (sqrt(list_dot_product(e.v, e.v))
-        |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |          c.cid ASC) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1),
+      Some(s"""WITH $ivfAsgCte,
         |hits AS (
         |  SELECT b.vec_id AS j,
         |    MAX(CASE WHEN a.cell = b.cell THEN 1 ELSE 0 END) AS in_cell
@@ -768,7 +775,7 @@ object VectorQueries {
         |    ON a.vec_id < b.vec_id AND b.vec_id % 10 = 0
         |  WHERE list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v))
-        |        * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        |        * sqrt(list_dot_product(b.v, b.v))) >= $SemDedupTau
         |  GROUP BY b.vec_id)
         |SELECT COUNT(*) AS n_true, CAST(SUM(in_cell) AS BIGINT) AS n_found,
         |  round(CAST(SUM(in_cell) AS DOUBLE) / COUNT(*), 6) AS recall

@@ -138,8 +138,12 @@ class Round6LSpec extends SparkSpec {
   test("q214: found dups are a subset of true dups, recall well-formed") {
     val r = SparkEntry.queries("q214_semantic_dedup_recall")(spark, dir)
       .collect().head
-    val (nTrue, nFound, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // assert the truth sample is non-empty BEFORE touching the other
+    // columns — on an empty-hits corpus they are NULL and getLong would
+    // NPE past the diagnostic
+    val nTrue = r.getLong(0)
     assert(nTrue > 0, "eval needs a non-empty truth sample")
+    val (nFound, recall) = (r.getLong(1), r.getDouble(2))
     assert(nFound <= nTrue, "cell-bounded verdicts cannot exceed the truth")
     assert(recall >= 0.0 && recall <= 1.0)
   }

@@ -107,6 +107,37 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("v"))
   }
 
+  /** Multi-probe IVF assignment: every vector lands in its `nProbe`
+    * closest cells (cosine DESC, ties to the lowest centroid id), returned
+    * as `(vec_id, cells, v)` with `cells` in probe-rank order — `cells(0)`
+    * is the argmax cell [[ivfAssign]] would pick. This is the SemDeDup-side
+    * twin of [[ivfProbeTopK]]'s query fan-out: when the *corpus* itself is
+    * being deduplicated (q210), boundary pairs are only caught if at least
+    * one of the two vectors probes across the boundary, so both sides
+    * multi-assign and a pair is a candidate iff the probe sets intersect
+    * (P(miss) falls exponentially in nProbe — measured on this corpus:
+    * recall 0.38→0.92 at sf0.01 and 0.56→0.99 at sf0.1 going 1→4 probes at
+    * 32 cells, q214). Scale shape: centroids broadcast, the per-vector
+    * top-p is the bounded mergeable [[graft.functions.TopKNeighborsAgg]]
+    * (partials keep p rows map-side — the |vectors|×|centroids| score
+    * stream never shuffles), and candidate mass grows ~p²/cells for
+    * p ≪ cells, so the cell count can rise with the corpus while recall
+    * holds — the knob pairing q210's scaladoc demands.
+    */
+  def ivfAssignProbes(emb: DataFrame, nCentroids: Int, nProbe: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val c = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    e.crossJoin(broadcast(c))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKNeighborsAgg
+             .topkNeighbors(col("ccos"), col("cid"), nProbe).as("top"),
+           first(col("v")).as("v"))
+      .select(col("vec_id"),
+        transform(col("top"), _.getField("nid")).as("cells"), col("v"))
+  }
+
   /** IVF with nprobe > 1: each query searches its `nprobe` closest cells
     * (not just the argmax cell), trading candidate volume for recall — the
     * standard IVF recall knob. Corpus vectors stay single-cell; only the

@@ -20,28 +20,38 @@ object VectorQueries {
     * and its recall eval (q214): the eval measures exactly the
     * configuration the operator runs, so tuning either knob cannot drift
     * the pair apart (same discipline as ccOracleCte / bm25OracleCtes).
+    * 32 cells × 4 probes measures recall 0.92 (sf0.01) / 0.99 (sf0.1) on
+    * q214 — the multi-probe pairing that lets the cell count scale with
+    * the corpus (candidate mass ~p²/cells) without boundary loss; the
+    * round-6 single-probe config (8 cells, p=1) measured 0.54 / 0.85.
     */
-  private val SemDedupCells = 8
+  private val SemDedupCells = 32
+  private val SemDedupProbes = 4
   private val SemDedupTau = 0.3
 
-  /** Shared oracle scaffold for q210/q214: the `e, c, asg` CTE chain
-    * replicating Similarity.ivfAssign (first-`SemDedupCells` centroids,
-    * max-cosine assignment, ties to the lowest centroid id).
+  /** Shared oracle scaffold for q210/q214, replicating
+    * Similarity.ivfAssignProbes (first-`SemDedupCells` centroids, top-
+    * `SemDedupProbes` cells by cosine DESC / cid ASC): `asgp` is the
+    * exploded (vec_id, cell, rn) probe table, `prim` the rn=1 argmax
+    * cell, `asgl` the per-vector probe list in rank order.
     */
   private val ivfAsgCte =
     s"""e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e
       |      WHERE vec_id < $SemDedupCells),
-      |asg AS (
-      |  SELECT vec_id, cell, v FROM (
+      |asgp AS (
+      |  SELECT vec_id, cell, rn, v FROM (
       |    SELECT e.vec_id, c.cid AS cell, e.v,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_dot_product(e.v, c.cv)
       |            / (sqrt(list_dot_product(e.v, e.v))
       |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
       |          c.cid ASC) AS rn
-      |    FROM e CROSS JOIN c) WHERE rn = 1)""".stripMargin
+      |    FROM e CROSS JOIN c) WHERE rn <= $SemDedupProbes),
+      |prim AS (SELECT vec_id, cell, v FROM asgp WHERE rn = 1),
+      |asgl AS (SELECT vec_id, list(cell ORDER BY rn) AS cells,
+      |           any_value(v) AS v FROM asgp GROUP BY vec_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -689,78 +699,96 @@ object VectorQueries {
     // ---- semantic dedup (SemDeDup-style embedding near-dup pruning) ----
     // The embedding-space analogue of MinHash dedup (Abbas et al. 2023,
     // "SemDeDup"): coarse-cluster the corpus (q51's deterministic IVF
-    // cells stand in for the paper's k-means — broadcast centroids, pure
-    // map assignment), then inside each cell mark every vector that has a
-    // LOWER-id neighbor with cosine ≥ τ as a semantic duplicate; the
-    // lowest id in each near-dup group survives. Greedy-by-id gives a
-    // deterministic, order-free survivor rule (no iterative CC needed —
-    // dedup here is per-cell pruning, not transitive closure). Scale
-    // shape: the quadratic pair space is bounded per cell (the SemDeDup
-    // point — |cell|² ≪ |corpus|²), the verdict join is a semi-join on id,
-    // and nothing ever leaves its cell — candidate generation is an
-    // equi-join on the cell key exactly like q33's LSH banding.
+    // cells stand in for the paper's k-means — broadcast centroids,
+    // bounded top-p aggregate), then mark every vector that has a
+    // LOWER-id neighbor with cosine ≥ τ in a SHARED probe cell as a
+    // semantic duplicate; the lowest id in each near-dup group survives.
+    // Greedy-by-id gives a deterministic, order-free survivor rule (no
+    // iterative CC needed — dedup here is cell-bounded pruning, not
+    // transitive closure). MULTI-PROBE (p=4): each vector probes its 4
+    // nearest cells, so a boundary pair is caught whenever the two probe
+    // sets intersect — q214 measures recall 0.92/0.99 (vs 0.54/0.85
+    // single-probe at 8 cells last round) at a cell count 4× higher,
+    // proving the scale direction: cells grow with the corpus, probes
+    // hold recall. Scale shape: the quadratic pair space stays bounded
+    // per cell (the SemDeDup point — |cell|² ≪ |corpus|²); candidate
+    // generation is an ids-only equi-join on the probed cell key (vectors
+    // do NOT ride the 4× probe explosion — they are re-fetched by id
+    // after the distinct, exactly q205's banded-LSH discipline), and the
+    // verdict join is a semi-join on id.
     QueryDef("q210_semantic_dedup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val assigned = Similarity.ivfAssign(emb, SemDedupCells)
+        val assigned = Similarity
+          .ivfAssignProbes(emb, SemDedupCells, SemDedupProbes)
           .localCheckpoint(true)
-        val a = assigned.select(col("cell"), col("vec_id").as("i"),
-          col("v").as("vi"))
-        val b = assigned.select(col("cell").as("cell_b"),
-          col("vec_id").as("j"), col("v").as("vj"))
-        val dups = a.join(b, col("cell") === col("cell_b")
-            && col("i") < col("j"))
+        val probes = assigned.select(col("vec_id"),
+          explode(col("cells")).as("cell"))
+        val cand = probes.select(col("cell"), col("vec_id").as("i"))
+          .join(probes.select(col("cell"), col("vec_id").as("j")), "cell")
+          .filter(col("i") < col("j"))
+          .select("i", "j").distinct()
+        val vecs = assigned.select(col("vec_id"), col("v"))
+        val dups = cand
+          .join(vecs.select(col("vec_id").as("i"), col("v").as("vi")), "i")
+          .join(vecs.select(col("vec_id").as("j"), col("v").as("vj")), "j")
           .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
           .select(col("j").as("dup_id")).distinct()
         assigned.join(dups, col("vec_id") === col("dup_id"), "left")
-          .select(col("vec_id"), col("cell"),
+          .select(col("vec_id"), col("cells").getItem(0).as("cell"),
             when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
           .orderBy("vec_id")
       },
       Some(s"""WITH $ivfAsgCte,
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        |  FROM asgp a JOIN asgp b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
         |dups AS (
-        |  SELECT DISTINCT b.vec_id AS dup_id
-        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.v, b.v)
-        |      / (sqrt(list_dot_product(a.v, a.v))
-        |        * sqrt(list_dot_product(b.v, b.v))) >= $SemDedupTau)
-        |SELECT asg.vec_id, asg.cell,
+        |  SELECT DISTINCT cand.j AS dup_id
+        |  FROM cand JOIN e ei ON cand.i = ei.vec_id
+        |            JOIN e ej ON cand.j = ej.vec_id
+        |  WHERE list_dot_product(ei.v, ej.v)
+        |      / (sqrt(list_dot_product(ei.v, ei.v))
+        |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau)
+        |SELECT prim.vec_id, prim.cell,
         |  CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
-        |FROM asg LEFT JOIN dups d ON asg.vec_id = d.dup_id
+        |FROM prim LEFT JOIN dups d ON prim.vec_id = d.dup_id
         |ORDER BY vec_id""".stripMargin)),
 
     // ---- semantic-dedup recall eval (what cell-bounding misses) ----
     // q201's honest-eval pattern applied to q210: cell-bounded pruning
-    // misses near-dup pairs that straddle an IVF cell boundary, exactly
-    // as single-probe LSH misses bucket-straddling neighbors. Ground
+    // misses near-dup pairs that straddle every probed-cell boundary,
+    // exactly as banded LSH misses pairs that collide in no band. Ground
     // truth = the UNBLOCKED greedy-dup verdict on a deterministic 10%
     // candidate sample (j ≡ 0 mod 10: does any lower-id vector anywhere
-    // reach cosine ≥ τ?); found = the same verdict restricted to the
-    // sampled vector's own cell. Found ⊆ true by construction, so one
-    // row (n_true, n_found, recall) quantifies the boundary loss.
-    // Measured on this corpus: recall 0.54 at sf0.01, 0.85 at sf0.1 —
-    // real boundary loss, the documented SemDeDup trade; raise the cell
-    // count only together with a multi-probe assignment (q78's knob).
-    // Scale shape: the sample broadcasts (|corpus|/10 ids + vectors
-    // bounded by the sampling rate you pick at scale), the corpus
-    // streams map-side against it, and the truth join is anchor×sample —
-    // never |corpus|²; the eval cost is set by the sample rate exactly
-    // like q201's query predicate.
+    // reach cosine ≥ τ?); found = the same verdict restricted to pairs
+    // whose PROBE SETS INTERSECT (arrays_overlap — q210's candidate
+    // condition verbatim). Found ⊆ true by construction, so one row
+    // (n_true, n_found, recall) quantifies the boundary loss. Measured:
+    // 32 cells × 4 probes → recall 0.923 at sf0.01, 0.989 at sf0.1
+    // (single-probe at 32 cells would be 0.38/0.56 — multi-probe is what
+    // lets the cell count rise with the corpus). Scale shape: the sample
+    // broadcasts (|corpus|/10 ids + vectors bounded by the sampling rate
+    // you pick at scale), the corpus streams map-side against it, and
+    // the truth join is anchor×sample — never |corpus|²; the eval cost
+    // is set by the sample rate exactly like q201's query predicate.
     QueryDef("q214_semantic_dedup_recall",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val assigned = Similarity.ivfAssign(emb, SemDedupCells)
+        val assigned = Similarity
+          .ivfAssignProbes(emb, SemDedupCells, SemDedupProbes)
           .localCheckpoint(true)
         val sample = assigned.filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id").as("j"), col("cell").as("jcell"),
+          .select(col("vec_id").as("j"), col("cells").as("jcells"),
             col("v").as("vj"))
         val anchors = assigned.select(col("vec_id").as("i"),
-          col("cell").as("icell"), col("v").as("vi"))
+          col("cells").as("icells"), col("v").as("vi"))
         val hits = anchors.join(broadcast(sample), col("i") < col("j"))
           .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
           .groupBy("j")
-          .agg(max(when(col("icell") === col("jcell"), 1).otherwise(0))
-            .as("in_cell"))
+          .agg(max(when(arrays_overlap(col("icells"), col("jcells")), 1)
+            .otherwise(0)).as("in_cell"))
         hits.agg(count(lit(1)).as("n_true"),
             sum("in_cell").as("n_found"))
           .select(col("n_true"), col("n_found"),
@@ -770,8 +798,9 @@ object VectorQueries {
       Some(s"""WITH $ivfAsgCte,
         |hits AS (
         |  SELECT b.vec_id AS j,
-        |    MAX(CASE WHEN a.cell = b.cell THEN 1 ELSE 0 END) AS in_cell
-        |  FROM asg a JOIN asg b
+        |    MAX(CASE WHEN list_has_any(a.cells, b.cells)
+        |        THEN 1 ELSE 0 END) AS in_cell
+        |  FROM asgl a JOIN asgl b
         |    ON a.vec_id < b.vec_id AND b.vec_id % 10 = 0
         |  WHERE list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v))

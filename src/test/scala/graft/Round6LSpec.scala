@@ -59,17 +59,45 @@ class Round6LSpec extends SparkSpec {
     assert(o != o.sorted)
   }
 
-  test("q210: the lowest id in every cell survives (greedy survivor rule)") {
+  test("q210: dup flags match a brute-force multi-probe verdict") {
     import spark.implicits._
     val rows = SparkEntry.queries("q210_semantic_dedup")(spark, dir)
       .select("vec_id", "cell", "is_dup").as[(Long, Long, Int)].collect()
+      .sortBy(_._1)
     assert(rows.length == 500)
-    rows.groupBy(_._2).values.foreach { cell =>
-      val lowest = cell.minBy(_._1)
-      assert(lowest._3 == 0,
-        s"cell ${lowest._2}: lowest id ${lowest._1} marked dup")
-      assert(cell.exists(_._3 == 0), "every cell keeps a survivor")
+    // rebuild the 32-cell / 4-probe assignment and the greedy verdict in
+    // the driver (sequential-fold cosine, identical association to the
+    // engine) and compare every flag — the full operator contract, not
+    // just an invariant. Knobs mirror VectorQueries.SemDedup{Cells,
+    // Probes,Tau}; drift fails the cell-column compare immediately.
+    val (cells, probes, tau) = (32, 4, 0.3)
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
     }
+    val probeSets: Map[Long, Seq[Long]] = vecs.map { case (id, v) =>
+      id -> (0L until cells.toLong)
+        .map(cid => (cid, cos(v, vecs(cid))))
+        .sortBy { case (cid, c) => (-c, cid) }.take(probes).map(_._1)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expectDup = ids.map { j =>
+      j -> ids.exists(i => i < j &&
+        probeSets(i).exists(probeSets(j).contains) &&
+        cos(vecs(i), vecs(j)) >= tau)
+    }.toMap
+    rows.foreach { case (id, cell, isDup) =>
+      assert(cell == probeSets(id).head, s"vec $id primary cell")
+      assert(isDup == (if (expectDup(id)) 1 else 0), s"vec $id dup flag")
+    }
+    assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0),
+      "corpus exercises both verdicts")
   }
 
   test("q211: planned docs decompose into floor-epochs plus hash extras") {
@@ -135,17 +163,23 @@ class Round6LSpec extends SparkSpec {
     }
   }
 
-  test("q214: found dups are a subset of true dups, recall well-formed") {
-    val r = SparkEntry.queries("q214_semantic_dedup_recall")(spark, dir)
-      .collect().head
-    // assert the truth sample is non-empty BEFORE touching the other
-    // columns — on an empty-hits corpus they are NULL and getLong would
-    // NPE past the diagnostic
-    val nTrue = r.getLong(0)
-    assert(nTrue > 0, "eval needs a non-empty truth sample")
-    val (nFound, recall) = (r.getLong(1), r.getDouble(2))
-    assert(nFound <= nTrue, "cell-bounded verdicts cannot exceed the truth")
-    assert(recall >= 0.0 && recall <= 1.0)
+  test("q214: found ⊆ true, and multi-probe recall holds ≥0.9 at both SFs") {
+    // the round-6 single-probe config measured 0.54/0.85 — the multi-probe
+    // pairing exists precisely to hold recall while the cell count scales,
+    // so pin the measured floor at BOTH oracle scale factors
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val r = SparkEntry.queries("q214_semantic_dedup_recall")(spark, d)
+        .collect().head
+      // assert the truth sample is non-empty BEFORE touching the other
+      // columns — on an empty-hits corpus they are NULL and getLong would
+      // NPE past the diagnostic
+      val nTrue = r.getLong(0)
+      assert(nTrue > 0, s"$d: eval needs a non-empty truth sample")
+      val (nFound, recall) = (r.getLong(1), r.getDouble(2))
+      assert(nFound <= nTrue,
+        s"$d: cell-bounded verdicts cannot exceed the truth")
+      assert(recall >= 0.9, s"$d: multi-probe recall $recall below 0.9")
+    }
   }
 
   test("q215: no near-dup pair straddles a split boundary (leakage-safe)") {

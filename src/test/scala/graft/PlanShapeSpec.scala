@@ -349,6 +349,24 @@ class PlanShapeSpec extends SparkSpec {
       s"the pair space must stay bounded by the cell equi-join:\n$plan")
   }
 
+  test("q113 equi-depth: no single-buffer percentile, no corpus-wide window") {
+    // round-6 verdict item: the exact-quartile leg must not materialize
+    // the full column in one aggregation buffer. The rewrite censuses the
+    // value domain and ranks through the two-level (bucket-partitioned)
+    // window, so the plan must contain neither the percentile aggregate
+    // nor an UNPARTITIONED cumulative window over the raw value column.
+    val df = graft.queries.ScaleOpsQueries.defs
+      .find(_.name == "q113_equidepth_histogram").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("percentile"),
+      s"single-buffer percentile aggregate resurfaced:\n$plan")
+    assert(!"windowspecdefinition\\((value|l_extendedprice)#".r
+        .findFirstIn(plan).isDefined,
+      s"cumulative window lost its bucket partitioning:\n$plan")
+    assert(plan.contains("windowspecdefinition(b#"),
+      s"expected the bucket-partitioned running sum:\n$plan")
+  }
+
   test("q216 IVF-PQ: 8-byte codes cross the candidate join, vectors never shuffle") {
     // the whole point of the composed index: after the pinned assignment,
     // embeddings move only by broadcast (query set) or stay map-side

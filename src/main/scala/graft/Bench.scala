@@ -53,7 +53,13 @@ object Bench {
       spark.catalog.clearCache() // isolate per-query caches between timings
       // ...and release checkpoint blocks the previous query pinned
       // (localCheckpoint blocks live in the block manager, NOT the catalog
-      // cache — clearCache alone would let them tax every later timing)
+      // cache — clearCache alone would let them tax every later timing).
+      // The blanket sweep assumes STRICTLY SEQUENTIAL execution: queries
+      // run one at a time and every streaming query a defn started has
+      // been stopped before its timing returns, so nothing concurrent can
+      // own a persistent RDD here. A concurrent harness must switch to
+      // per-query lineage tracking (Dedup.connectedComponents's pinnedIds
+      // pattern) instead of sweeping the context-global registry.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()

@@ -70,10 +70,21 @@ object Graph {
     // soon as its successor is materialized, so the operator's resident
     // footprint is ONE edge copy during the loop and only the |V|-row final
     // ranks after it returns — not session-lifetime pins of 2|E| rows.
+    // Ids come from the checkpointed frame's own (truncated) rdd lineage,
+    // not a getPersistentRDDs diff — the registry is SparkContext-global,
+    // so a diff could capture and wrongly release blocks pinned by a
+    // concurrent query or streaming trigger during the window.
+    def pinnedIds(df: DataFrame): Set[Int] = {
+      val persisted = sc.getPersistentRDDs
+      def walk(r: org.apache.spark.rdd.RDD[_], acc: Set[Int]): Set[Int] = {
+        val a = if (persisted.contains(r.id)) acc + r.id else acc
+        r.dependencies.foldLeft(a)((s, d) => walk(d.rdd, s))
+      }
+      walk(df.rdd, Set.empty)
+    }
     def checkpointed(df: => DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      (out, pinnedIds(out))
     }
     def release(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))

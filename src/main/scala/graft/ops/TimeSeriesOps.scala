@@ -496,6 +496,16 @@ object TimeSeriesOps {
     * `rollingAgg(valueName, w)` builds the frame aggregate (the value
     * column is exposed under `valueName` so SQL-string aggregates like
     * `percentile` compose).
+    *
+    * Memory note: the bucket-boundary table is eagerly localCheckpointed
+    * (two lazy consumers — the global-index join and the broadcast carry
+    * targets) and its blocks stay pinned until the SESSION ends: the
+    * returned frame is lazy, so this operator cannot know when the last
+    * consumer has run, and releasing a truncated checkpoint earlier would
+    * break recomputation. The pin is |keys|×|buckets| rows — tiny by
+    * construction. Library callers running many invocations in one
+    * session should sweep `sparkContext.getPersistentRDDs` between
+    * queries once results are materialized, as Bench/Verify do.
     */
   def bucketedRollingWindow(df: DataFrame, keyCol: String, tsCol: String,
                             idCol: String, valueCol: String, frameRows: Int,

@@ -22,16 +22,18 @@ object PipelineQueries {
     * by q103 and q215. The table has no Catalyst stats (the planner would
     * sort-merge the corpus against it) and its size is NOT bounded — it
     * scales with the corpus duplication rate — so the hint is guarded by
-    * an actual count (cheap: CC labels come back checkpointed). The gate
-    * is MEMORY-based, not a bare row count: an explicit broadcast()
-    * bypasses Spark's size safety, and a HashedRelation of (long, long)
-    * rows costs ~48 bytes each resident on the driver AND every executor —
-    * cap the relation at 32 MB (~700k labels) and fall back to the
-    * shuffle join above that.
+    * the actual label count, which `connectedComponentsCounted` captures
+    * as an observed metric on the final checkpoint job (no extra count()
+    * job per q103/q215 run). The gate is MEMORY-based, not a bare row
+    * count: an explicit broadcast() bypasses Spark's size safety, and a
+    * HashedRelation of (long, long) rows costs ~48 bytes each resident on
+    * the driver AND every executor — cap the relation at 32 MB (~700k
+    * labels) and fall back to the shuffle join above that.
     */
-  private def guardedBroadcast(labels: org.apache.spark.sql.DataFrame)
+  private def guardedBroadcast(labels: org.apache.spark.sql.DataFrame,
+                               nLabels: Long)
       : org.apache.spark.sql.DataFrame =
-    if (labels.count() <= 32L * 1024 * 1024 / 48) broadcast(labels)
+    if (nLabels <= 32L * 1024 * 1024 / 48) broadcast(labels)
     else labels
 
   // shared oracle scaffold for q65/q103: exact ngram-Jaccard pairs →
@@ -175,8 +177,8 @@ object PipelineQueries {
     QueryDef("q103_cluster_canonical",
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
-        val labels = Dedup.connectedComponents(pairs)
-        val members = guardedBroadcast(labels) // see the helper's contract
+        val (labels, nLabels) = Dedup.connectedComponentsCounted(pairs)
+        val members = guardedBroadcast(labels, nLabels) // see the helper's contract
         members.join(Tables.documents(s, dir), members("id") === col("doc_id"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_members"),
@@ -905,8 +907,8 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
-        val labels = Dedup.connectedComponents(pairs)
-        val lab = guardedBroadcast(labels) // see the helper's contract
+        val (labels, nLabels) = Dedup.connectedComponentsCounted(pairs)
+        val lab = guardedBroadcast(labels, nLabels) // see the helper's contract
         val grouped = docs
           .join(lab, docs("doc_id") === labels("id"), "left")
           .select(col("doc_id"), col("n_chars"),

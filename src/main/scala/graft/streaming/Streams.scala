@@ -527,9 +527,15 @@ object Streams {
     }
     runOnce()
     val manifest = runOnce() // restart without checkpoint = full re-delivery
-    // prune any batch dir the final delivery did not produce
-    root.listFiles().filter(_.getName.startsWith("batch="))
-      .filterNot(f => manifest.contains(f.getName.stripPrefix("batch=").toLong))
+    // prune any batch dir the final delivery did not produce. listFiles()
+    // is null when no batch was ever delivered (empty input never
+    // recreates the root) — treat that as nothing to prune; and only
+    // numeric batch= suffixes are OURS to delete (a foreign non-numeric
+    // dir must not throw in stripPrefix(...).toLong, nor be swept away).
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLongOption
+        .exists(id => !manifest.contains(id)))
       .foreach(del)
     s.read.parquet(outRoot).drop("batch")
   }

@@ -73,21 +73,14 @@ object Graph {
     // Ids come from the checkpointed frame's own (truncated) rdd lineage,
     // not a getPersistentRDDs diff — the registry is SparkContext-global,
     // so a diff could capture and wrongly release blocks pinned by a
-    // concurrent query or streaming trigger during the window.
-    def pinnedIds(df: DataFrame): Set[Int] = {
-      val persisted = sc.getPersistentRDDs
-      def walk(r: org.apache.spark.rdd.RDD[_], acc: Set[Int]): Set[Int] = {
-        val a = if (persisted.contains(r.id)) acc + r.id else acc
-        r.dependencies.foldLeft(a)((s, d) => walk(d.rdd, s))
-      }
-      walk(df.rdd, Set.empty)
-    }
+    // concurrent query or streaming trigger during the window (shared
+    // discipline: graft.util.CheckpointGen).
     def checkpointed(df: => DataFrame): (DataFrame, Set[Int]) = {
       val out = df
-      (out, pinnedIds(out))
+      (out, graft.util.CheckpointGen.pinnedIds(out))
     }
-    def release(ids: Set[Int]): Unit = ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def release(ids: Set[Int]): Unit =
+      graft.util.CheckpointGen.release(sc, ids)
     val result = locally {
       // materialize the caller-built edge list ONCE before doubling it:
       // the two union branches below would otherwise each recompute the

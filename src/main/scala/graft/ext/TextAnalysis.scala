@@ -107,4 +107,82 @@ object TextAnalysis {
     }
     array_max(array(ranked: _*)).getField("code")
   }
+
+  /** Iterative BPE vocabulary trainer (Sennrich et al. 2016): `nMerges`
+    * rounds of census-argmax-merge over the corpus, returning the ordered
+    * merge table (step, left, right, merged, cnt) — the artifact a
+    * tokenizer consumes. One round of this loop is q212's pair census;
+    * this is the full trainer.
+    *
+    * Scale shape (the q110/q131 iterative pattern):
+    *  - the corpus compresses ONCE to the distinct-word census — every
+    *    later round runs on |vocab| rows weighted by frequency, never on
+    *    raw text (the classic BPE trainer identity: pair counts are
+    *    word-frequency-weighted sums over unique words);
+    *  - each round's pair census is one hash aggregate (map-side partial
+    *    combine; the shuffle is |distinct adjacent pairs|, bounded by the
+    *    symbol alphabet²), and the global argmax is a min(struct) scalar
+    *    — one tiny collect per round, the kmeans-centroid discipline;
+    *  - the merge applies as a pure left-fold projection over the
+    *    censused word table (greedy non-overlapping left-to-right — the
+    *    fold replacement is safe because `left+right` is strictly longer
+    *    than `left`, so a just-merged symbol can never re-trigger within
+    *    the pass);
+    *  - each generation localCheckpoints (lineage would otherwise grow
+    *    linearly in merges) and the previous generation is released via
+    *    [[graft.util.CheckpointGen]].
+    * Pair counting matches q212: ALL adjacent index pairs (overlapping
+    * occurrences count — "aaa" contributes (a,a) twice), tie-break on
+    * (count DESC, left ASC, right ASC).
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, s"bpeTrain needs nMerges >= 1 (got $nMerges)")
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    var wordIds = graft.util.CheckpointGen.pinnedIds(words)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (step <- 1 to nMerges) {
+      // sequence(1, size-1) flips to a DESCENDING range on single-symbol
+      // words — guard to an empty pair list (explode then drops the row)
+      val pairs = words
+        .select(explode(when(size(col("syms")) >= 2, expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .otherwise(expr("cast(array() as array<struct<l:string,r:string>>)")))
+          .as("p"), col("cnt"))
+      val best = pairs
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .agg(min(struct((-col("c")).as("nc"), col("l"), col("r"))).as("b"))
+        .select(col("b.l"), col("b.r"), (-col("b.nc")).as("c"))
+        .collect()
+      if (best.nonEmpty && !best(0).isNullAt(0)) {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, l + r, c))
+        val next = words.select(
+            aggregate(col("syms"), expr("cast(array() as array<string>)"),
+              (acc, s) => when(size(acc) > 0
+                  && element_at(acc, -1) === lit(l) && s === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(s)))).as("syms"),
+            col("cnt"))
+          .localCheckpoint(true)
+        graft.util.CheckpointGen.release(sc, wordIds)
+        words = next
+        wordIds = graft.util.CheckpointGen.pinnedIds(words)
+      }
+    }
+    graft.util.CheckpointGen.release(sc, wordIds) // the merge table is the result
+    merges.toSeq.toDF("step", "left", "right", "merged", "cnt")
+  }
 }

@@ -1201,6 +1201,21 @@ object TextQueries {
         |  CAST(SUM(rep) AS BIGINT) AS planned_chunks,
         |  CAST(SUM(rep * n_tok) AS BIGINT) AS planned_tokens
         |FROM rep GROUP BY source
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // ---- iterative BPE trainer (the full merge loop over q212's census) ----
+    // 12 rounds of census → argmax → merge-apply over the distinct-word
+    // table; output is the ordered merge table a tokenizer consumes. Like
+    // q110's Lloyd iterations, the loop is inherently multi-pass, so there
+    // is no single-SQL oracle (driver records rows-only); Round7Spec pins
+    // the full merge table against an independent driver-side brute-force
+    // trainer at two scale factors. See TextAnalysis.bpeTrain for the
+    // scale shape (censused words, bounded pair shuffle, one tiny collect
+    // per round, checkpoint-generation release).
+    QueryDef("q218_bpe_trainer",
+      (s, dir) => graft.ext.TextAnalysis
+        .bpeTrain(Tables.documents(s, dir), "text", 12)
+        .orderBy("step"),
+      None)
   )
 }

@@ -23,11 +23,16 @@ object CoreQueries {
       (s, dir) => Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // money TOTALS are emitted as exact int64 micro-units (dsumMicro):
+        // at 10× corpus volume their scaled magnitude crosses 2^53, where
+        // the decimal→double cast loses exactness (measured one-ulp
+        // divergence on the stress sweep). The quantity sum and all means
+        // stay well below the boundary and keep the double convenience.
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          dsumMicro(col("l_extendedprice")).as("sum_base_price_micro"),
+          dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price_micro"),
+          dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge_micro"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -35,9 +40,9 @@ object CoreQueries {
         .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""SELECT l_returnflag, l_linestatus,
         |${sqlDsum("l_quantity")} AS sum_qty,
-        |${sqlDsum("l_extendedprice")} AS sum_base_price,
-        |${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-        |${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        |${sqlDsumMicro("l_extendedprice")} AS sum_base_price_micro,
+        |${sqlDsumMicro("l_extendedprice * (1 - l_discount)")} AS sum_disc_price_micro,
+        |${sqlDsumMicro("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge_micro,
         |${sqlDavg("l_quantity")} AS avg_qty,
         |${sqlDavg("l_extendedprice")} AS avg_price,
         |${sqlDavg("l_discount")} AS avg_disc,

@@ -46,7 +46,24 @@ object OracleSafe {
     */
   def dsumDec(c: Column): Column = sum(c.cast(Dec))
 
+  /** [[dsum]] for sums whose scaled magnitude can exceed 2^53: emit the
+    * exact total as INT64 MICRO-UNITS (the q195 cents×micros discipline)
+    * instead of casting the decimal to double. Above 2^53 scaled units
+    * the decimal→double cast stops being exact and DuckDB's int128→double
+    * conversion is not correctly rounded — MEASURED on the 10× stress
+    * corpus: q01's sum_charge (~2.8e10, 17 significant digits) diverged
+    * by one ulp. The decimal accumulate is unchanged (term rounding
+    * semantics stay identical to [[dsum]]); only the output moves to the
+    * integer domain, exact up to ±9.2e12 in unit terms. Corpus-wide money
+    * totals are exactly the sums that cross 2^53 first; per-group and
+    * windowed sums that provably stay below it keep the double cast.
+    */
+  def dsumMicro(c: Column): Column =
+    (sum(c.cast(Dec)) * lit(1000000L)).cast("long")
+
   /** Oracle-side SQL fragments mirroring the helpers above. */
   def sqlDsum(expr: String): String = s"CAST(SUM(CAST(($expr) AS DECIMAL(27,6))) AS DOUBLE)"
   def sqlDavg(expr: String): String = s"(${sqlDsum(expr)} / COUNT(*))"
+  def sqlDsumMicro(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(27,6))) * 1000000 AS BIGINT)"
 }

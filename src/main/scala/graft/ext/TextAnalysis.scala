@@ -185,4 +185,36 @@ object TextAnalysis {
     graft.util.CheckpointGen.release(sc, wordIds) // the merge table is the result
     merges.toSeq.toDF("step", "left", "right", "merged", "cnt")
   }
+
+  /** BPE tokenizer apply (the encode half of [[bpeTrain]]): segment a word
+    * under an ordered merge table, returning the `|`-joined token string.
+    *
+    * Representation trick that makes this a pure codegen'd projection: a
+    * symbol array is a separator-joined string (`"j|o|i|n"`), and applying
+    * merge (l, r) is `replace(s, "l|r", "lr")` — string replace-all scans
+    * left-to-right non-overlapping, which is EXACTLY the trainer's greedy
+    * fold (a just-merged symbol `l+r` is strictly longer than `l`, so it
+    * can never re-trigger within the same pass; overlapping runs like
+    * "a a a" merge the leftmost pair first in both formulations). The
+    * chained `replace` calls stay inside whole-stage codegen — no HOF
+    * fallback on the encode path. Requires `|` absent from the alphabet
+    * (the documents corpus is lowercase ASCII words; guarded by the
+    * corpus-facts spec).
+    *
+    * At scale: call this on the DISTINCT-word census (vocabulary-sized),
+    * then broadcast-join the word→tokens table back to the corpus — the
+    * corpus itself never carries the replace chain nor shuffles.
+    */
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
+    val init = array_join(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      "|")
+    merges.foldLeft(init) { case (s, (l, r)) =>
+      org.apache.spark.sql.functions.replace(s, lit(l + "|" + r), lit(l + r))
+    }
+  }
+
+  /** Token count under [[bpeSegment]]: separators + 1. */
+  def bpeTokenCount(word: Column, merges: Seq[(String, String)]): Column =
+    size(split(bpeSegment(word, merges), "\\|", -1))
 }

@@ -1205,17 +1205,99 @@ object TextQueries {
 
     // ---- iterative BPE trainer (the full merge loop over q212's census) ----
     // 12 rounds of census → argmax → merge-apply over the distinct-word
-    // table; output is the ordered merge table a tokenizer consumes. Like
-    // q110's Lloyd iterations, the loop is inherently multi-pass, so there
-    // is no single-SQL oracle (driver records rows-only); Round7Spec pins
-    // the full merge table against an independent driver-side brute-force
-    // trainer at two scale factors. See TextAnalysis.bpeTrain for the
-    // scale shape (censused words, bounded pair shuffle, one tiny collect
-    // per round, checkpoint-generation release).
+    // table; output is the ordered merge table a tokenizer consumes.
+    // Unlike q110's Lloyd iterations, the loop IS single-SQL-expressible:
+    // the iteration count is a compile-time constant, so the oracle
+    // unrolls all 12 rounds as a chain of MATERIALIZED CTEs (plain WITH
+    // would inline each generation into its two consumers — 2^12 blowup).
+    // Round7Spec additionally pins the merge table against an independent
+    // driver-side brute-force trainer at two scale factors. See
+    // TextAnalysis.bpeTrain for the scale shape (censused words, bounded
+    // pair shuffle, one tiny collect per round, checkpoint release).
     QueryDef("q218_bpe_trainer",
       (s, dir) => graft.ext.TextAnalysis
         .bpeTrain(Tables.documents(s, dir), "text", 12)
         .orderBy("step"),
-      None)
+      Some(s"""WITH ${bpeTrainerCtes(BpeMerges)},
+        |mt AS (${(1 to BpeMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")})
+        |SELECT step, l AS "left", r AS "right", l || r AS merged, c AS cnt
+        |FROM mt ORDER BY step""".stripMargin)),
+
+    // ---- BPE tokenizer apply (encode under the q218-trained merges) ----
+    // Train (12 driver-side argmax collects, the centroid discipline),
+    // then encode: the replace-chain segmentation runs on the DISTINCT-
+    // word census only (vocabulary-sized — 31 rows on this corpus), and
+    // the word→token-count table broadcast-joins back to the exploded
+    // corpus for the per-document aggregate. The corpus never shuffles
+    // and never carries the merge chain; at 100 TB the only corpus-sized
+    // ops are the scan and one per-doc-key aggregate. The oracle replays
+    // the identical unrolled trainer, then encodes straight off the final
+    // words generation (w12 carries word → surviving symbol string).
+    QueryDef("q219_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.ext.TextAnalysis
+          .bpeTrain(docs, "text", BpeMerges).orderBy("step")
+          .select("left", "right").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val dwords = docs
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+          .filter(length(col("w")) >= 1)
+        val wtok = dwords.select("w").distinct()
+          .withColumn("tok", graft.ext.TextAnalysis.bpeTokenCount(col("w"), merges))
+        dwords.join(broadcast(wtok), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("tok").cast("long")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${bpeTrainerCtes(BpeMerges)},
+        |wtok AS (SELECT w, CAST(len(string_split(s, '|')) AS INT) AS tok FROM w$BpeMerges),
+        |dwords AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1)
+        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(t.tok) AS BIGINT) AS n_tokens
+        |FROM dwords d JOIN wtok t USING (w)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
+
+  /** Merge-round count shared by q218 (trainer) and q219 (encode).
+    * `final val` (constant-folded) — it is referenced during the queries
+    * Seq's initializer above, where a runtime val would still be 0.
+    */
+  private final val BpeMerges = 12
+
+  /** Unrolled-trainer oracle: generation k's words table `w{k}` and its
+    * argmax merge `b{k}`, chained from the distinct-word census `w0`.
+    * MATERIALIZED is load-bearing: each generation is read twice (pair
+    * census + merge apply), and DuckDB inlines plain CTEs per reference —
+    * the 12-deep chain would otherwise recompute w0 2^12 times. Symbol
+    * arrays ride as '|'-joined strings so the merge apply is replace-all
+    * (left-to-right non-overlapping — exactly bpeTrain's greedy fold; see
+    * TextAnalysis.bpeSegment for the equivalence argument).
+    */
+  private def bpeTrainerCtes(n: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT w, list_aggregate(list_transform(range(1, len(w)+1), i -> w[i:i]),
+        |           'string_agg', '|') AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1 GROUP BY w)""".stripMargin
+    val gens = (1 to n).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT $k AS step, l, r, CAST(c AS BIGINT) AS c FROM (
+         |    SELECT arr[i] AS l, arr[i+1] AS r, SUM(cnt) AS c
+         |    FROM (SELECT string_split(s, '|') AS arr, cnt FROM w${k - 1}),
+         |         LATERAL (SELECT unnest(range(1, len(arr))) AS i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.w, replace(w.s, b.l || '|' || b.r, b.l || b.r) AS s, w.cnt
+         |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
+    }
+    (w0 +: gens).mkString(",\n")
+  }
 }

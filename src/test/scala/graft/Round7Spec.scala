@@ -52,4 +52,42 @@ class Round7Spec extends SparkSpec {
         s"got:    ${got.take(15)}\nexpect: ${expect.take(15)}")
     }
   }
+
+  test("bpeSegment replace-chain equals the trainer's greedy fold on every vocab word") {
+    // q219's encode leg rides on replace-all == greedy left-to-right fold
+    // (TextAnalysis.bpeSegment's equivalence argument). Check it exactly:
+    // segment every distinct corpus word both ways under the trained
+    // merges, plus adversarial synthetic words (overlapping runs,
+    // merged-symbol re-trigger shapes) the 31-word vocab can't exhibit.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val merges = graft.ext.TextAnalysis.bpeTrain(docs, "text", 12)
+      .orderBy("step").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    def fold(w: String): String = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        syms.foreach { s =>
+          if (buf.nonEmpty && buf.last == l && s == r)
+            buf(buf.length - 1) = l + r
+          else buf += s
+        }
+        syms = buf.toVector
+      }
+      syms.mkString("|")
+    }
+    val vocab = docs.select(explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) >= 1).distinct().as[String].collect().toSeq
+    val words = vocab ++ Seq("errr", "erer", "rere", "ininin", "joinjoin",
+      "aaa", "stst", "parpar", "x")
+    val gotSeg = words.toDF("w")
+      .withColumn("seg", graft.ext.TextAnalysis.bpeSegment(col("w"), merges))
+      .as[(String, String)].collect().toMap
+    words.foreach { w =>
+      assert(gotSeg(w) == fold(w), s"segmentation diverges on '$w'")
+    }
+  }
 }

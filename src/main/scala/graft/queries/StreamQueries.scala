@@ -306,6 +306,37 @@ object StreamQueries {
         |  FROM c)
         |SELECT ws, rk, event_type, n
         |FROM r WHERE rk <= 2
-        |ORDER BY ws, rk""".stripMargin))
+        |ORDER BY ws, rk""".stripMargin)),
+
+    // ---- watermark-bounded ingest dedup (at-least-once → exactly-once) ----
+    // Double-deliver the whole stream (the second copy lands 10 minutes
+    // late, inside the 30-minute redelivery horizon), then dedup by message
+    // id with dropDuplicatesWithinWatermark: the aggregate over the deduped
+    // append stream must equal the plain batch aggregate over events — the
+    // exactly-once restoration is hash-checked, not assumed. Unlike q42's
+    // dropDuplicates, per-key state here is EVICTED once the watermark
+    // passes the key's horizon (state ∝ horizon × arrival rate, not corpus
+    // size — the only dedup shape that survives an unbounded 100 TB feed);
+    // StreamingSpec pins the eviction boundary itself. The two copies agree
+    // on every non-ts column, so whichever arrives first the survivor's
+    // (event_type, value) — all the aggregate reads — is deterministic.
+    QueryDef("q220_stream_ingest_dedup",
+      (s, dir) => {
+        val ev = Streams.eventsStream(s, dir)
+        val redelivered = ev.withColumn("ts",
+          col("ts") + expr("INTERVAL 10 MINUTES"))
+        val restored = Streams.runToTable(
+          Streams.ingestDedup(ev.unionAll(redelivered), "30 minutes"),
+          "q220_sink", OutputMode.Append())
+        restored
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        |${sqlDsum("value")} AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -245,6 +245,22 @@ object Streams {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_distinct_users"))
 
+  /** Watermark-bounded ingest dedup — the unbounded-stream shape for
+    * at-least-once delivery. [[dedupCounts]]'s `dropDuplicates` keeps every
+    * seen key forever (state grows with the corpus — fine for a bounded
+    * replay, fatal on an endless ingest feed); `dropDuplicatesWithinWatermark`
+    * evicts a key's state once the watermark passes its event time + `delay`,
+    * so state is bounded by redelivery-horizon × arrival-rate regardless of
+    * how long the stream runs. Contract: a duplicate arriving within `delay`
+    * of the first copy is dropped; a redelivery after the horizon may surface
+    * again (StreamingSpec pins both sides of the boundary). Output mode is
+    * Append — a record emits the first time its key is seen.
+    */
+  def ingestDedup(events: DataFrame, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(event_id: Long, user_id: Long, tsMicros: Long)
   // micros carried as longs: java.sql.Timestamp construction would truncate
   // sub-millisecond precision; callers convert with timestamp_micros().

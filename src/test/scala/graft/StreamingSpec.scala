@@ -81,8 +81,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
     val df = mem.toDF().toDF("event_id", "user_id", "ts")
-    val q = df.withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+    val q = graft.streaming.Streams.ingestDedup(df, "10 minutes")
       .writeStream.format("memory").queryName("ddw_test")
       .outputMode(OutputMode.Append()).start()
     try {

@@ -376,6 +376,20 @@ object Similarity {
     * concentrate in the argmax cell: nprobe 2–8 of thousands of cells
     * and rerank ~4k of billions hold ≥0.9 recall at ~0.1% candidate
     * mass — the knobs, not the operator, encode the corpus geometry.
+    *
+    * Memory note: the probe-assignment table (vec_id, cells, v) is eagerly
+    * localCheckpointed — FOUR lazy consumers read it (corpus cells, query
+    * probes, query vectors, rerank re-fetch), and without the pin each
+    * would recompute the centroid-scoring pass. Unlike the tiny bounds
+    * pin in `bucketedRollingWindow` this one is CORPUS-sized (it carries
+    * the vectors); blocks spill to disk under pressure and stay pinned
+    * until the session ends — the returned frame is lazy, so the operator
+    * cannot know when the last consumer has run. Library callers running
+    * many searches in one session should sweep
+    * `sparkContext.getPersistentRDDs` once results materialize, as
+    * Bench/Verify do; a production deployment would persist the
+    * assignment+codes as a TABLE once (the classic IVF-PQ index build)
+    * rather than recompute it per search.
     */
   def ivfPqTopK(emb: DataFrame, nCentroids: Int, k: Int, queryPred: Column,
                 nprobe: Int, rerank: Int): DataFrame = {

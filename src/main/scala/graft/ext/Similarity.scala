@@ -292,62 +292,64 @@ object Similarity {
     * quantization error. This is the compression leg of IVF-PQ — at scale
     * the 8-byte code stands in for the 256-byte vector in candidate scoring.
     *
-    * Scale shape: the codebook is literal (nSub·nCent·subDim values folded
-    * into the projection), so assignment is a PURE MAP — no join, no
-    * shuffle, whole-stage codegen end to end; only the final orderBy (a
-    * display concern) moves data. Numeric discipline: each squared term is
-    * snapped to int64 micro-units (`round(t²·1e6)` of bit-identical doubles
-    * — float→double is exact, centroid ±1 exact, IEEE sub/mul
-    * deterministic), so distances, argmins, and the emitted error are
-    * integer-exact on both engines.
+    * Scale shape: assignment is a PURE MAP — no join, no shuffle, one
+    * custom codegen expression; only the final orderBy (a display
+    * concern) moves data. Numeric discipline: each squared term is
+    * snapped to int64 micro-units (`floor(t²·1e6)` of bit-identical
+    * doubles — float→double is exact, centroid ±1 exact, IEEE sub/mul
+    * deterministic, and floor reads the BINARY double, so both engines
+    * agree by construction with no decimal-midpoint sensitivity), so
+    * distances, argmins, and the emitted error are integer-exact on both
+    * engines.
     */
   def productQuantize(emb: DataFrame, nSub: Int = 8, subDim: Int = 8,
                       nCent: Int = 16): DataFrame = {
-    // per-ELEMENT float→double cast (exact), not asDouble's whole-array
-    // transform: a HOF here would be re-evaluated once per codebook term
-    def x(idx: Int): Column = element_at(col("embedding"), idx).cast("double")
-    // dist²(sub, cid) in micro-units: exact int64 sum of 8 snapped terms
-    def dist2(sub: Int, cid: Int): Column =
-      (0 until subDim).map { j =>
-        val c = if ((md5Long15(s"${sub}_${cid}_${j}") & 1L) == 1L) 1.0 else -1.0
-        val t = x(sub * subDim + j + 1) - lit(c)
-        round(t * t * lit(1e6), 0).cast("long")
-      }.reduce(_ + _)
-    // per-subspace argmin via array_min over (dist², cid) structs —
-    // lexicographic struct order = lowest distance, ties to lowest cid
-    val best = (0 until nSub).map { sub =>
-      array_min(array((0 until nCent).map(cid =>
-        struct(dist2(sub, cid).as("d"), lit(cid).as("cid"))): _*)).as(s"b$sub")
-    }
-    val packed = (0 until nSub).map(sub =>
-      shiftleft(col(s"b$sub").getField("cid").cast("long"), 4 * sub))
-      .reduce(_ + _)
-    val err = (0 until nSub).map(sub => col(s"b$sub").getField("d")).reduce(_ + _)
-    emb.select(col("vec_id") +: best: _*)
-      .select(col("vec_id"), packed.as("pq_code"), err.as("err_micro"))
+    // geometry is fixed by the shared PqCodebook the custom expression and
+    // every oracle CTE derive their corners from
+    require(nSub == graft.functions.PqCodebook.nSub
+        && subDim == graft.functions.PqCodebook.subDim
+        && nCent == graft.functions.PqCodebook.nCent,
+      s"productQuantize is pinned to the ${graft.functions.PqCodebook.nSub}x" +
+        s"${graft.functions.PqCodebook.nCent}x${graft.functions.PqCodebook.subDim} codebook")
+    // One custom codegen expression (PqEncode), not the codebook folded
+    // into ~1024 literal expression nodes: the folded tree serialized
+    // 6.3 MiB task binaries and cost ~1.3 s FIXED per job at any row
+    // count; the expression carries the codebook as one 8 KiB reference
+    // object and loops in generated code. Same floor-snapped int64 terms,
+    // same argmin tie rule (lowest cid) — bit-identical output.
+    emb.select(col("vec_id"),
+        graft.functions.PqExpressions.pqEncode(col("embedding")).as("pq"))
+      .select(col("vec_id"), col("pq").getField("pq_code").as("pq_code"),
+        col("pq").getField("err_micro").as("err_micro"))
   }
 
-  /** ADC (asymmetric distance computation) against a packed PQ code:
-    * integer micro-unit squared distance from the query vector to the
-    * code's decoded ±1 corner reconstruction — the [[productQuantize]]
-    * numeric discipline (snap each squared term to int64 micro-units), so
-    * the distance, and therefore the shortlist ranking, is integer-exact
-    * on both engines. The whole 16-entry-per-(sub, dim) corner table is
-    * folded into the expression as literals (content-addressed md5
-    * parity), so scoring one candidate is a pure codegen map over its
-    * 8-byte code — no codebook join, no vector fetch.
+  /** Per-query ADC lookup table: entry `sub*nCent + cid` holds the exact
+    * int64 micro-unit squared distance from the query's `sub`-th subvector
+    * to corner `cid` — the same floor-snapped terms and int64 sums as
+    * [[productQuantize]]'s encoder, precomputed ONCE per query row by the
+    * custom [[graft.functions.AdcLut]] codegen expression. This is the
+    * classic ADC table trick (Jégou et al., TPAMI 2011 §III): scoring a
+    * candidate collapses from the full (subs × dims × corners) expression
+    * tree to `nSub` array lookups ([[adcDist2MicroLut]]). The structural
+    * point on Spark: Catalyst's CollapseProject inlines a once-referenced
+    * score column into the TopK aggregate's child, and
+    * ObjectHashAggregateExec evaluates that child INTERPRETED per row —
+    * measured 4.9 s for 60k candidates with the inline codebook tree vs
+    * milliseconds with the table (the table itself is built on the tiny
+    * broadcast query side, |queries| rows).
     */
-  private[graft] def adcDist2Micro(qv: Column, code: Column,
-      nSub: Int = 8, subDim: Int = 8, nCent: Int = 16): Column =
+  private[graft] def adcLut(qv: Column): Column =
+    graft.functions.PqExpressions.adcLut(qv)
+
+  /** ADC distance via the precomputed [[adcLut]] table: sum of one table
+    * lookup per subspace. Bit-identical to [[adcDist2Micro]] — int64
+    * addition over the same per-subspace sums, regrouped.
+    */
+  private[graft] def adcDist2MicroLut(lut: Column, code: Column,
+      nSub: Int = 8, nCent: Int = 16): Column =
     (0 until nSub).map { sub =>
       val cid = shiftright(code, 4 * sub).bitwiseAND(lit(15L)).cast("int")
-      (0 until subDim).map { j =>
-        val corners = array((0 until nCent).map(c => lit(
-          if ((md5Long15(s"${sub}_${c}_${j}") & 1L) == 1L) 1.0 else -1.0)): _*)
-        val t = element_at(qv, sub * subDim + j + 1) -
-          element_at(corners, cid + lit(1))
-        round(t * t * lit(1e6), 0).cast("long")
-      }.reduce(_ + _)
+      element_at(lut, cid + lit(sub * nCent + 1))
     }.reduce(_ + _)
 
   /** Composed IVF-PQ ANN search — the 100 TB architecture the two legs
@@ -358,7 +360,8 @@ object Similarity {
     *      The candidate join carries (nid, cell, pq_code) — the 8-BYTE
     *      CODE, never the 256-byte vector (asserted by plan test).
     *   2. SHORTLIST — candidates are ranked per query by integer-exact
-    *      ADC against the broadcast query vectors ([[adcDist2Micro]]),
+    *      ADC against broadcast per-query lookup tables ([[adcLut]] /
+    *      [[adcDist2MicroLut]] — same arithmetic as [[adcDist2Micro]]),
     *      and the bounded mergeable TopKNeighborsAgg keeps `rerank` per
     *      query (map-side partials — the ADC score stream never shuffles).
     *   3. RERANK — only the `|queries|·rerank` survivors fetch their full
@@ -405,9 +408,13 @@ object Similarity {
       .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
     val cand = qprobe.join(corpus, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
-    val scored = cand.join(broadcast(qv), Seq("qid"))
+    // ADC table on the broadcast query side (|queries| rows pay the full
+    // codebook expression once); candidates pay nSub lookups each — see
+    // adcLut for why the inline formulation is a per-row interpreted trap
+    val qlut = qv.withColumn("lut", adcLut(col("qv")))
+    val scored = cand.join(broadcast(qlut), Seq("qid"))
       .withColumn("nadc",
-        (-adcDist2Micro(col("qv"), col("pq_code"))).cast("double"))
+        (-adcDist2MicroLut(col("lut"), col("pq_code"))).cast("double"))
     val short = scored.groupBy("qid")
       .agg(graft.functions.TopKNeighborsAgg
         .topkNeighbors(col("nadc"), col("nid"), rerank).as("top"))

@@ -95,7 +95,7 @@ object VectorQueries {
       |  FROM e, range(64) d),
       |pqterms AS (
       |  SELECT dims.vec_id, cb.sub, cb.cid,
-      |    CAST(round((dims.x - cb.cv) * (dims.x - cb.cv) * 1e6) AS BIGINT) AS tm
+      |    CAST(floor((dims.x - cb.cv) * (dims.x - cb.cv) * 1e6) AS BIGINT) AS tm
       |  FROM dims JOIN cb ON dims.d // 8 = cb.sub AND dims.d % 8 = cb.dsub),
       |pqcells AS (
       |  SELECT vec_id, sub, cid, CAST(SUM(tm) AS BIGINT) AS dist2
@@ -124,7 +124,7 @@ object VectorQueries {
       |  JOIN codes ON codes.vec_id = a.vec_id),
       |adc AS (
       |  SELECT cand.qid, cand.nid,
-      |    CAST(SUM(CAST(round((eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv)
+      |    CAST(SUM(CAST(floor((eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv)
       |      * (eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv) * 1e6) AS BIGINT))
       |      AS BIGINT) AS adist
       |  FROM cand JOIN e eq ON eq.vec_id = cand.qid
@@ -673,7 +673,7 @@ object VectorQueries {
         |  FROM range(8) s, range(16) c, range(8) d),
         |terms AS (
         |  SELECT dims.vec_id, cb.sub, cb.cid,
-        |    CAST(round((dims.x - cb.cv) * (dims.x - cb.cv) * 1e6) AS BIGINT) AS tm
+        |    CAST(floor((dims.x - cb.cv) * (dims.x - cb.cv) * 1e6) AS BIGINT) AS tm
         |  FROM dims JOIN cb ON dims.d // 8 = cb.sub AND dims.d % 8 = cb.dsub),
         |cells AS (
         |  SELECT vec_id, sub, cid, CAST(SUM(tm) AS BIGINT) AS dist2

@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,25 +48,51 @@ object Bench {
     // dev loop: SPARK_GRAFT_ONLY=q41,q70 benches a subset (shared rule:
     // graft.util.DevSubset). Subset numbers are warmup-inflated ~1.4x —
     // include an unchanged comparator query when A/B-testing.
+    //
+    // Per-query timing is median-of-REPS (default 3): single runs on this
+    // box swing 5-10x per query (round 7 recorded q117 at 24.4 s; an
+    // identical re-run 16 min later measured 4.5 s), so only medians
+    // across repetitions mean anything. Repetitions run back-to-back with
+    // caches cleared between them, so the median reflects steady-state
+    // codegen/JIT-warm execution, not first-touch compilation.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => graft.util.DevSubset.keep(n) }
       .map { case (name, fn) =>
-      spark.catalog.clearCache() // isolate per-query caches between timings
-      // ...and release checkpoint blocks the previous query pinned
-      // (localCheckpoint blocks live in the block manager, NOT the catalog
-      // cache — clearCache alone would let them tax every later timing).
-      // The blanket sweep assumes STRICTLY SEQUENTIAL execution: queries
-      // run one at a time and every streaming query a defn started has
-      // been stopped before its timing returns, so nothing concurrent can
-      // own a persistent RDD here. A concurrent harness must switch to
-      // per-query lineage tracking (Dedup.connectedComponents's pinnedIds
-      // pattern) instead of sweeping the context-global registry.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+        val runs = (1 to reps).map { _ =>
+          spark.catalog.clearCache() // isolate per-query caches between timings
+          // ...and release checkpoint blocks the previous query pinned
+          // (localCheckpoint blocks live in the block manager, NOT the catalog
+          // cache — clearCache alone would let them tax every later timing).
+          // The blanket sweep assumes STRICTLY SEQUENTIAL execution: queries
+          // run one at a time and every streaming query a defn started has
+          // been stopped before its timing returns, so nothing concurrent can
+          // own a persistent RDD here. A concurrent harness must switch to
+          // per-query lineage tracking (Dedup.connectedComponents's pinnedIds
+          // pattern) instead of sweeping the context-global registry.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH ERROR $name: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        // A query that threw on ANY repetition is an error, not a timing:
+        // record a negative marker so a fast-fail can never masquerade as a
+        // 60 ms success (round 7 recorded 85 AnalysisExceptions as 0.06-0.1 s
+        // "results" and the bench looked plausible).
+        if (runs.exists(!_._2)) name -> -1.0
+        else {
+          val sorted = runs.map(_._1).sorted
+          name -> sorted(sorted.size / 2)
+        }
+      }
+    val errors = results.collect { case (n, v) if v < 0 => n }
     // The driver parses its JSON from a 2000-char stdout TAIL. At 213
     // queries the full per-query dict is ~2.6k chars — a single line no
     // longer fits the window (measured: rounds 1 and 5 recorded
@@ -82,9 +109,17 @@ object Bench {
       "duplicate qNN bench keys: " + shortKeys.diff(shortKeys.distinct).mkString(","))
     val entries = shortKeys.zip(results.map(_._2))
       .map { case (k, v) => ("\"" + k + "\":" + f(v), v) }
-    val total = results.map(_._2).sum
+    // total excludes errored queries (their -1 markers are not timings)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // cap the inline error id list so the driver-contract line stays inside
+    // the 2000-char stdout tail even in a mass-breakage round; nerrors
+    // always carries the true count
+    val errShort = errors.map(_.takeWhile(_ != '_')).take(40)
+    val errJson =
+      s""","errors":${errShort.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","nerrors":${errors.size},"reps":$reps,"stat":"median""""
     def line(metric: String, qdict: String, extra: String = "") =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qdict$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qdict$extra$errJson,"sf":"$sfDir"}"""
     val detail = line("total_detail", entries.map(_._1).mkString("{", ",", "}"))
     println(detail)
     // the driver archives only the stdout tail — persist the full
@@ -105,5 +140,12 @@ object Bench {
     println(line("total", kept.map(_._1).mkString("{", ",", "}"),
       s""","queries_omitted":$omitted"""))
     spark.stop()
+    // a bench with dead queries must not exit clean — the driver's 2x-gate
+    // comparison would otherwise consume fake numbers silently
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.size} queries threw: " +
+        errors.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -258,12 +258,18 @@ object ScaleOpsQueries {
     // columns. The quartile edges are EXACT and fully distributed — no
     // single-buffer percentile() anywhere (the round-6 scale contract is
     // closed, not documented away):
-    //   1. value census (one hash-agg shuffle; near-unique domains keep
-    //      it |corpus|-sized but distributed),
-    //   2. census rows coarse-bucket by a fixed width (the price domain
-    //      is bounded, so ~820 buckets at ANY corpus size); per-bucket
-    //      totals collect to the driver (bounded, kmeans-centroid class)
-    //      and prefix offsets broadcast back,
+    //   1. coarse-bucket totals straight off the corpus (fixed width on a
+    //      bounded price domain → ~820 buckets at ANY corpus size; the
+    //      groupBy partial-aggregates map-side so the shuffle carries
+    //      ~820 rows/partition); totals collect to the driver (bounded,
+    //      kmeans-centroid class) and prefix offsets broadcast back,
+    //   2. value census (one hash-agg shuffle; near-unique domains keep
+    //      it |corpus|-sized but distributed) — consumed ONCE, lazily, by
+    //      the window below: no localCheckpoint/cache pin of a
+    //      corpus-sized census anywhere (the round-7 plan eagerly
+    //      checkpointed it to feed two readers; reading the one-column
+    //      scan twice is cheaper than materializing |corpus| rows in the
+    //      block manager, locally and especially at 100 TB),
     //   3. cumulative counts = offset + within-bucket running sum — the
     //      q102 two-level window (partitioned by bucket, never a corpus-
     //      wide single-partition sort),
@@ -279,12 +285,13 @@ object ScaleOpsQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, dir)
+        val totals = li
+          .groupBy(floor(col("l_extendedprice") / 128.0).cast("long").as("b"))
+          .agg(count(lit(1)).as("bc"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         val cens = li.groupBy(col("l_extendedprice").as("value"))
           .agg(count(lit(1)).as("c"))
           .withColumn("b", floor(col("value") / 128.0).cast("long"))
-          .localCheckpoint(true) // read by the totals pass AND the window
-        val totals = cens.groupBy("b").agg(sum("c").as("bc"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         val n = totals.map(_._2).sum
         var acc = 0L
         val offs = totals.map { case (b, bc) =>

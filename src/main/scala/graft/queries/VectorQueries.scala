@@ -59,9 +59,9 @@ object VectorQueries {
     * geometry setting (Similarity.ivfPqTopK scaladoc derives the
     * clustered-corpus production knob).
     */
-  private val IvfPqCells = 32
-  private val IvfPqProbes = 24
-  private val IvfPqRerank = 480
+  private[graft] val IvfPqCells = 32
+  private[graft] val IvfPqProbes = 24
+  private[graft] val IvfPqRerank = 480
 
   /** Shared oracle scaffold for q216/q217: corpus argmax cells (`asg`),
     * the q206 PQ codebook/codes (`cb`/`codes`), query probes (`qprobe`,

@@ -26,14 +26,29 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(path(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "embeddings"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate to
-    * microseconds — exactly what DuckDB does when it casts ns → its native
-    * us timestamps, so oracle comparisons stay bit-identical.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(MICROS) (current
+    * fixtures) and TIMESTAMP(NANOS) (older generations, which Spark's
+    * vectorized reader rejects with [PARQUET_TYPE_ILLEGAL] unless read as
+    * long). Adapt to whichever the file carries: nanos are read as long and
+    * truncated to microseconds — exactly what DuckDB does when it casts
+    * ns → its native us timestamps, so oracle comparisons stay bit-identical;
+    * native us timestamps pass through untouched.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.read.parquet(path(dir, "events"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Parquet us-timestamps without tz metadata scan as TIMESTAMP_NTZ;
+        // downstream operators (unix_micros, time windows, watermarks) were
+        // written against TIMESTAMP. Sessions here pin
+        // spark.sql.session.timeZone=UTC, so this cast reinterprets the
+        // naive micros as the same UTC instant the old nanos shim produced —
+        // bit-identical to DuckDB's naive reading of the same file.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }

@@ -115,8 +115,18 @@ object Streams {
     // the corpus table is a single parquet file; the file stream source
     // accepts it only as a glob pattern (a bare file path fails basePath
     // validation)
-    s2.readStream.schema(schema).parquet(path + "*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s2.readStream.schema(schema).parquet(path + "*")
+    // Older fixture generations carried ts as TIMESTAMP(NANOS) (surfaced as
+    // long via nanosAsLong); current ones are native TIMESTAMP(MICROS),
+    // which scan as TIMESTAMP_NTZ — normalize both to TIMESTAMP (UTC
+    // sessions) so watermarks/windows behave identically either way.
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Drive a streaming DataFrame to completion through a memory sink and

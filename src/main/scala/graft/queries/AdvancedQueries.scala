@@ -60,16 +60,22 @@ object AdvancedQueries {
     QueryDef("q46_percentiles",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
+        // p = 0.5/0.25/0.75 have exact-binary interpolation fractions, so
+        // both engines emit identical doubles; 0.9 does NOT — DuckDB's
+        // (1-f)·a + f·b carries fp noise even on tie groups (the measured
+        // q158 10x trap), so the p90 is round-6 guarded on both sides
+        // (discount is 2-decimal; the interpolated value has <= 3
+        // decimals, so round 6 is lossless there)
         .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
              expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
              expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
-             expr("percentile(l_discount, 0.9)").as("p90_disc"))
+             round(expr("percentile(l_discount, 0.9)"), 6).as("p90_disc"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
         |quantile_cont(l_quantity, 0.5) AS median_qty,
         |quantile_cont(l_extendedprice, 0.25) AS p25_price,
         |quantile_cont(l_extendedprice, 0.75) AS p75_price,
-        |quantile_cont(l_discount, 0.9) AS p90_disc
+        |round(quantile_cont(l_discount, 0.9), 6) AS p90_disc
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
@@ -345,19 +351,38 @@ object AdvancedQueries {
     // ---- winsorization (percentile clamping) ----
     // The outlier-capping cleanup step: clamp each event's value to its
     // event-type's [p05, p95] band, then report how many rows hit each cap
-    // and the winsorized mean. Two aggregates (per-type percentiles join
-    // back onto the stream — a broadcast of 5 rows), clamp is
-    // least/greatest, and Spark's exact `percentile` interpolates
-    // identically to DuckDB's quantile_cont (the q46 parity), so clamped
-    // values are bit-identical and the mean goes through dsum.
+    // and the winsorized mean. Bounds are NEAREST-RANK (type-1)
+    // percentiles — the value at integer rank ceil(p·n), derived from a
+    // per-type value census with pure-integer rank arithmetic
+    // ((n+19) div 20 and (19n+19) div 20), so both engines pick an ACTUAL
+    // data value and every clamp comparison is exact. Interpolated
+    // quantile_cont bounds are a measured 10x trap: DuckDB evaluates
+    // (1-f)·a + f·b, which carries fp noise even when a == b (observed
+    // lo = 2.5200000000000005 against Spark's exact 2.52), silently
+    // flipping every row that sits exactly at the bound — 50 rows at the
+    // 10x corpus. Rank-based bounds make the whole query integer-decided;
+    // the mean still goes through dsum. Scale shape: the census is one
+    // hash-agg shuffle (bounded by the 2-decimal value domain), the
+    // per-type window runs over census rows (not the corpus), and the
+    // 5-row bounds broadcast back.
     QueryDef("q158_winsorized_stats",
       (s, dir) => {
-        val bounds = Tables.events(s, dir)
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir).select("event_type", "value")
+        val census = ev.groupBy("event_type", "value")
+          .agg(count(lit(1)).as("c"))
+        val byType = Window.partitionBy("event_type")
+        val cum = census
+          .withColumn("cum", sum("c").over(byType.orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("c").over(byType))
+        val bounds = cum
+          .withColumn("k_lo", expr("(n + 19) div 20"))      // ceil(0.05 n), int
+          .withColumn("k_hi", expr("(n * 19 + 19) div 20")) // ceil(0.95 n), int
           .groupBy("event_type")
-          .agg(expr("percentile(value, 0.05)").as("lo"),
-               expr("percentile(value, 0.95)").as("hi"))
-        Tables.events(s, dir)
-          .join(broadcast(bounds), "event_type")
+          .agg(min(when(col("cum") >= col("k_lo"), col("value"))).as("lo"),
+               min(when(col("cum") >= col("k_hi"), col("value"))).as("hi"))
+        ev.join(broadcast(bounds), "event_type")
           .select(col("event_type"),
             least(greatest(col("value"), col("lo")), col("hi")).as("wv"),
             (col("value") < col("lo")).cast("long").as("clip_lo"),
@@ -368,10 +393,20 @@ object AdvancedQueries {
             davg(col("wv")).as("winsorized_mean"))
           .orderBy("event_type")
       },
-      Some(s"""WITH bounds AS (
-        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
-        |         quantile_cont(value, 0.95) AS hi
-        |  FROM events GROUP BY event_type),
+      Some(s"""WITH census AS (
+        |  SELECT event_type, value, COUNT(*) AS c
+        |  FROM events GROUP BY event_type, value),
+        |cum AS (
+        |  SELECT event_type, value,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM census),
+        |bounds AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= (n + 19) // 20 THEN value END) AS lo,
+        |    MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN value END) AS hi
+        |  FROM cum GROUP BY event_type),
         |w AS (
         |  SELECT e.event_type,
         |    least(greatest(e.value, b.lo), b.hi) AS wv,
@@ -435,8 +470,10 @@ object AdvancedQueries {
     // per group from ONE percentile buffer per group (a single
     // array-argument aggregate, not three separate full-column
     // collects). Spark's percentile() and DuckDB's quantile_cont share
-    // the linear-interpolation definition (parity established by q158);
-    // round 6 guards the interpolation arithmetic. At extreme group
+    // the linear-interpolation definition but NOT its fp evaluation
+    // order (the measured q158 10x trap); round 6 absorbs that noise
+    // losslessly here (2-decimal values → <= 3-decimal interpolations)
+    // and nothing compares against the bound. At extreme group
     // cardinality the same report comes from mergeable quantile sketches
     // (q107's path) — this is the exact form.
     QueryDef("q192_sla_percentiles",

@@ -55,7 +55,11 @@ object Bench {
     // across repetitions mean anything. Repetitions run back-to-back with
     // caches cleared between them, so the median reflects steady-state
     // codegen/JIT-warm execution, not first-touch compilation.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // fail LOUD on a typo'd value (a silent default-3 would let a dev
+    // believe their 1-rep quick loop ran 1 rep when it ran 3)
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_REPS", "3")
+    val reps = scala.util.Try(repsRaw.trim.toInt).getOrElse(
+      sys.error(s"SPARK_GRAFT_REPS must be an integer, got '$repsRaw'")).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => graft.util.DevSubset.keep(n) }
       .map { case (name, fn) =>
@@ -103,6 +107,9 @@ object Bench {
     //   2. metric="total" LAST — the driver contract line, with the
     //      slowest queries only, capped so the line stays well inside the
     //      tail window however many queries register.
+    // Errored queries keep their -1.0 marker INSIDE both per-query dicts
+    // (and are listed again in "errors"/counted in "nerrors"): downstream
+    // tooling must skip negative values when aggregating timings.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,

@@ -153,6 +153,12 @@ object Similarity {
     * (not just the argmax cell), trading candidate volume for recall — the
     * standard IVF recall knob. Corpus vectors stay single-cell; only the
     * (small) query side fans out, so cost grows with |queries|·nprobe.
+    *
+    * EAGER: the returned frame is localCheckpoint-materialized at call time
+    * (|queries|·k rows) so the corpus-sized assignment pin can be released
+    * before returning — downstream filters do not reach the source scan.
+    * Callers that want lazy composition drive [[ivfProbeSearch]] over their
+    * own persisted assignment.
     */
   def ivfProbeTopK(emb: DataFrame, nCentroids: Int, k: Int,
                    queryPred: Column, nprobe: Int): DataFrame = {
@@ -190,7 +196,9 @@ object Similarity {
   }
 
   /** IVF top-k: exact cosine top-k restricted to the query's cell. Same
-    * pin lifecycle as [[ivfProbeTopK]].
+    * pin lifecycle as [[ivfProbeTopK]] — and the same EAGER materialization:
+    * the result is computed at call time; compose lazily via
+    * [[ivfCellSearch]] instead.
     */
   def ivfTopK(emb: DataFrame, nCentroids: Int, k: Int, queryPred: Column): DataFrame = {
     val assigned = ivfAssign(emb, nCentroids).cache()
@@ -281,8 +289,19 @@ object Similarity {
     * 0.65), so ≥0.9 recall forces wide probing — 48 bands × 6 bits
     * measures 0.92–0.94 recall at ~53% candidate mass (q201's eval). On a
     * production near-dup corpus (neighbor cos ≥ 0.9, p ≥ 0.86) the SAME
-    * operator at 32 bands × 16 bits keeps ≥0.9 recall at ~0.05% candidate
-    * mass — the knob, not the operator, encodes the corpus geometry.
+    * operator at 32 bands × 16 bits keeps ≥0.9 recall at a fraction of a
+    * percent candidate mass — the knob, not the operator, encodes the
+    * corpus geometry. MEASURED on a deterministic clustered corpus
+    * (q225, hash-green): recall 1.0 at 0.13–0.27% candidate mass for
+    * 32×16 vs recall 1.0 at ~53% for 48×6 — two orders of magnitude.
+    *
+    * Codegen note: the plane pool is folded into the signature expression
+    * as literals; at 32×16 (512 planes) the generated method exceeds the
+    * JIT limit and Spark falls back to interpreted evaluation for that
+    * projection — fine for eval queries over thousands of rows; a 100 TB
+    * deployment should hash via a broadcast plane table join (or a custom
+    * expression carrying the pool as one reference object, the PqEncode
+    * pattern) instead.
     */
   def lshBandedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     dim: Int = 64, bands: Int = 48, bitsPerBand: Int = 6): DataFrame = {
@@ -422,7 +441,11 @@ object Similarity {
     * search (the search result — |queries|·k rows — is materialized
     * eagerly), and releases the corpus-sized blocks before returning:
     * after it returns, the session holds no corpus-sized pins
-    * (spec-asserted via `getPersistentRDDs` in Round8Spec).
+    * (spec-asserted via `getPersistentRDDs` in Round8Spec). The trade of
+    * that contract: the returned frame is EAGER (localCheckpoint), so
+    * search cost is paid at call time and downstream predicates never
+    * prune the build — use [[buildIvfPqIndex]] + [[ivfPqSearchIndexed]]
+    * for lazy composition over a caller-owned index.
     */
   def ivfPqTopK(emb: DataFrame, nCentroids: Int, k: Int, queryPred: Column,
                 nprobe: Int, rerank: Int): DataFrame = {

@@ -75,8 +75,11 @@ class Round8Spec extends SparkSpec {
     val km = graft.ext.Similarity.kmeansCentroids(emb, 8, 5)
     assert(km.count() == 8)
     val (e0, e1) = (quantErr(firstN), quantErr(km))
+    // only the Lloyd invariant (non-increase from init) is asserted:
+    // strict improvement held on every fixture so far, but a regenerated
+    // corpus where first-8 happens to sit on a fixed point would fail a
+    // strict < spuriously — the exact drift scenario this spec guards.
     assert(e1 <= e0 + 1e-9, s"k-means centroids quantize worse than init: $e1 > $e0")
-    assert(e1 < e0, s"expected strict improvement on this corpus: $e1 vs $e0")
   }
 
   test("buildIvfPqIndexWith + full probes + full rerank == exact brute force") {

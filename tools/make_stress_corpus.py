@@ -7,6 +7,25 @@ generator makes the sweep reproducible in any round.
   python3 tools/make_stress_corpus.py rel  /tmp/sf10rel   # relational 10x
   python3 tools/make_stress_corpus.py text /tmp/sf1x      # docs+embeddings 10x
 
+An optional third argument scales the replica count (default 10):
+
+  python3 tools/make_stress_corpus.py rel      /tmp/sf100rel 100
+  python3 tools/make_stress_corpus.py textsalt /tmp/sf100x   100
+
+textsalt: like text, but each replica's tokens are SALTED with the replica
+number instead of rotated — replicas share no shingles, so true near-dup
+pair volume grows LINEARLY with the corpus (each replica carries sf0.1's
+internal dup structure and nothing cross-replica). This is the right
+instrument for wall-clock growth laws: the rotated `text` corpus is an
+adversarial near-dup regime whose TRUE answer grows quadratically in
+replicas (every rotation shares nearly all shingles with its original),
+which measures pair explosion, not engine scaling. Embeddings are rotated
+as in `text` (coordinate rotations decorrelate directions, so the vector
+side is already linear-regime). Note the salted vocabulary breaks the
+31-token corpus facts some REGISTERED oracles assume — textsalt corpora
+are for the scale sweep families (dedup/CC/vector), not full-registry
+verification.
+
 rel: key-offset replicas of /root/testdata/sf0.1 — replica k adds k*10^9 to
 every key column (FK-consistent, so joins fan out realistically: 6M lineitem,
 1.5M orders, 1M events, 150k customer, 10k supplier, 200k part);
@@ -29,7 +48,7 @@ import pyarrow.compute as pc
 
 SRC = "/root/testdata/sf0.1"
 OFF = 10**9
-REPLICAS = 10
+REPLICAS = 10  # default; override with argv[3]
 
 # key columns per table that get the replica offset (FK-consistent)
 REL_KEYS = {
@@ -69,7 +88,7 @@ def gen_rel(outdir):
         print(f"  {outdir}/{name}.parquet: {t.num_rows} rows (copied)")
 
 
-def gen_text(outdir):
+def gen_text(outdir, salt=False):
     import os
     os.makedirs(outdir, exist_ok=True)
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pylist()
@@ -77,10 +96,13 @@ def gen_text(outdir):
     for k in range(REPLICAS):
         for r in docs:
             toks = r["text"].split(" ")
-            rot = toks[k % len(toks):] + toks[:k % len(toks)] if toks else toks
+            if salt and k > 0:
+                new = [f"{t}{k}" for t in toks]
+            else:
+                new = toks[k % len(toks):] + toks[:k % len(toks)] if toks else toks
             out.append({**r, "doc_id": r["doc_id"] + k * OFF,
-                        "text": " ".join(rot),
-                        "n_chars": len(" ".join(rot))})
+                        "text": " ".join(new),
+                        "n_chars": len(" ".join(new))})
     schema = pq.read_schema(f"{SRC}/documents.parquet")
     pq.write_table(pa.Table.from_pylist(out, schema=schema),
                    f"{outdir}/documents.parquet", compression="snappy")
@@ -107,4 +129,7 @@ def gen_text(outdir):
 
 if __name__ == "__main__":
     kind, outdir = sys.argv[1], sys.argv[2]
-    {"rel": gen_rel, "text": gen_text}[kind](outdir)
+    if len(sys.argv) > 3:
+        REPLICAS = int(sys.argv[3])
+    {"rel": gen_rel, "text": gen_text,
+     "textsalt": lambda d: gen_text(d, salt=True)}[kind](outdir)

@@ -1,0 +1,47 @@
+#!/bin/bash
+# 1x/10x/100x wall-clock sweep of the heavy vector/dedup/CC/graph families
+# (round-9 scale-validation; see README "Scale validation"). Runs each family
+# batch at three corpus scales via Bench (SPARK_GRAFT_REPS=1 — at these run
+# lengths real work dominates, and growth RATIOS across scales use the same
+# configuration so subset warmup inflation cancels). Corpora:
+#   1x    /root/testdata/sf0.1      (5k docs / 2k vectors / 600k lineitem)
+#   10x   /tmp/sf10salt, /tmp/sf10rel
+#   100x  /tmp/sf100x,   /tmp/sf100rel
+# built by tools/make_stress_corpus.py (textsalt = linear-regime near-dup:
+# replicas share no shingles; rel = FK-consistent key offsets).
+set -u
+cd /root/repo
+OUT=${1:-/tmp/scale_sweep_r9}
+mkdir -p "$OUT"
+
+run() { # run <tag> <sfdir> <only> <timeout_s>
+  local tag=$1 sfdir=$2 only=$3 to=$4
+  echo "=== $tag ($only @ $sfdir) ==="
+  SPARK_GRAFT_SF_DIR=$sfdir SPARK_GRAFT_ONLY=$only SPARK_GRAFT_REPS=1 \
+    SPARK_GRAFT_CPUS=32 timeout "$to" \
+    sbt -batch "runMain graft.Bench" 2>"$OUT/$tag.err" | tail -2 > "$OUT/$tag.json"
+  echo "rc=$? tail:"; cat "$OUT/$tag.json"
+}
+
+# B1: CC dedup + autoscaled semantic dedup
+run b1_1x   /root/testdata/sf0.1 q65,q222 1200
+run b1_10x  /tmp/sf10salt        q65,q222 2400
+run b1_100x /tmp/sf100x          q65,q222 5400
+
+# B2: IVF-PQ family (search / persisted index / incremental append)
+run b2_1x   /root/testdata/sf0.1 q216,q221,q223 1200
+run b2_10x  /tmp/sf10salt        q216,q221,q223 2400
+run b2_100x /tmp/sf100x          q216,q221,q223 5400
+
+# B3: banded LSH at the isotropic knob (48x6) — expected to blow up at 100x
+# by DESIGN (candidate mass ~50% of pairs; q225 measures the production knob)
+run b3_1x   /root/testdata/sf0.1 q205 1200
+run b3_10x  /tmp/sf10salt        q205 2400
+run b3_100x /tmp/sf100x          q205 5400
+
+# B4: PageRank over the trade graph (relational)
+run b4_1x   /root/testdata/sf0.1 q131 1200
+run b4_10x  /tmp/sf10rel         q131 2400
+run b4_100x /tmp/sf100rel        q131 5400
+
+echo "=== sweep done ==="

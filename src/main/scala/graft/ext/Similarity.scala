@@ -262,8 +262,24 @@ object Similarity {
     * bits each, as an array column (index = band id). Planes are the same
     * md5-parity recipe as [[hyperplaneSignature]], drawn from one pool of
     * `bands * bitsPerBand` planes so every band is independent.
+    *
+    * Backed by the codegen [[graft.functions.BandedSig]] expression (one
+    * reference-object plane pool, constant-size generated loop) — the
+    * composed literal-fold formulation below is kept only as the spec's
+    * bit-identity reference; at 32×16 its 512-plane expression tree blew
+    * the JIT method limit and de-optimized the projection to interpreted
+    * eval (round-9 verdict item #1, q225 = 46.5 s).
     */
-  def bandedSignature(v: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
+  def bandedSignature(v: Column, dim: Int, bands: Int, bitsPerBand: Int): Column =
+    graft.functions.LshExpressions.bandedSig(v, dim, bands, bitsPerBand)
+
+  /** The original composed formulation — the plane pool folded into the
+    * expression tree as literals. Test-only reference for BandedSig's
+    * bit-identity (LshBandedSigSpec); NOT for production use (see
+    * [[bandedSignature]]'s codegen note).
+    */
+  private[graft] def bandedSignatureComposed(v: Column, dim: Int, bands: Int,
+                                             bitsPerBand: Int): Column = {
     val planes = md5Planes(bands * bitsPerBand, dim)
     array((0 until bands).map { b =>
       (0 until bitsPerBand).map { j =>
@@ -295,13 +311,13 @@ object Similarity {
     * (q225, hash-green): recall 1.0 at 0.13–0.27% candidate mass for
     * 32×16 vs recall 1.0 at ~53% for 48×6 — two orders of magnitude.
     *
-    * Codegen note: the plane pool is folded into the signature expression
-    * as literals; at 32×16 (512 planes) the generated method exceeds the
-    * JIT limit and Spark falls back to interpreted evaluation for that
-    * projection — fine for eval queries over thousands of rows; a 100 TB
-    * deployment should hash via a broadcast plane table join (or a custom
-    * expression carrying the pool as one reference object, the PqEncode
-    * pattern) instead.
+    * Codegen note (round-10 fix): signatures come from the custom
+    * [[graft.functions.BandedSig]] expression — the plane pool rides as
+    * one reference object and the generated method is a constant-size
+    * loop, so whole-stage codegen holds at ANY geometry (the old
+    * literal-fold form blew the JIT method limit at 32×16 and silently
+    * de-optimized to interpreted eval; LshBandedSigSpec pins both the
+    * bit-identity and the generated-method size).
     */
   def lshBandedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     dim: Int = 64, bands: Int = 48, bitsPerBand: Int = 6): DataFrame = {

@@ -10,4 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Measurement/eval-class query (recall evals, geometry sweeps) rather
+      * than a pipeline: Bench times it ONCE instead of median-of-REPS so
+      * the driver-contract total reflects pipeline cost, not repeated
+      * benchmarking of the benchmarks themselves (round-9 verdict #6).
+      * Correctness handling (Verify/oracle) is identical either way.
+      */
+    evalOnly: Boolean = false)

@@ -97,7 +97,7 @@ def gen_text(outdir, salt=False):
         for r in docs:
             toks = r["text"].split(" ")
             if salt and k > 0:
-                new = [f"{t}{k}" for t in toks]
+                new = [f"{t}~r{k}" for t in toks]  # "~" is absent from the vocab: no cross-replica collisions (ADVICE r9)
             else:
                 new = toks[k % len(toks):] + toks[:k % len(toks)] if toks else toks
             out.append({**r, "doc_id": r["doc_id"] + k * OFF,

@@ -20,7 +20,9 @@ run() { # run <tag> <sfdir> <only> <timeout_s>
   SPARK_GRAFT_SF_DIR=$sfdir SPARK_GRAFT_ONLY=$only SPARK_GRAFT_REPS=1 \
     SPARK_GRAFT_CPUS=32 timeout "$to" \
     sbt -batch "runMain graft.Bench" 2>"$OUT/$tag.err" | tail -2 > "$OUT/$tag.json"
-  echo "rc=$? tail:"; cat "$OUT/$tag.json"
+  # report sbt/timeout's status, not tail's (ADVICE r9: no pipefail here)
+  local rc=${PIPESTATUS[0]}
+  echo "rc=$rc tail:"; cat "$OUT/$tag.json"
 }
 
 # B1: CC dedup + autoscaled semantic dedup

@@ -113,8 +113,15 @@ def gen_text(outdir, salt=False):
     for k in range(REPLICAS):
         for r in emb:
             v = r["embedding"]
+            v2 = v[k % len(v):] + v[:k % len(v)]
+            # rotation alone wraps at dim replicas (replica 64 of a 64-dim
+            # vector == replica 0 → exact-dup explosion at 100x); sign-flip
+            # each full rotation cycle so every replica stays distinct
+            # (norm preserved exactly, cosine to the original is -1)
+            if (k // len(v)) % 2 == 1:
+                v2 = [-x for x in v2]
             out.append({**r, "vec_id": r["vec_id"] + k * OFF,
-                        "embedding": v[k % len(v):] + v[:k % len(v)]})
+                        "embedding": v2})
     schema = pq.read_schema(f"{SRC}/embeddings.parquet")
     pq.write_table(pa.Table.from_pylist(out, schema=schema),
                    f"{outdir}/embeddings.parquet", compression="snappy")

@@ -1,17 +1,25 @@
 #!/bin/bash
 # 1x/10x/100x wall-clock sweep of the heavy vector/dedup/CC/graph families
-# (round-9 scale-validation; see README "Scale validation"). Runs each family
-# batch at three corpus scales via Bench (SPARK_GRAFT_REPS=1 — at these run
-# lengths real work dominates, and growth RATIOS across scales use the same
-# configuration so subset warmup inflation cancels). Corpora:
+# (round-9/10 scale-validation; see README "Scale validation"). Runs each
+# family batch at three corpus scales via Bench (SPARK_GRAFT_REPS=1 — at
+# these run lengths real work dominates, and growth RATIOS across scales use
+# the same configuration so subset warmup inflation cancels). Corpora:
 #   1x    /root/testdata/sf0.1      (5k docs / 2k vectors / 600k lineitem)
 #   10x   /tmp/sf10salt, /tmp/sf10rel
 #   100x  /tmp/sf100x,   /tmp/sf100rel
 # built by tools/make_stress_corpus.py (textsalt = linear-regime near-dup:
-# replicas share no shingles; rel = FK-consistent key offsets).
+# replicas share no shingles, embeddings rotate+sign-flip so all replicas
+# stay distinct; rel = FK-consistent key offsets).
+#
+# Ordered scale-ascending ACROSS families (all 1x, then all 10x, then 100x)
+# so an interrupted sweep still yields complete lower-scale curves; the
+# by-design candidate-mass blowup (b3 = isotropic-knob banded LSH at 100x)
+# runs dead last. Run from a SEPARATE clone (REPO=...) while developing —
+# each sbt invocation compiles the working tree it runs in.
 set -u
-cd /root/repo
-OUT=${1:-/tmp/scale_sweep_r9}
+REPO=${REPO:-/root/repo}
+cd "$REPO"
+OUT=${1:-/tmp/scale_sweep_r10}
 mkdir -p "$OUT"
 
 run() { # run <tag> <sfdir> <only> <timeout_s>
@@ -25,25 +33,24 @@ run() { # run <tag> <sfdir> <only> <timeout_s>
   echo "rc=$rc tail:"; cat "$OUT/$tag.json"
 }
 
-# B1: CC dedup + autoscaled semantic dedup
-run b1_1x   /root/testdata/sf0.1 q65,q222 1200
-run b1_10x  /tmp/sf10salt        q65,q222 2400
-run b1_100x /tmp/sf100x          q65,q222 5400
-
-# B2: IVF-PQ family (search / persisted index / incremental append)
+# B1: CC dedup + autoscaled semantic dedup     B2: IVF-PQ family
+# B3: banded LSH, isotropic 48x6 knob          B4: PageRank (relational)
+run b1_1x   /root/testdata/sf0.1 q65,q222      1200
 run b2_1x   /root/testdata/sf0.1 q216,q221,q223 1200
+run b3_1x   /root/testdata/sf0.1 q205          1200
+run b4_1x   /root/testdata/sf0.1 q131          1200
+
+run b1_10x  /tmp/sf10salt        q65,q222      2400
 run b2_10x  /tmp/sf10salt        q216,q221,q223 2400
+run b3_10x  /tmp/sf10salt        q205          2400
+run b4_10x  /tmp/sf10rel         q131          2400
+
+run b1_100x /tmp/sf100x          q65,q222      5400
 run b2_100x /tmp/sf100x          q216,q221,q223 5400
-
-# B3: banded LSH at the isotropic knob (48x6) — expected to blow up at 100x
-# by DESIGN (candidate mass ~50% of pairs; q225 measures the production knob)
-run b3_1x   /root/testdata/sf0.1 q205 1200
-run b3_10x  /tmp/sf10salt        q205 2400
-run b3_100x /tmp/sf100x          q205 5400
-
-# B4: PageRank over the trade graph (relational)
-run b4_1x   /root/testdata/sf0.1 q131 1200
-run b4_10x  /tmp/sf10rel         q131 2400
-run b4_100x /tmp/sf100rel        q131 5400
+run b4_100x /tmp/sf100rel        q131          5400
+# expected to blow up at 100x BY DESIGN (candidate mass ~50% of pairs on
+# near-isotropic vectors; q225 measures the production 32x16 knob) — last,
+# so a timeout here cannot cost any other family its measurement
+run b3_100x /tmp/sf100x          q205          5400
 
 echo "=== sweep done ==="

@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 225 codegen-heavy queries in one JVM overflow JDK 17's default ~240 MB
+  // JIT code cache mid-run; the compiler shuts off and every LATER query
+  // silently runs deoptimized. Measured on an idle box (round 10): the full
+  // bench read 190.8 s with the default and 121.6 s with 512 MB, with the
+  // late-alphabet queries inflated 4-10x (q168 9.2 s -> 0.96 s, q187
+  // 4.3 s -> 0.96 s) — the direct cause of round 9's "ambient inflation".
+  "-XX:ReservedCodeCacheSize=512m",
 )

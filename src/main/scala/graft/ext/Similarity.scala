@@ -149,6 +149,73 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("top"), _.getField("nid")).as("cells"), col("v"))
 
+  /** Two-level (coarse-quantized) multi-probe IVF assignment — the missing
+    * autoscale companion: once the cell count tracks the corpus
+    * (cells ∝ n, q222's knob law), the FLAT assignment crossJoin performs
+    * n·cells cosines — QUADRATIC in n. The 100× sweep measures exactly
+    * that term dominating q222's leg. Standard fix (IVF-on-IVF): the
+    * first `nCoarse` vectors act as coarse centroids; each FINE centroid
+    * routes to its argmax coarse cell (cells·nCoarse cosines — tiny),
+    * each vector probes its top-`gProbe` coarse cells (n·nCoarse cosines)
+    * and scores ONLY the fine centroids routed there
+    * (n·gProbe·cells/nCoarse expected). With nCoarse ≈ √cells both terms
+    * are n·O(√cells) — an n^1.5 total growth law under cells ∝ n, vs the
+    * flat path's n².
+    *
+    * Approximation contract: a fine centroid routed to none of a vector's
+    * `gProbe` coarse cells is invisible to that vector; P(miss) falls
+    * exponentially in gProbe (the q214 multi-probe boundary argument, one
+    * level up). A vector whose probed coarse cells hold no fine centroid
+    * drops from the output (deterministic — the q226 oracle mirrors the
+    * same inner-join semantics).
+    *
+    * Scale shape: coarse centroids broadcast (√cells rows); the
+    * fine-route table joins on `gid` WITHOUT a broadcast hint — at bench
+    * scale AQE broadcasts it from runtime stats, and at the corpus sizes
+    * where cells (∝ n) outgrows the broadcast threshold the same plan
+    * degrades gracefully to a shuffle equi-join on gid, which both sides
+    * can partition on. Both top-k reductions are the bounded mergeable
+    * [[graft.functions.TopKNeighborsAgg]] (map-side partials; the score
+    * streams never shuffle). Output shape = [[ivfAssignProbes]]:
+    * (vec_id, cells, v), cells in probe-rank order.
+    */
+  def ivfAssignProbesTwoLevel(emb: DataFrame, nCentroids: Int, nProbe: Int,
+      nCoarse: Int, gProbe: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val coarse = e.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("gid"), col("v").as("gv"))
+    // fine centroid → its argmax coarse cell (the ivfAssign max_by shape:
+    // highest cosine, ties to the lowest gid)
+    val fineRouted = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("gcos", cosine(col("cv"), col("gv")))
+      .groupBy("cid")
+      .agg(max_by(col("gid"), struct(col("gcos"), (-col("gid")).as("neg")))
+             .as("gid"),
+           first(col("cv")).as("cv"))
+    // vector → its top-gProbe coarse cells (cosine DESC, ties to lowest gid)
+    val vecRouted = e.crossJoin(broadcast(coarse))
+      .withColumn("gcos", cosine(col("v"), col("gv")))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKNeighborsAgg
+             .topkNeighbors(col("gcos"), col("gid"), gProbe).as("gtop"),
+           first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"),
+        explode(transform(col("gtop"), _.getField("nid"))).as("gid"))
+    // score only co-routed (vector, fine-centroid) pairs — unique by
+    // construction (each fine centroid lives in exactly one coarse cell),
+    // so no dedupe pass before the bounded top-k
+    vecRouted.join(fineRouted, "gid")
+      .withColumn("fcos", cosine(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKNeighborsAgg
+             .topkNeighbors(col("fcos"), col("cid"), nProbe).as("top"),
+           first(col("v")).as("v"))
+      .select(col("vec_id"),
+        transform(col("top"), _.getField("nid")).as("cells"), col("v"))
+  }
+
   /** IVF with nprobe > 1: each query searches its `nprobe` closest cells
     * (not just the argmax cell), trading candidate volume for recall — the
     * standard IVF recall knob. Corpus vectors stay single-cell; only the

@@ -1395,6 +1395,99 @@ object VectorQueries {
         |SELECT method, n_queries, n_corpus, n_truth, hits, recall_micro,
         |  ncand, cand_ppm
         |FROM (SELECT * FROM astats UNION ALL SELECT * FROM bstats)
-        |ORDER BY method""".stripMargin))
+        |ORDER BY method""".stripMargin)),
+
+    // ---- two-level semantic dedup (the autoscale law's n^1.5 scale path) --
+    // q222 makes cells track the corpus (cells = n/100) so PAIR volume grows
+    // linearly — but its flat assignment still performs n·cells cosines,
+    // i.e. n²/100: the 100× sweep measures that term dominating the leg.
+    // This variant routes assignment through ~√cells coarse cells
+    // (Similarity.ivfAssignProbesTwoLevel): fine centroids argmax-route to
+    // a coarse cell, vectors probe their top-2 coarse cells and score only
+    // the fine centroids routed there — n·O(√cells) assignment, the growth
+    // law that survives cells ∝ n. Same dedup semantics downstream
+    // (probe-set-intersection candidates, cosine ≥ τ, dup = higher id);
+    // the two-level argmax is an approximation of the flat argmax, so the
+    // oracle replicates the SAME two-level routing CTE-for-CTE and the
+    // verdict stays hash-exact. Knobs derived from the corpus on both
+    // engines: cells = max(8, n/100), coarse = max(4, ceil(√cells)).
+    QueryDef("q226_semantic_dedup_two_level",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val assigned = Similarity
+          .ivfAssignProbesTwoLevel(emb, cells, SemDedupProbes, nCoarse, 2)
+          .localCheckpoint(true)
+        val probes = assigned.select(col("vec_id"),
+          explode(col("cells")).as("cell"))
+        val cand = probes.select(col("cell"), col("vec_id").as("i"))
+          .join(probes.select(col("cell"), col("vec_id").as("j")), "cell")
+          .filter(col("i") < col("j"))
+          .select("i", "j").distinct()
+        val vecs = assigned.select(col("vec_id"), col("v"))
+        val dups = cand
+          .join(vecs.select(col("vec_id").as("i"), col("v").as("vi")), "i")
+          .join(vecs.select(col("vec_id").as("j"), col("v").as("vj")), "j")
+          .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
+          .select(col("j").as("dup_id")).distinct()
+        assigned.join(dups, col("vec_id") === col("dup_id"), "left")
+          .select(col("vec_id"), col("cells").getItem(0).as("cell"),
+            when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |k AS (SELECT GREATEST(8, COUNT(*) // 100) AS cells FROM e),
+        |g AS (SELECT GREATEST(4, CAST(ceil(sqrt(cells)) AS BIGINT))
+        |        AS ncoarse FROM k),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id < (SELECT cells FROM k)),
+        |gc AS (SELECT vec_id AS gid, v AS gv FROM e
+        |      WHERE vec_id < (SELECT ncoarse FROM g)),
+        |froute AS (
+        |  SELECT cid, gid, cv FROM (
+        |    SELECT c.cid, gc.gid, c.cv,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_dot_product(c.cv, gc.gv)
+        |            / (sqrt(list_dot_product(c.cv, c.cv))
+        |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
+        |          gc.gid ASC) AS rn
+        |    FROM c CROSS JOIN gc) WHERE rn = 1),
+        |vroute AS (
+        |  SELECT vec_id, gid, v FROM (
+        |    SELECT e.vec_id, gc.gid, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, gc.gv)
+        |            / (sqrt(list_dot_product(e.v, e.v))
+        |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
+        |          gc.gid ASC) AS rn
+        |    FROM e CROSS JOIN gc) WHERE rn <= 2),
+        |asgp AS (
+        |  SELECT vec_id, cell, rn, v FROM (
+        |    SELECT vr.vec_id, fr.cid AS cell, vr.v,
+        |      row_number() OVER (PARTITION BY vr.vec_id
+        |        ORDER BY list_dot_product(vr.v, fr.cv)
+        |            / (sqrt(list_dot_product(vr.v, vr.v))
+        |              * sqrt(list_dot_product(fr.cv, fr.cv))) DESC,
+        |          fr.cid ASC) AS rn
+        |    FROM vroute vr JOIN froute fr ON vr.gid = fr.gid)
+        |  WHERE rn <= $SemDedupProbes),
+        |prim AS (SELECT vec_id, cell, v FROM asgp WHERE rn = 1),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        |  FROM asgp a JOIN asgp b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dups AS (
+        |  SELECT DISTINCT cand.j AS dup_id
+        |  FROM cand JOIN e ei ON cand.i = ei.vec_id
+        |            JOIN e ej ON cand.j = ej.vec_id
+        |  WHERE list_dot_product(ei.v, ej.v)
+        |      / (sqrt(list_dot_product(ei.v, ei.v))
+        |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau)
+        |SELECT prim.vec_id, prim.cell,
+        |  CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |FROM prim LEFT JOIN dups d ON prim.vec_id = d.dup_id
+        |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -203,4 +203,50 @@ class DedupSimilaritySpec extends SparkSpec {
           (p(0)._4 == p(1)._4 && p(0)._3 < p(1)._3)))
     }
   }
+
+  // two-level assignment's approximation contract: with gProbe = nCoarse a
+  // vector probes EVERY coarse cell, so every fine centroid is visible and
+  // the result must EQUAL the flat path bit-for-bit (same cosines, same
+  // (cos DESC, cid ASC) tie-break) — the structural seam is routing, not
+  // scoring
+  test("two-level IVF assignment with exhaustive coarse probes == flat assignment") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val flat = Similarity.ivfAssignProbes(emb, 8, 3)
+      .select(col("vec_id"), col("cells")).as[(Long, Seq[Long])].collect().toMap
+    val two = Similarity.ivfAssignProbesTwoLevel(emb, 8, 3, 4, 4)
+      .select(col("vec_id"), col("cells")).as[(Long, Seq[Long])].collect().toMap
+    assert(two == flat)
+  }
+
+  // ...and on separated clusters the restricted gProbe=1 routing loses
+  // nothing: a member's coarse argmax holds exactly its cluster's fine
+  // centroids, so the two-level top-2 equals the flat top-2
+  test("two-level IVF assignment: separated clusters survive gProbe=1") {
+    val dim = 8
+    def unit(c: Int, eps: Double): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(2 * c) = 1.0f; a(2 * c + 1) = eps.toFloat; a
+    }
+    // ids 0-3: one vector per cluster (they are BOTH the coarse and the
+    // first fine centroids); ids 4-7: second fine centroid per cluster;
+    // ids 8-23: four members per cluster with distinct jitters
+    val rows =
+      (0 until 4).map(c => (c.toLong, unit(c, 0.0))) ++
+      (0 until 4).map(c => ((c + 4).toLong, unit(c, 0.10))) ++
+      (for (c <- 0 until 4; i <- 0 until 4)
+        yield ((8 + 4 * c + i).toLong, unit(c, 0.06 + 0.01 * i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val flat = Similarity.ivfAssignProbes(emb, 8, 2)
+      .select(col("vec_id"), col("cells")).as[(Long, Seq[Long])].collect().toMap
+    val two = Similarity.ivfAssignProbesTwoLevel(emb, 8, 2, 4, 1)
+      .select(col("vec_id"), col("cells")).as[(Long, Seq[Long])].collect().toMap
+    assert(two == flat)
+    // and the assignment is what the geometry says: a member's jitter
+    // (0.06-0.09) sits decisively closer to the 0.10-jittered centroid
+    // c+4 than to the axis centroid c (jitters 0.02-0.05 land within
+    // ~1e-5 cosine of the boundary — measured both orders), so every
+    // member ranks (c+4, c)
+    for (c <- 0 until 4; i <- 0 until 4)
+      assert(two((8 + 4 * c + i).toLong) == Seq((c + 4).toLong, c.toLong))
+  }
 }

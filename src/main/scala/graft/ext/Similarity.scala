@@ -570,6 +570,22 @@ object Similarity {
     index.unionByName(appended)
   }
 
+  /** [[buildIvfPqIndex]] with the two-level (coarse-quantized) assignment —
+    * the composition the autoscale law needs: with cells ∝ n (constant
+    * cell occupancy, the production knob for corpus-sized workloads), the
+    * flat build's assignment is n·cells = n²/100 cosines; routing it
+    * through ~√cells coarse cells ([[ivfAssignProbesTwoLevel]]) makes the
+    * build n·O(√cells) while the search side
+    * ([[ivfPqSearchIndexed]]) is unchanged — it reads whatever `cells`
+    * list the index carries. q227 drives this end-to-end against a DuckDB
+    * oracle replicating the routing CTE-for-CTE.
+    */
+  def buildIvfPqIndexTwoLevel(emb: DataFrame, nCentroids: Int, nprobe: Int,
+      nCoarse: Int, gProbe: Int): DataFrame =
+    ivfAssignProbesTwoLevel(emb, nCentroids, nprobe, nCoarse, gProbe)
+      .join(productQuantize(emb).select(col("vec_id"), col("pq_code")),
+        Seq("vec_id"))
+
   /** The centroid table (cid, cv) [[buildIvfPqIndex]] derives internally —
     * persist it beside the index; [[appendToIvfPqIndex]] consumes it.
     */

@@ -82,9 +82,8 @@ object VectorQueries {
     * define `e` (vec_id, v DOUBLE[]) and `c` (cid, cv DOUBLE[]) — the coarse
     * centroid table the whole search keys on.
     */
-  private def ivfPqSearchCtes(prelude: String): String =
-    s"""$prelude,
-      |asg AS (
+  private val flatAsgCte =
+    """asg AS (
       |  SELECT vec_id, cell FROM (
       |    SELECT e.vec_id, c.cid AS cell,
       |      row_number() OVER (PARTITION BY e.vec_id
@@ -92,8 +91,87 @@ object VectorQueries {
       |            / (sqrt(list_dot_product(e.v, e.v))
       |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
       |          c.cid ASC) AS rn
-      |    FROM e CROSS JOIN c) WHERE rn = 1),
-      |cb AS (
+      |    FROM e CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
+  private val flatQprobeCte =
+    s"""qprobe AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT e.vec_id, c.cid AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.v, c.cv)
+      |            / (sqrt(list_dot_product(e.v, e.v))
+      |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |          c.cid ASC) AS rn
+      |    FROM e CROSS JOIN c WHERE e.vec_id % 50 = 0)
+      |  WHERE rn <= $IvfPqProbes)""".stripMargin
+
+  private def ivfPqSearchCtes(prelude: String): String =
+    ivfPqSearchCtesWith(prelude, flatAsgCte, flatQprobeCte)
+
+  /** [[ivfPqSearchCtes]] with the corpus-assignment (`asg` → (vec_id,
+    * cell)) and query-probe (`qprobe` → (qid, cell)) CTEs injectable —
+    * q227 swaps in the two-level autoscaled routing while the
+    * PQ/ADC/rerank chain stays one definition. Injected strings must be
+    * pre-stripped (no margin pipes of their own).
+    */
+  private def ivfPqSearchCtesWith(prelude: String, asgCte: String,
+      qprobeCte: String): String =
+    s"""$prelude,
+      |$asgCte,
+      |${ivfPqChainCtes(qprobeCte)}""".stripMargin
+
+  /** Two-level routing scaffold shared by q226 (semantic dedup) and q227
+    * (autoscaled IVF-PQ build): corpus-derived knobs (cells = max(8,
+    * n/100), ncoarse = max(4, ceil(√cells))), fine-centroid argmax coarse
+    * routing (`froute`), per-vector top-2 coarse probes (`vroute`), and
+    * the candidate-limited top-`SemDedupProbes` fine assignment (`asgp`)
+    * — CTE-for-CTE the Similarity.ivfAssignProbesTwoLevel dataflow.
+    */
+  private val twoLevelAsgpCtes =
+    s"""e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |k AS (SELECT GREATEST(8, COUNT(*) // 100) AS cells FROM e),
+      |g AS (SELECT GREATEST(4, CAST(ceil(sqrt(cells)) AS BIGINT))
+      |        AS ncoarse FROM k),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e
+      |      WHERE vec_id < (SELECT cells FROM k)),
+      |gc AS (SELECT vec_id AS gid, v AS gv FROM e
+      |      WHERE vec_id < (SELECT ncoarse FROM g)),
+      |froute AS (
+      |  SELECT cid, gid, cv FROM (
+      |    SELECT c.cid, gc.gid, c.cv,
+      |      row_number() OVER (PARTITION BY c.cid
+      |        ORDER BY list_dot_product(c.cv, gc.gv)
+      |            / (sqrt(list_dot_product(c.cv, c.cv))
+      |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
+      |          gc.gid ASC) AS rn
+      |    FROM c CROSS JOIN gc) WHERE rn = 1),
+      |vroute AS (
+      |  SELECT vec_id, gid, v FROM (
+      |    SELECT e.vec_id, gc.gid, e.v,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.v, gc.gv)
+      |            / (sqrt(list_dot_product(e.v, e.v))
+      |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
+      |          gc.gid ASC) AS rn
+      |    FROM e CROSS JOIN gc) WHERE rn <= 2),
+      |asgp AS (
+      |  SELECT vec_id, cell, rn, v FROM (
+      |    SELECT vr.vec_id, fr.cid AS cell, vr.v,
+      |      row_number() OVER (PARTITION BY vr.vec_id
+      |        ORDER BY list_dot_product(vr.v, fr.cv)
+      |            / (sqrt(list_dot_product(vr.v, vr.v))
+      |              * sqrt(list_dot_product(fr.cv, fr.cv))) DESC,
+      |          fr.cid ASC) AS rn
+      |    FROM vroute vr JOIN froute fr ON vr.gid = fr.gid)
+      |  WHERE rn <= $SemDedupProbes)""".stripMargin
+
+  /** The PQ-codebook → candidate → ADC → rerank chain (everything after
+    * the assignment seam); `qprobeCte` is injected between `codes` and
+    * `cand` exactly where the flat template declared it.
+    */
+  private def ivfPqChainCtes(qprobeCte: String): String =
+    s"""cb AS (
       |  SELECT CAST(s.range AS INTEGER) AS sub, CAST(cc.range AS INTEGER) AS cid,
       |         CAST(d.range AS INTEGER) AS dsub,
       |    CASE WHEN (CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || '_' ||
@@ -120,16 +198,7 @@ object VectorQueries {
       |  SELECT vec_id, CAST(SUM(CAST(cid AS BIGINT) << (4 * sub)) AS BIGINT)
       |    AS pq_code
       |  FROM pqbest WHERE rn = 1 GROUP BY vec_id),
-      |qprobe AS (
-      |  SELECT vec_id AS qid, cell FROM (
-      |    SELECT e.vec_id, c.cid AS cell,
-      |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY list_dot_product(e.v, c.cv)
-      |            / (sqrt(list_dot_product(e.v, e.v))
-      |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-      |          c.cid ASC) AS rn
-      |    FROM e CROSS JOIN c WHERE e.vec_id % 50 = 0)
-      |  WHERE rn <= $IvfPqProbes),
+      |$qprobeCte,
       |cand AS (
       |  SELECT q.qid, a.vec_id AS nid, codes.pq_code
       |  FROM qprobe q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid
@@ -1436,43 +1505,7 @@ object VectorQueries {
             when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |k AS (SELECT GREATEST(8, COUNT(*) // 100) AS cells FROM e),
-        |g AS (SELECT GREATEST(4, CAST(ceil(sqrt(cells)) AS BIGINT))
-        |        AS ncoarse FROM k),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e
-        |      WHERE vec_id < (SELECT cells FROM k)),
-        |gc AS (SELECT vec_id AS gid, v AS gv FROM e
-        |      WHERE vec_id < (SELECT ncoarse FROM g)),
-        |froute AS (
-        |  SELECT cid, gid, cv FROM (
-        |    SELECT c.cid, gc.gid, c.cv,
-        |      row_number() OVER (PARTITION BY c.cid
-        |        ORDER BY list_dot_product(c.cv, gc.gv)
-        |            / (sqrt(list_dot_product(c.cv, c.cv))
-        |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
-        |          gc.gid ASC) AS rn
-        |    FROM c CROSS JOIN gc) WHERE rn = 1),
-        |vroute AS (
-        |  SELECT vec_id, gid, v FROM (
-        |    SELECT e.vec_id, gc.gid, e.v,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_dot_product(e.v, gc.gv)
-        |            / (sqrt(list_dot_product(e.v, e.v))
-        |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
-        |          gc.gid ASC) AS rn
-        |    FROM e CROSS JOIN gc) WHERE rn <= 2),
-        |asgp AS (
-        |  SELECT vec_id, cell, rn, v FROM (
-        |    SELECT vr.vec_id, fr.cid AS cell, vr.v,
-        |      row_number() OVER (PARTITION BY vr.vec_id
-        |        ORDER BY list_dot_product(vr.v, fr.cv)
-        |            / (sqrt(list_dot_product(vr.v, vr.v))
-        |              * sqrt(list_dot_product(fr.cv, fr.cv))) DESC,
-        |          fr.cid ASC) AS rn
-        |    FROM vroute vr JOIN froute fr ON vr.gid = fr.gid)
-        |  WHERE rn <= $SemDedupProbes),
+      Some(s"""WITH $twoLevelAsgpCtes,
         |prim AS (SELECT vec_id, cell, v FROM asgp WHERE rn = 1),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
@@ -1488,6 +1521,39 @@ object VectorQueries {
         |SELECT prim.vec_id, prim.cell,
         |  CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
         |FROM prim LEFT JOIN dups d ON prim.vec_id = d.dup_id
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // ---- autoscaled two-level IVF-PQ (the 100 TB ANN build, composed) ----
+    // The b2 sweep family measures the pinned-cells IVF-PQ growing with
+    // corpus × query-batch; the production knob for corpus-tracking
+    // workloads is cells ∝ n — and under that law the flat index BUILD
+    // becomes the n² assignment q226 just retired for dedup. This query
+    // composes the full fix: buildIvfPqIndexTwoLevel (cells = n/100
+    // autoscaled, assignment routed through √cells coarse cells, PQ codes
+    // unchanged) + the UNCHANGED ivfPqSearchIndexed (the search reads
+    // whatever probe list the index carries — its candidate mass is
+    // |queries|·nprobe·(n/cells) = |queries|·nprobe·100, CONSTANT per
+    // query under the autoscale law). Oracle: the shared two-level
+    // routing scaffold (q226's CTEs) feeds the shared PQ/ADC/rerank
+    // chain (q216's CTEs) — asg = argmax of asgp, qprobe = every probed
+    // cell of the query ids; hash-exact end to end.
+    QueryDef("q227_ivf_pq_autoscale_two_level",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val index = Similarity
+          .buildIvfPqIndexTwoLevel(emb, cells, SemDedupProbes, nCoarse, 2)
+          .persist()
+        try Similarity.ivfPqSearchIndexed(index, 5,
+            col("vec_id") % 50 === 0, IvfPqRerank)
+          .orderBy("qid", "rn").localCheckpoint(true)
+        finally index.unpersist(blocking = false)
+      },
+      Some(s"""WITH ${ivfPqSearchCtesWith(twoLevelAsgpCtes,
+          "asg AS (SELECT vec_id, cell FROM asgp WHERE rn = 1)",
+          "qprobe AS (SELECT vec_id AS qid, cell FROM asgp WHERE vec_id % 50 = 0)")}
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin))
   )
 }

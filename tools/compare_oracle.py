@@ -23,6 +23,11 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # in-memory DuckDB cannot spill without a temp_directory — q225's
+    # 10x-corpus oracle (80k clustered vectors through the plane-pool
+    # CTEs) OOMs at the default; with a spill dir it completes
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET max_temp_directory_size='60GB'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):

@@ -1554,6 +1554,100 @@ object VectorQueries {
           "asg AS (SELECT vec_id, cell FROM asgp WHERE rn = 1)",
           "qprobe AS (SELECT vec_id AS qid, cell FROM asgp WHERE vec_id % 50 = 0)")}
         |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin))
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- two-level vs flat dedup agreement (the approximation, measured) --
+    // q226 documents the two-level routing's approximation contract (a fine
+    // centroid outside a vector's probed coarse cells is invisible); this
+    // eval MEASURES what that costs the dedup verdict: both assignments run
+    // at the same autoscaled knobs over the same corpus, both dup sets are
+    // derived identically (probe-set-intersection candidates, cosine ≥ τ,
+    // dup = higher id), and the output is one row of set-agreement stats in
+    // exact integer units (counts + ppm Jaccard via integer div — no fp in
+    // any compared value). MEASURED on the fixtures (both rows hash-green):
+    // sf0.01 — flat 363 dups, two-level 349 (a strict subset), Jaccard
+    // 0.961; sf0.1 — 1853 vs 1836 with 1825 common, Jaccard 0.979. The
+    // routing approximation costs ~2–4% of the dup set on this
+    // NEAR-ISOTROPIC corpus (the hardest case for coarse routing: cells
+    // barely cluster, so boundary misses are maximal) in exchange for
+    // removing the n² assignment term; gProbe is the recall knob when
+    // that trade needs to move (the q214 argument, one level up).
+    QueryDef("q228_two_level_dedup_agreement",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        def dupsOf(assigned: DataFrame): DataFrame = {
+          val probes = assigned.select(col("vec_id"),
+            explode(col("cells")).as("cell"))
+          val cand = probes.select(col("cell"), col("vec_id").as("i"))
+            .join(probes.select(col("cell"), col("vec_id").as("j")), "cell")
+            .filter(col("i") < col("j"))
+            .select("i", "j").distinct()
+          val vecs = assigned.select(col("vec_id"), col("v"))
+          cand
+            .join(vecs.select(col("vec_id").as("i"), col("v").as("vi")), "i")
+            .join(vecs.select(col("vec_id").as("j"), col("v").as("vj")), "j")
+            .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
+            .select(col("j").as("dup_id")).distinct()
+        }
+        val flatAsg = Similarity
+          .ivfAssignProbes(emb, cells, SemDedupProbes).localCheckpoint(true)
+        val twoAsg = Similarity
+          .ivfAssignProbesTwoLevel(emb, cells, SemDedupProbes, nCoarse, 2)
+          .localCheckpoint(true)
+        val dupF = dupsOf(flatAsg).localCheckpoint(true)
+        val dupT = dupsOf(twoAsg).localCheckpoint(true)
+        dupF.agg(count(lit(1)).as("n_flat"))
+          .crossJoin(dupT.agg(count(lit(1)).as("n_two_level")))
+          .crossJoin(dupF.join(dupT.select(col("dup_id").as("d2")),
+              col("dup_id") === col("d2"), "left_semi")
+            .agg(count(lit(1)).as("n_common")))
+          .select(col("n_flat"), col("n_two_level"), col("n_common"),
+            expr("(n_common * CAST(1000000 AS BIGINT)) div " +
+              "(n_flat + n_two_level - n_common)").as("jaccard_micro"))
+      },
+      Some(s"""WITH $twoLevelAsgpCtes,
+        |asgf AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv)
+        |            / (sqrt(list_dot_product(e.v, e.v))
+        |              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |          c.cid ASC) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn <= $SemDedupProbes),
+        |candf AS (
+        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        |  FROM asgf a JOIN asgf b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dupf AS (
+        |  SELECT DISTINCT candf.j AS dup_id
+        |  FROM candf JOIN e ei ON candf.i = ei.vec_id
+        |             JOIN e ej ON candf.j = ej.vec_id
+        |  WHERE list_dot_product(ei.v, ej.v)
+        |      / (sqrt(list_dot_product(ei.v, ei.v))
+        |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau),
+        |candt AS (
+        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        |  FROM asgp a JOIN asgp b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dupt AS (
+        |  SELECT DISTINCT candt.j AS dup_id
+        |  FROM candt JOIN e ei ON candt.i = ei.vec_id
+        |             JOIN e ej ON candt.j = ej.vec_id
+        |  WHERE list_dot_product(ei.v, ej.v)
+        |      / (sqrt(list_dot_product(ei.v, ei.v))
+        |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau),
+        |stats AS (
+        |  SELECT (SELECT COUNT(*) FROM dupf) AS n_flat,
+        |         (SELECT COUNT(*) FROM dupt) AS n_two_level,
+        |         (SELECT COUNT(*) FROM dupf JOIN dupt USING (dup_id))
+        |           AS n_common)
+        |SELECT n_flat, n_two_level, n_common,
+        |  (n_common * CAST(1000000 AS BIGINT))
+        |    // (n_flat + n_two_level - n_common) AS jaccard_micro
+        |FROM stats""".stripMargin))
   )
 }

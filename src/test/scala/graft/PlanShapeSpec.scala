@@ -424,6 +424,26 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("two-level IVF assignment: coarse passes broadcast, fine candidates equi-join") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ext.Similarity.ivfAssignProbesTwoLevel(emb, 8, 3, 4, 2)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbounded cartesian anywhere in the two-level path:\n$plan")
+    // exactly two nested-loop joins are legitimate: the n×√cells and
+    // cells×√cells coarse-routing cross joins (both against the broadcast
+    // coarse table); a third would mean the FINE candidate join degenerated
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 2,
+      s"only the two coarse-routing cross joins may nest-loop (got $bnlj):\n$plan")
+    // the vector→fine-centroid candidate join keys on gid — a hash
+    // equi-join (broadcast at this size; shuffle-hash once cells ∝ n
+    // outgrows the threshold — either way never a nested loop)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("ShuffledHashJoin"),
+      s"fine candidates must join on gid as an equi-join:\n$plan")
+  }
+
   test("q213 chunk-mix pipeline: chunk dedup pinned, schedule broadcast back") {
     val df = graft.queries.TextQueries.defs
       .find(_.name == "q213_chunk_mix_pipeline").get.fn(spark, dir)

@@ -127,7 +127,12 @@ object VectorQueries {
     * the candidate-limited top-`SemDedupProbes` fine assignment (`asgp`)
     * — CTE-for-CTE the Similarity.ivfAssignProbesTwoLevel dataflow.
     */
-  private val twoLevelAsgpCtes =
+  /** The gProbe-independent prefix (knobs, centroid tables, fine-centroid
+    * argmax coarse routing) plus a RANKED per-vector coarse-probe table
+    * `vrouteAll` kept to rank 3 — consumers slice `vr.rn <= g` to model any
+    * gProbe ≤ 3 from the one superset (q228 measures g = 2 and 3).
+    */
+  private val twoLevelRoutePrefixCtes =
     s"""e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |k AS (SELECT GREATEST(8, COUNT(*) // 100) AS cells FROM e),
@@ -146,16 +151,21 @@ object VectorQueries {
       |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
       |          gc.gid ASC) AS rn
       |    FROM c CROSS JOIN gc) WHERE rn = 1),
-      |vroute AS (
-      |  SELECT vec_id, gid, v FROM (
+      |vrouteAll AS (
+      |  SELECT vec_id, gid, v, rn FROM (
       |    SELECT e.vec_id, gc.gid, e.v,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_dot_product(e.v, gc.gv)
       |            / (sqrt(list_dot_product(e.v, e.v))
       |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
       |          gc.gid ASC) AS rn
-      |    FROM e CROSS JOIN gc) WHERE rn <= 2),
-      |asgp AS (
+      |    FROM e CROSS JOIN gc) WHERE rn <= 3)""".stripMargin
+
+  /** The candidate-limited fine assignment at a given gProbe, over the
+    * shared prefix: `name` AS the ranked (vec_id, cell, rn, v) table.
+    */
+  private def twoLevelAsgpCte(name: String, gProbe: Int): String =
+    s"""$name AS (
       |  SELECT vec_id, cell, rn, v FROM (
       |    SELECT vr.vec_id, fr.cid AS cell, vr.v,
       |      row_number() OVER (PARTITION BY vr.vec_id
@@ -163,8 +173,13 @@ object VectorQueries {
       |            / (sqrt(list_dot_product(vr.v, vr.v))
       |              * sqrt(list_dot_product(fr.cv, fr.cv))) DESC,
       |          fr.cid ASC) AS rn
-      |    FROM vroute vr JOIN froute fr ON vr.gid = fr.gid)
+      |    FROM (SELECT * FROM vrouteAll WHERE rn <= $gProbe) vr
+      |    JOIN froute fr ON vr.gid = fr.gid)
       |  WHERE rn <= $SemDedupProbes)""".stripMargin
+
+  private val twoLevelAsgpCtes =
+    s"""$twoLevelRoutePrefixCtes,
+      |${twoLevelAsgpCte("asgp", 2)}""".stripMargin
 
   /** The PQ-codebook → candidate → ADC → rerank chain (everything after
     * the assignment seam); `qprobeCte` is injected between `codes` and
@@ -1562,16 +1577,17 @@ object VectorQueries {
     // eval MEASURES what that costs the dedup verdict: both assignments run
     // at the same autoscaled knobs over the same corpus, both dup sets are
     // derived identically (probe-set-intersection candidates, cosine ≥ τ,
-    // dup = higher id), and the output is one row of set-agreement stats in
-    // exact integer units (counts + ppm Jaccard via integer div — no fp in
-    // any compared value). MEASURED on the fixtures (both rows hash-green):
-    // sf0.01 — flat 363 dups, two-level 349 (a strict subset), Jaccard
-    // 0.961; sf0.1 — 1853 vs 1836 with 1825 common, Jaccard 0.979. The
-    // routing approximation costs ~2–4% of the dup set on this
+    // dup = higher id), and the output is one row PER gProbe knob of
+    // set-agreement stats in exact integer units (counts + ppm Jaccard via
+    // integer div — no fp in any compared value). MEASURED on the fixtures
+    // (all rows hash-green): sf0.01 — flat 363 dups; gProbe=2 captures 349
+    // (a strict subset, Jaccard 0.961), gProbe=3 captures 361 (0.994);
+    // sf0.1 — flat 1853; g=2 1825 common (0.979), g=3 1838 (0.986). The
+    // routing approximation costs a few percent of the dup set on this
     // NEAR-ISOTROPIC corpus (the hardest case for coarse routing: cells
-    // barely cluster, so boundary misses are maximal) in exchange for
-    // removing the n² assignment term; gProbe is the recall knob when
-    // that trade needs to move (the q214 argument, one level up).
+    // barely cluster, so boundary misses are maximal) and gProbe is the
+    // measured recall knob (the q214 argument, one level up) — all while
+    // removing the n² assignment term.
     QueryDef("q228_two_level_dedup_agreement",
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
@@ -1592,23 +1608,31 @@ object VectorQueries {
             .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
             .select(col("j").as("dup_id")).distinct()
         }
-        val flatAsg = Similarity
-          .ivfAssignProbes(emb, cells, SemDedupProbes).localCheckpoint(true)
-        val twoAsg = Similarity
-          .ivfAssignProbesTwoLevel(emb, cells, SemDedupProbes, nCoarse, 2)
+        val dupF = dupsOf(Similarity
+            .ivfAssignProbes(emb, cells, SemDedupProbes)
+            .localCheckpoint(true))
           .localCheckpoint(true)
-        val dupF = dupsOf(flatAsg).localCheckpoint(true)
-        val dupT = dupsOf(twoAsg).localCheckpoint(true)
-        dupF.agg(count(lit(1)).as("n_flat"))
-          .crossJoin(dupT.agg(count(lit(1)).as("n_two_level")))
-          .crossJoin(dupF.join(dupT.select(col("dup_id").as("d2")),
-              col("dup_id") === col("d2"), "left_semi")
-            .agg(count(lit(1)).as("n_common")))
-          .select(col("n_flat"), col("n_two_level"), col("n_common"),
-            expr("(n_common * CAST(1000000 AS BIGINT)) div " +
-              "(n_flat + n_two_level - n_common)").as("jaccard_micro"))
+        def knob(gProbe: Int): DataFrame = {
+          val dupT = dupsOf(Similarity
+              .ivfAssignProbesTwoLevel(emb, cells, SemDedupProbes,
+                nCoarse, gProbe)
+              .localCheckpoint(true))
+            .localCheckpoint(true)
+          dupF.agg(count(lit(1)).as("n_flat"))
+            .crossJoin(dupT.agg(count(lit(1)).as("n_two_level")))
+            .crossJoin(dupF.join(dupT.select(col("dup_id").as("d2")),
+                col("dup_id") === col("d2"), "left_semi")
+              .agg(count(lit(1)).as("n_common")))
+            .select(lit(s"two_level_g$gProbe").as("method"),
+              col("n_flat"), col("n_two_level"), col("n_common"),
+              expr("(n_common * CAST(1000000 AS BIGINT)) div " +
+                "(n_flat + n_two_level - n_common)").as("jaccard_micro"))
+        }
+        knob(2).unionAll(knob(3)).orderBy("method")
       },
-      Some(s"""WITH $twoLevelAsgpCtes,
+      Some(s"""WITH $twoLevelRoutePrefixCtes,
+        |${twoLevelAsgpCte("asgp2", 2)},
+        |${twoLevelAsgpCte("asgp3", 3)},
         |asgf AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT e.vec_id, c.cid AS cell,
@@ -1629,25 +1653,43 @@ object VectorQueries {
         |  WHERE list_dot_product(ei.v, ej.v)
         |      / (sqrt(list_dot_product(ei.v, ei.v))
         |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau),
-        |candt AS (
+        |cand2 AS (
         |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-        |  FROM asgp a JOIN asgp b
+        |  FROM asgp2 a JOIN asgp2 b
         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
-        |dupt AS (
-        |  SELECT DISTINCT candt.j AS dup_id
-        |  FROM candt JOIN e ei ON candt.i = ei.vec_id
-        |             JOIN e ej ON candt.j = ej.vec_id
+        |dup2 AS (
+        |  SELECT DISTINCT cand2.j AS dup_id
+        |  FROM cand2 JOIN e ei ON cand2.i = ei.vec_id
+        |             JOIN e ej ON cand2.j = ej.vec_id
+        |  WHERE list_dot_product(ei.v, ej.v)
+        |      / (sqrt(list_dot_product(ei.v, ei.v))
+        |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau),
+        |cand3 AS (
+        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        |  FROM asgp3 a JOIN asgp3 b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dup3 AS (
+        |  SELECT DISTINCT cand3.j AS dup_id
+        |  FROM cand3 JOIN e ei ON cand3.i = ei.vec_id
+        |             JOIN e ej ON cand3.j = ej.vec_id
         |  WHERE list_dot_product(ei.v, ej.v)
         |      / (sqrt(list_dot_product(ei.v, ei.v))
         |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau),
         |stats AS (
-        |  SELECT (SELECT COUNT(*) FROM dupf) AS n_flat,
-        |         (SELECT COUNT(*) FROM dupt) AS n_two_level,
-        |         (SELECT COUNT(*) FROM dupf JOIN dupt USING (dup_id))
+        |  SELECT 'two_level_g2' AS method,
+        |         (SELECT COUNT(*) FROM dupf) AS n_flat,
+        |         (SELECT COUNT(*) FROM dup2) AS n_two_level,
+        |         (SELECT COUNT(*) FROM dupf JOIN dup2 USING (dup_id))
+        |           AS n_common
+        |  UNION ALL
+        |  SELECT 'two_level_g3' AS method,
+        |         (SELECT COUNT(*) FROM dupf) AS n_flat,
+        |         (SELECT COUNT(*) FROM dup3) AS n_two_level,
+        |         (SELECT COUNT(*) FROM dupf JOIN dup3 USING (dup_id))
         |           AS n_common)
-        |SELECT n_flat, n_two_level, n_common,
+        |SELECT method, n_flat, n_two_level, n_common,
         |  (n_common * CAST(1000000 AS BIGINT))
         |    // (n_flat + n_two_level - n_common) AS jaccard_micro
-        |FROM stats""".stripMargin))
+        |FROM stats ORDER BY method""".stripMargin))
   )
 }

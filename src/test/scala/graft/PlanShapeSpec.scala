@@ -424,6 +424,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("brute-force top-k: corpus streams map-side; only the bounded agg exchanges") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ext.Similarity.bruteForceTopK(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0),
+      emb, 3)
+    val plan = finalPlanString(df)
+    // the query side broadcasts into a nested-loop join (the intended
+    // cross-scoring); the corpus side reaches it straight from the scan
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast into the scoring join:\n$plan")
+    // exactly one hash exchange — the bounded TopKNeighborsAgg's
+    // partial→final boundary, carrying |queries|·k struct rows; a second
+    // would mean the corpus or the scored stream shuffled
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"only the bounded top-k agg may exchange (got $hashExchanges):\n$plan")
+  }
+
   test("two-level IVF assignment: coarse passes broadcast, fine candidates equi-join") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = graft.ext.Similarity.ivfAssignProbesTwoLevel(emb, 8, 3, 4, 2)

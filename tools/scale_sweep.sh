@@ -45,17 +45,20 @@ run b2_1x   /root/testdata/sf0.1 q216,q221,q223,q227 1200
 run b3_1x   /root/testdata/sf0.1 q205          1200
 run b4_1x   /root/testdata/sf0.1 q131          1200
 run b5_1x   /root/testdata/sf0.1 q21,q41,q85,q118 1200
+run b6_1x   /root/testdata/sf0.1 q01,q03,q06,q09 1200
 
 run b1_10x  /tmp/sf10salt        q65,q222,q226 2400
 run b2_10x  /tmp/sf10salt        q216,q221,q223,q227 2400
 run b3_10x  /tmp/sf10salt        q205          2400
 run b4_10x  /tmp/sf10rel         q131          2400
 run b5_10x  /tmp/sf10rel         q21,q41,q85,q118 2400
+run b6_10x  /tmp/sf10rel         q01,q03,q06,q09 2400
 
 run b1_100x /tmp/sf100x          q65,q222,q226 5400 48g
 run b2_100x /tmp/sf100x          q216,q221,q223,q227 5400 48g
 run b4_100x /tmp/sf100rel        q131          5400 48g
 run b5_100x /tmp/sf100rel        q21,q41,q85,q118 5400 48g
+run b6_100x /tmp/sf100rel        q01,q03,q06,q09 5400 48g
 # the 48x6 isotropic-geometry knob pays ~half of all pairs as candidate mass
 # (q225 quantifies; the production 32x16 knob is 2 orders cheaper) — run it
 # last so a blowup cannot cost any other family its measurement

@@ -68,11 +68,17 @@ object CoreQueries {
         |  AND l_quantity >= 45
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate""".stripMargin)),
 
-    // ---- equi-join chain, small dim broadcast ----
+    // ---- equi-join chain ----
+    // customer carries NO broadcast hint: it is a half-fact that scales
+    // with the corpus (15M rows on the 100x rel corpus), and a hard hint
+    // forces a driver-built hash table of it at any size. AQE broadcasts
+    // it from runtime stats while it is small and shuffle-joins once it
+    // is not — measured at 100x: the forced broadcast cost q06 37.3 s,
+    // hint-free re-measures at a fraction (see README growth table).
     QueryDef("q03_join_revenue_by_segment",
       (s, dir) => Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
              count(lit(1)).as("n_items"))
@@ -123,7 +129,10 @@ object CoreQueries {
     QueryDef("q06_star_join_region_revenue",
       (s, dir) => Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        // nation/region are TRUE constant-size dimensions — hint them;
+        // customer scales with the corpus — leave it to AQE (same
+        // rationale as q03 above)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA"

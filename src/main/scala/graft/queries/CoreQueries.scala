@@ -71,10 +71,14 @@ object CoreQueries {
     // ---- equi-join chain ----
     // customer carries NO broadcast hint: it is a half-fact that scales
     // with the corpus (15M rows on the 100x rel corpus), and a hard hint
-    // forces a driver-built hash table of it at any size. AQE broadcasts
-    // it from runtime stats while it is small and shuffle-joins once it
-    // is not — measured at 100x: the forced broadcast cost q06 37.3 s,
-    // hint-free re-measures at a fraction (see README growth table).
+    // forces a hash table of it at ANY size — on a cluster that is a
+    // 15M-row build shipped to every executor, and at the next scale-up
+    // a driver OOM. AQE broadcasts it from runtime stats while small and
+    // shuffle-joins once it is not. Measured at 100x on local[32]: the
+    // hint read 37.3 s on q06 vs 26.4 hint-free; on q03 the hint read
+    // 11.2 vs 26.7 hint-free — the hinted q03 win is a single-JVM
+    // artifact (a local "broadcast" pays no network fan-out), which is
+    // exactly why the choice belongs to AQE stats, not a hardcoded hint.
     QueryDef("q03_join_revenue_by_segment",
       (s, dir) => Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))

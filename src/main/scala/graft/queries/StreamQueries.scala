@@ -113,7 +113,12 @@ object StreamQueries {
     // The streaming side joins a STATIC dimension (customer → market
     // segment) broadcast to every task: no stream-side state, no watermark
     // needed — the standard "enrich readings with asset metadata" shape.
-    // The dim loads on the stream's own (isolated) session.
+    // The dim loads on the stream's own (isolated) session. The broadcast
+    // hint is the right call HERE because a streaming enrichment dim is a
+    // curated 2-column projection re-read per micro-batch — but it carries
+    // the q03/q06 caveat: if the static side grows with the corpus, drop
+    // the hint and let the per-batch join shuffle (stream-static equi-joins
+    // support both strategies).
     QueryDef("q93_stream_static_join",
       (s, dir) => {
         val st = graft.streaming.Streams.eventsStream(s, dir)

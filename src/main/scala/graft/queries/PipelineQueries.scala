@@ -937,7 +937,83 @@ object PipelineQueries {
         |  COUNT(DISTINCT grp) AS n_groups,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM sp GROUP BY split
-        |ORDER BY split""".stripMargin))
+        |ORDER BY split""".stripMargin)),
+
+    // ---- importance-based data selection toward a target (DSIR-shaped) --
+    // The selection family's missing member next to split/stratified/
+    // weighted/negative sampling: score each candidate document by its
+    // log-likelihood ratio under the target vs the rest (add-one-smoothed
+    // unigram features — the hashed-n-gram importance-resampling recipe,
+    // with the feature table kept exact instead of hashed at this
+    // vocabulary), then keep the top 10% by (score DESC, doc_id ASC).
+    // Target = source 'src0'; pool = everything else. Exactness
+    // discipline: per-token weights are pure IEEE divisions (identical in
+    // both engines), per-doc scores accumulate through dsum (decimal-6 —
+    // the q172 ln() treatment), ranking compares the UNROUNDED dsum
+    // doubles, and the quota is integer arithmetic ((total+9) div 10).
+    // Scale shape: the token→weight join is a shuffle equi-join on the
+    // token (weights are V rows — broadcastable by AQE); the global
+    // top-quota window ranks |pool| (doc_id, score) rows — the selection
+    // STATE, not the corpus; at 100 TB swap the window for a score
+    // threshold from an approx quantile and the rest is unchanged.
+    QueryDef("q229_dsir_selection",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+        val isT = col("source") === "src0"
+        val cnt = toks.groupBy("tok").agg(
+          sum(when(isT, 1L).otherwise(0L)).as("a"),
+          sum(when(isT, 0L).otherwise(1L)).as("b"))
+        val tot = cnt.agg(sum("a").as("na"), sum("b").as("nb"),
+          count(lit(1)).as("v"))
+        val w = cnt.crossJoin(broadcast(tot))
+          .select(col("tok"),
+            (((col("a") + 1).cast("double")
+                / (col("na") + col("v")).cast("double"))
+              / ((col("b") + 1).cast("double")
+                / (col("nb") + col("v")).cast("double"))).as("w"))
+        val scored = toks.filter(!isT)
+          .join(w, "tok")
+          .groupBy("doc_id", "source")
+          .agg(dsum(log(col("w"))).as("score_raw"))
+        val win = Window.orderBy(col("score_raw").desc, col("doc_id").asc)
+        scored
+          .withColumn("rn", row_number().over(win))
+          .withColumn("total", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+          .filter(col("rn") <= expr("(total + 9) div 10"))
+          .select(col("doc_id"), col("source"),
+            round(col("score_raw"), 6).as("score"), col("rn"))
+          .orderBy("rn")
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT tok,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS b
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT SUM(a) AS na, SUM(b) AS nb, COUNT(*) AS v FROM cnt),
+        |w AS (
+        |  SELECT tok,
+        |    ((CAST(a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+        |      / ((CAST(b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))) AS w
+        |  FROM cnt CROSS JOIN tot),
+        |scored AS (
+        |  SELECT t.doc_id, t.source, ${sqlDsum("ln(w.w)")} AS score_raw
+        |  FROM tok t JOIN w ON t.tok = w.tok
+        |  WHERE t.source <> 'src0' GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT doc_id, source, score_raw,
+        |    ROW_NUMBER() OVER (ORDER BY score_raw DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER () AS total
+        |  FROM scored)
+        |SELECT doc_id, source, round(score_raw, 6) AS score,
+        |  CAST(rn AS INTEGER) AS rn
+        |FROM rk WHERE rn <= (total + 9) // 10
+        |ORDER BY rn""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

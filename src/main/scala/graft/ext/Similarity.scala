@@ -181,19 +181,50 @@ object Similarity {
     */
   def ivfAssignProbesTwoLevel(emb: DataFrame, nCentroids: Int, nProbe: Int,
       nCoarse: Int, gProbe: Int): DataFrame = {
+    // the drop-on-empty-probe contract makes a zero/negative knob look like
+    // "every vector dropped" downstream — fail loudly instead (ADVICE r10)
+    require(nCentroids >= 1 && nProbe >= 1 && nCoarse >= 1 && gProbe >= 1,
+      s"ivfAssignProbesTwoLevel needs all knobs >= 1 (got nCentroids=" +
+        s"$nCentroids, nProbe=$nProbe, nCoarse=$nCoarse, gProbe=$gProbe)")
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val coarse = e.filter(col("vec_id") < nCoarse)
       .select(col("vec_id").as("gid"), col("v").as("gv"))
-    // fine centroid → its argmax coarse cell (the ivfAssign max_by shape:
-    // highest cosine, ties to the lowest gid)
-    val fineRouted = e.filter(col("vec_id") < nCentroids)
+    val fine = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-      .crossJoin(broadcast(coarse))
+    assignProbesTwoLevelWith(e, coarse, routeFineCentroids(fine, coarse),
+      nProbe, gProbe)
+  }
+
+  /** Fine centroid → its argmax coarse cell (the ivfAssign max_by shape:
+    * highest cosine, ties to the lowest gid): (cid, cv, gid). This routing
+    * table is part of a two-level index's persisted state — derive it ONCE
+    * at build time (cells·nCoarse cosines — tiny), persist it beside the
+    * coarse/fine centroid tables, and every append/refresh batch reuses it
+    * ([[appendToIvfPqIndexTwoLevel]]).
+    */
+  def routeFineCentroids(fine: DataFrame, coarse: DataFrame): DataFrame =
+    fine.crossJoin(broadcast(coarse))
       .withColumn("gcos", cosine(col("cv"), col("gv")))
       .groupBy("cid")
       .agg(max_by(col("gid"), struct(col("gcos"), (-col("gid")).as("neg")))
              .as("gid"),
            first(col("cv")).as("cv"))
+
+  /** Two-level probe assignment against EXPLICIT coarse (gid, gv) and
+    * routed-fine (cid, cv, gid — [[routeFineCentroids]]) tables — the seam
+    * the two-level index LIFECYCLE needs, exactly as [[assignProbesWith]]
+    * is the flat lifecycle's: an append batch must be assigned against the
+    * centroid tables the existing index was built with (never its own), so
+    * append and full rebuild agree bit-for-bit while the batch pays
+    * n·O(√cells) cosines instead of the flat path's n·cells. `e` must be
+    * (vec_id, v) with v already double[]. Output shape = [[ivfAssignProbes]]:
+    * (vec_id, cells, v), cells in probe-rank order.
+    */
+  private[graft] def assignProbesTwoLevelWith(e: DataFrame, coarse: DataFrame,
+      fineRouted: DataFrame, nProbe: Int, gProbe: Int): DataFrame = {
+    require(nProbe >= 1 && gProbe >= 1,
+      s"assignProbesTwoLevelWith needs nProbe >= 1 and gProbe >= 1 " +
+        s"(got nProbe=$nProbe, gProbe=$gProbe)")
     // vector → its top-gProbe coarse cells (cosine DESC, ties to lowest gid)
     val vecRouted = e.crossJoin(broadcast(coarse))
       .withColumn("gcos", cosine(col("v"), col("gv")))
@@ -594,6 +625,40 @@ object Similarity {
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+  /** The coarse centroid table (gid, gv) [[buildIvfPqIndexTwoLevel]] derives
+    * internally — the two-level index's second persisted table (alongside
+    * [[ivfCentroids]] and the [[routeFineCentroids]] routing);
+    * [[appendToIvfPqIndexTwoLevel]] consumes it.
+    */
+  def ivfCoarseCentroids(emb: DataFrame, nCoarse: Int): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("gid"), col("v").as("gv"))
+
+  /** [[appendToIvfPqIndex]] under the two-level assignment — the lifecycle
+    * composition the autoscale law demands: once cells ∝ n, the flat
+    * append's O(|batch|·cells) assignment re-imports the n² term
+    * [[buildIvfPqIndexTwoLevel]] removed from the build (a daily 1% ingest
+    * against a 10⁹-vector / 10⁷-cell index is 10¹⁴ flat cosines; two-level
+    * it is |batch|·O(√cells)). The batch routes against the SAME persisted
+    * coarse table and fine-routing table the index was built with
+    * ([[ivfCoarseCentroids]] / [[routeFineCentroids]] — never its own), so
+    * append-then-search is bit-identical to a two-level rebuild over
+    * old ∪ new, exactly [[appendToIvfPqIndex]]'s q223 proof shape (q230
+    * proves it against q227's oracle). The existing index is touched only
+    * by the lazy schema-preserving union — never rescanned.
+    */
+  def appendToIvfPqIndexTwoLevel(index: DataFrame, coarse: DataFrame,
+      fineRouted: DataFrame, newEmb: DataFrame, nProbe: Int,
+      gProbe: Int): DataFrame = {
+    val e = newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val appended = assignProbesTwoLevelWith(e, coarse, fineRouted,
+        nProbe, gProbe)
+      .join(productQuantize(newEmb).select(col("vec_id"), col("pq_code")),
+        Seq("vec_id"))
+    index.unionByName(appended)
+  }
+
   /** IVF-PQ search against a prebuilt (ideally persisted) [[buildIvfPqIndex]]
     * table. Lazy — consumes the index four times (corpus cells, query
     * probes, query vectors, rerank re-fetch), so an unpersisted index
@@ -741,6 +806,27 @@ object Similarity {
     assignProbesWith(
         emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
         centroids, nprobe)
+      .join(productQuantize(emb).select(col("vec_id"), col("pq_code")),
+        Seq("vec_id"))
+
+  /** [[buildIvfPqIndexTwoLevel]] with EXPLICIT fine (cid, cv) and coarse
+    * (gid, gv) centroid tables — the two-level REFRESH path: when drift
+    * degrades cell balance, re-derive the fine centroids
+    * ([[kmeansCentroids]]) and run the full re-index through the two-level
+    * routing instead of the flat [[buildIvfPqIndexWith]], whose
+    * O(n·cells) assignment is the n² trap under cells ∝ n — a refresh
+    * rescans the whole corpus BY DEFINITION, which is exactly when the
+    * assignment term matters most. Derives the [[routeFineCentroids]]
+    * routing from the given tables (cells·nCoarse cosines — tiny); persist
+    * that routing beside the index so subsequent appends
+    * ([[appendToIvfPqIndexTwoLevel]]) reuse it. q231 proves
+    * refresh-then-search hash-exact with k-means-refreshed fine centroids.
+    */
+  def buildIvfPqIndexTwoLevelWith(emb: DataFrame, fine: DataFrame,
+      coarse: DataFrame, nProbe: Int, gProbe: Int): DataFrame =
+    assignProbesTwoLevelWith(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        coarse, routeFineCentroids(fine, coarse), nProbe, gProbe)
       .join(productQuantize(emb).select(col("vec_id"), col("pq_code")),
         Seq("vec_id"))
 }

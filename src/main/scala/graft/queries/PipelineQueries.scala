@@ -1013,7 +1013,78 @@ object PipelineQueries {
         |SELECT doc_id, source, round(score_raw, 6) AS score,
         |  CAST(rn AS INTEGER) AS rn
         |FROM rk WHERE rn <= (total + 9) // 10
-        |ORDER BY rn""".stripMargin))
+        |ORDER BY rn""".stripMargin)),
+
+    // ---- incremental CC maintenance (label state + a delta of new pairs) --
+    // The q79 analog for the COMPONENT graph: q79 screens an incoming batch
+    // for pair hits, but a dedup pipeline's durable state is the LABEL
+    // table, and re-running full CC over 100 TB of accumulated pairs per
+    // ingest is the rebuild trap. Incremental step: (1) new pairs = within-
+    // batch + cross corpus↔batch (both inverted-index joins, never
+    // all-pairs); (2) collapse each endpoint through the persisted labels
+    // (absent → itself) — an old component enters the delta graph as ONE
+    // node, its label; (3) run CC on that collapsed delta (tiny: |delta
+    // edges|, not |corpus|); (4) re-label: final = delta label of the old
+    // label where present, else unchanged. Min-label canonicality makes
+    // this EXACTLY the full rebuild: a persisted label is the min id of
+    // its members, so min over {old labels ∪ new ids} in a merged
+    // component IS the global min id — proven by the oracle being the
+    // full-graph reachability closure (q65's), hash-checked. Components
+    // untouched by the delta never move (their labels are absent from the
+    // delta graph) — the work per ingest scales with the delta, not the
+    // corpus.
+    QueryDef("q232_incremental_cc",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 5 === 0
+        val oldDocs = docs.filter(!isNew)
+        val newDocs = docs.filter(isNew)
+        // the persisted label state (in production: a parquet table)
+        val oldLabels = Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(oldDocs, "doc_id", "text", 3, 0.5))
+          .localCheckpoint(true)
+        // delta pairs: within-batch + cross corpus↔batch; materialized once
+        // (both union branches and both collapse joins re-read it)
+        val newPairs = Dedup
+          .ngramJaccardPairs(newDocs, "doc_id", "text", 3, 0.5)
+          .select("i", "j")
+          .unionByName(Dedup
+            .crossCorpusJaccardPairs(oldDocs, newDocs, "doc_id", "text",
+              3, 0.5)
+            .select("i", "j"))
+          .localCheckpoint(true)
+        val collapsed = newPairs
+          .join(oldLabels.select(col("id").as("i"), col("label").as("li")),
+            Seq("i"), "left")
+          .join(oldLabels.select(col("id").as("j"), col("label").as("lj")),
+            Seq("j"), "left")
+          .select(coalesce(col("li"), col("i")).as("i"),
+            coalesce(col("lj"), col("j")).as("j"))
+        val delta = Dedup.connectedComponents(collapsed)
+          .select(col("id").as("dl"), col("label").as("nlabel"))
+        // nodes = labeled corpus ∪ delta endpoints not yet labeled
+        val fresh = newPairs.select(col("i").as("id"))
+          .unionAll(newPairs.select(col("j").as("id"))).distinct()
+          .join(oldLabels, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("label"))
+        oldLabels.unionByName(fresh)
+          .join(delta, col("label") === col("dl"), "left")
+          .select(col("id"),
+            coalesce(col("nlabel"), col("label")).as("label"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            sum((col("id") % 5 === 0).cast("long")).as("n_new_members"),
+            max(col("id")).as("max_id"))
+          .orderBy("label")
+      },
+      Some(s"""WITH RECURSIVE $ccOracleCte
+        |SELECT label, COUNT(*) AS n_members,
+        |  CAST(SUM(CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new_members,
+        |  max(id) AS max_id
+        |FROM comp
+        |GROUP BY label
+        |ORDER BY label""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

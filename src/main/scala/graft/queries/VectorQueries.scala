@@ -132,16 +132,14 @@ object VectorQueries {
     * `vrouteAll` kept to rank 3 — consumers slice `vr.rn <= g` to model any
     * gProbe ≤ 3 from the one superset (q228 measures g = 2 and 3).
     */
-  private val twoLevelRoutePrefixCtes =
-    s"""e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |k AS (SELECT GREATEST(8, COUNT(*) // 100) AS cells FROM e),
-      |g AS (SELECT GREATEST(4, CAST(ceil(sqrt(cells)) AS BIGINT))
-      |        AS ncoarse FROM k),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e
-      |      WHERE vec_id < (SELECT cells FROM k)),
-      |gc AS (SELECT vec_id AS gid, v AS gv FROM e
-      |      WHERE vec_id < (SELECT ncoarse FROM g)),
+  /** Routing CTEs (`froute`, `vrouteAll`) over a caller-supplied prelude
+    * that must define `e` (vec_id, v DOUBLE[]), `c` (cid, cv — the FINE
+    * centroids) and `gc` (gid, gv — the coarse centroids) — q231 swaps in
+    * k-means-refreshed fine centroids while the routing stays one
+    * definition.
+    */
+  private def twoLevelRouteCtes(prelude: String): String =
+    s"""$prelude,
       |froute AS (
       |  SELECT cid, gid, cv FROM (
       |    SELECT c.cid, gc.gid, c.cv,
@@ -161,10 +159,26 @@ object VectorQueries {
       |          gc.gid ASC) AS rn
       |    FROM e CROSS JOIN gc) WHERE rn <= 3)""".stripMargin
 
+  private val twoLevelRoutePrefixCtes = twoLevelRouteCtes(
+    s"""e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |k AS (SELECT GREATEST(8, COUNT(*) // 100) AS cells FROM e),
+      |g AS (SELECT GREATEST(4, CAST(ceil(sqrt(cells)) AS BIGINT))
+      |        AS ncoarse FROM k),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e
+      |      WHERE vec_id < (SELECT cells FROM k)),
+      |gc AS (SELECT vec_id AS gid, v AS gv FROM e
+      |      WHERE vec_id < (SELECT ncoarse FROM g))""".stripMargin)
+
   /** The candidate-limited fine assignment at a given gProbe, over the
     * shared prefix: `name` AS the ranked (vec_id, cell, rn, v) table.
+    * vrouteAll is hard-capped at rank 3, so a larger gProbe would silently
+    * under-probe the oracle routing — fail loudly instead (ADVICE r10).
     */
-  private def twoLevelAsgpCte(name: String, gProbe: Int): String =
+  private def twoLevelAsgpCte(name: String, gProbe: Int): String = {
+    require(gProbe >= 1 && gProbe <= 3,
+      s"twoLevelAsgpCte models gProbe in [1, 3] (vrouteAll's rank cap); " +
+        s"got $gProbe — raise the vrouteAll cap to extend the knob space")
     s"""$name AS (
       |  SELECT vec_id, cell, rn, v FROM (
       |    SELECT vr.vec_id, fr.cid AS cell, vr.v,
@@ -176,6 +190,7 @@ object VectorQueries {
       |    FROM (SELECT * FROM vrouteAll WHERE rn <= $gProbe) vr
       |    JOIN froute fr ON vr.gid = fr.gid)
       |  WHERE rn <= $SemDedupProbes)""".stripMargin
+  }
 
   private val twoLevelAsgpCtes =
     s"""$twoLevelRoutePrefixCtes,
@@ -1691,6 +1706,207 @@ object VectorQueries {
         |SELECT method, n_flat, n_two_level, n_common,
         |  (n_common * CAST(1000000 AS BIGINT))
         |    // (n_flat + n_two_level - n_common) AS jaccard_micro
-        |FROM stats ORDER BY method""".stripMargin))
+        |FROM stats ORDER BY method""".stripMargin)),
+
+    // ---- two-level index LIFECYCLE: persist → append → search ----------
+    // q227 proves the two-level BUILD; this proves the index you can KEEP
+    // under the same growth law. The flat lifecycle (q221 persist, q223
+    // append) still assigns O(batch·cells) per append — under cells ∝ n
+    // that is the n² term q227 removed from the build, re-imported through
+    // the maintenance path (r10 verdict's one substantive gap). Here the
+    // two-level index AND its three state tables (coarse centroids, fine
+    // routing, the index itself) round-trip through parquet, a held-out
+    // ingest batch is appended via assignProbesTwoLevelWith against the
+    // PERSISTED tables (batch·O(√cells) work), and search runs over the
+    // merged index. Because the batch routes against the same coarse/fine
+    // tables the build used, append-then-search is bit-identical to a
+    // two-level rebuild over old ∪ new — so the oracle is q227's SQL
+    // VERBATIM (the q223 proof shape, one level up), and the parquet
+    // round-trip of all three state tables is proven by the same hash.
+    QueryDef("q230_ivf_pq_two_level_lifecycle",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        // held-out ingest: never a centroid id (those seed both levels)
+        val isNew = col("vec_id") >= cells && col("vec_id") % 5 === 0
+        val old = emb.filter(!isNew)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq2_index")
+        try {
+          val coarse = Similarity.ivfCoarseCentroids(old, nCoarse)
+          Similarity.buildIvfPqIndexTwoLevel(old, cells, SemDedupProbes,
+              nCoarse, 2)
+            .write.mode("overwrite").parquet(s"$idxDir/index")
+          coarse.write.mode("overwrite").parquet(s"$idxDir/coarse")
+          Similarity
+            .routeFineCentroids(Similarity.ivfCentroids(old, cells), coarse)
+            .write.mode("overwrite").parquet(s"$idxDir/froute")
+          val index = Similarity.appendToIvfPqIndexTwoLevel(
+              s.read.parquet(s"$idxDir/index"),
+              s.read.parquet(s"$idxDir/coarse"),
+              s.read.parquet(s"$idxDir/froute"),
+              emb.filter(isNew), SemDedupProbes, 2)
+            .persist()
+          try Similarity.ivfPqSearchIndexed(index, 5,
+              col("vec_id") % 50 === 0, IvfPqRerank)
+            .orderBy("qid", "rn").localCheckpoint(true)
+          finally index.unpersist(blocking = false)
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files.walk(idxDir)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH ${ivfPqSearchCtesWith(twoLevelAsgpCtes,
+          "asg AS (SELECT vec_id, cell FROM asgp WHERE rn = 1)",
+          "qprobe AS (SELECT vec_id AS qid, cell FROM asgp WHERE vec_id % 50 = 0)")}
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- two-level centroid REFRESH → re-index → search (drift policy) --
+    // q224's refresh leg under the two-level routing: a refresh re-cells
+    // the WHOLE corpus by definition — exactly when the flat
+    // buildIvfPqIndexWith's O(n·cells) assignment hurts most under
+    // cells ∝ n — so the production refresh must route two-level too.
+    // Fine centroids are k-means-refreshed (kmeansCentroids, 2 Lloyd
+    // rounds — arbitrary non-prefix-id centroid geometry, proving the
+    // assignProbesTwoLevelWith seam is centroid-agnostic, not an artifact
+    // of the first-n stand-in); coarse stays the deterministic first-6
+    // stand-in (ceil(√32) — the autoscale pairing at the pinned k). Knobs
+    // are PINNED (k = 32) because the oracle unrolls Lloyd at compile time
+    // (lloydCtes) — the autoscaled-knob law is q227/q230's proof; this one
+    // pins knobs to isolate the refreshed-geometry seam. Oracle: the
+    // 2-round Lloyd chain feeds the two-level routing CTEs feeds the
+    // shared PQ/ADC/rerank chain — refresh-then-search hash-exact.
+    QueryDef("q231_ivf_pq_two_level_refresh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val refreshed = Similarity.kmeansCentroids(emb, IvfPqCells,
+          iterations = 2)
+        val coarse = Similarity.ivfCoarseCentroids(emb, 6)
+        val index = Similarity.buildIvfPqIndexTwoLevelWith(emb, refreshed,
+            coarse, SemDedupProbes, 2)
+          .persist()
+        try Similarity.ivfPqSearchIndexed(index, 5,
+            col("vec_id") % 50 === 0, IvfPqRerank)
+          .orderBy("qid", "rn").localCheckpoint(true)
+        finally index.unpersist(blocking = false)
+      },
+      Some(s"""WITH ${ivfPqSearchCtesWith(
+          twoLevelRouteCtes(
+            s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |${lloydCtes(IvfPqCells, rounds = 2, finalAssign = false)},
+              |c AS (SELECT cid, cv FROM c2),
+              |gc AS (SELECT vec_id AS gid, v AS gv FROM e WHERE vec_id < 6)""".stripMargin)
+            + ",\n" + twoLevelAsgpCte("asgp", 2),
+          "asg AS (SELECT vec_id, cell FROM asgp WHERE rn = 1)",
+          "qprobe AS (SELECT vec_id AS qid, cell FROM asgp WHERE vec_id % 50 = 0)")}
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- streaming semantic-dedup ingest screen (the operational gate) --
+    // The composite a production pipeline actually runs: new vectors
+    // arrive as micro-batches and each batch is screened against the
+    // PERSISTED two-level index inside foreachBatch — two-level probe
+    // assignment against the index's own coarse/fine/routing tables
+    // (batch·O(√cells) work), candidates = corpus vectors sharing a probed
+    // cell (q210's intersection rule), dup iff any candidate cosine ≥ τ.
+    // The screen checks ONLY against the persisted index — never against
+    // other in-flight batches — so the verdict set is independent of batch
+    // boundaries and delivery order (the property that makes an ingest
+    // gate idempotent under redelivery AND makes it SQL-oracle-able; dup
+    // survivors feed the separate append step, q230, on the operator's
+    // cadence). Sink discipline: per-batch idempotent parquet overwrite
+    // keyed by epoch (Streams.idempotentParquetSink's contract). Output is
+    // integer-only per ingest vector: distinct matching corpus neighbors
+    // and the dup verdict.
+    QueryDef("q233_stream_semantic_ingest_screen",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val isNew = col("vec_id") >= cells && col("vec_id") % 5 === 0
+        val old = emb.filter(!isNew)
+        val coarse = Similarity.ivfCoarseCentroids(old, nCoarse)
+          .localCheckpoint(true)
+        val froute = Similarity
+          .routeFineCentroids(Similarity.ivfCentroids(old, cells), coarse)
+          .localCheckpoint(true)
+        val index = Similarity.buildIvfPqIndexTwoLevel(old, cells,
+            SemDedupProbes, nCoarse, 2)
+          .persist()
+        val outRoot = java.nio.file.Files
+          .createTempDirectory("graft_ingest_screen")
+        try {
+          val corpProbes = index.select(col("vec_id").as("nid"),
+            explode(col("cells")).as("cell"))
+          val corpVecs = index.select(col("vec_id").as("nid"),
+            col("v").as("nv"))
+          val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+          val ingest = s.readStream.schema(schema)
+            .parquet(s"$dir/embeddings.parquet*")
+            .filter(isNew)
+          val screen: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, epoch) => {
+              val asg = Similarity.assignProbesTwoLevelWith(
+                batch.select(col("vec_id"),
+                  Similarity.asDouble(col("embedding")).as("v")),
+                coarse, froute, SemDedupProbes, 2)
+              val ingProbes = asg.select(col("vec_id"),
+                explode(col("cells")).as("cell"))
+              val cand = ingProbes.join(corpProbes, "cell")
+                .select("vec_id", "nid").distinct()
+              val dups = cand
+                .join(asg.select(col("vec_id"), col("v")), "vec_id")
+                .join(corpVecs, "nid")
+                .filter(Similarity.cosine(col("v"), col("nv")) >= SemDedupTau)
+                .groupBy("vec_id")
+                .agg(count(lit(1)).as("n_dup_matches"))
+              asg.select(col("vec_id"))
+                .join(dups, Seq("vec_id"), "left")
+                .select(col("vec_id"),
+                  coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+                  when(col("n_dup_matches").isNotNull, 1).otherwise(0)
+                    .as("is_dup"))
+                .write.mode("overwrite").parquet(s"$outRoot/batch=$epoch")
+            }
+          val q = ingest.writeStream.foreachBatch(screen).start()
+          try q.processAllAvailable() finally q.stop()
+          s.read.parquet(outRoot.toString).drop("batch")
+            .orderBy("vec_id").localCheckpoint(true)
+        } finally {
+          index.unpersist(blocking = false)
+          scala.util.Using.resource(java.nio.file.Files.walk(outRoot)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH $twoLevelAsgpCtes,
+        |corp AS (
+        |  SELECT vec_id, cell FROM asgp
+        |  WHERE NOT (vec_id >= (SELECT cells FROM k) AND vec_id % 5 = 0)),
+        |ing AS (
+        |  SELECT vec_id, cell FROM asgp
+        |  WHERE vec_id >= (SELECT cells FROM k) AND vec_id % 5 = 0),
+        |cand AS (
+        |  SELECT DISTINCT ing.vec_id AS j, corp.vec_id AS i
+        |  FROM ing JOIN corp ON ing.cell = corp.cell),
+        |dups AS (
+        |  SELECT cand.j, COUNT(*) AS n_dup_matches
+        |  FROM cand JOIN e ei ON cand.i = ei.vec_id
+        |            JOIN e ej ON cand.j = ej.vec_id
+        |  WHERE list_dot_product(ei.v, ej.v)
+        |      / (sqrt(list_dot_product(ei.v, ei.v))
+        |        * sqrt(list_dot_product(ej.v, ej.v))) >= $SemDedupTau
+        |  GROUP BY cand.j),
+        |base AS (SELECT DISTINCT vec_id FROM ing)
+        |SELECT base.vec_id,
+        |  COALESCE(d.n_dup_matches, 0) AS n_dup_matches,
+        |  CASE WHEN d.n_dup_matches IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |FROM base LEFT JOIN dups d ON base.vec_id = d.j
+        |ORDER BY vec_id""".stripMargin))
   )
 }

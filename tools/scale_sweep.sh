@@ -34,6 +34,11 @@ run() { # run <tag> <sfdir> <only> <timeout_s> [heap]
     sbt -batch "runMain graft.Bench" 2>"$OUT/$tag.err" | tail -2 > "$OUT/$tag.json"
   # report sbt/timeout's status, not tail's (ADVICE r9: no pipefail here)
   local rc=${PIPESTATUS[0]}
+  # a timed-out leg records its budget so sweep_table renders DNF(>Ns)
+  # instead of a bare DNF (ADVICE r10)
+  if [ "$rc" = 124 ]; then
+    echo "{\"dnf_timeout_s\": $to}" > "$OUT/$tag.json"
+  fi
   echo "rc=$rc tail:"; cat "$OUT/$tag.json"
 }
 

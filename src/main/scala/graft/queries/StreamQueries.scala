@@ -342,6 +342,67 @@ object StreamQueries {
         |${sqlDsum("value")} AS sum_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- stateful EWMA stream → DISTRIBUTED parquet sink (q118 unbound) --
+    // q118 materializes every smoothed row through the driver-side memory
+    // sink — the oracle harness's necessity, and (measured, SCALING.md) the
+    // dominant term of its 100× leg: ~135 s of a 137.9 s total was rows
+    // crossing the driver, not EWMA state work. This is the same stateful
+    // stream routed the way a cluster deployment actually sinks it: each
+    // micro-batch overwrites its own batch=<epoch> parquet directory (the
+    // q187 idempotent exactly-once discipline — replays converge instead
+    // of appending), rows never leave the executors, and the verdict is an
+    // aggregate over the read-back. Oracle: q118's recursive EWMA chain,
+    // aggregated per user in exact int64 micro-units — so the distributed
+    // sink path is hash-checked against the same truth as the memory-sink
+    // path, and the b5 sweep can measure the two legs side by side.
+    QueryDef("q234_stream_ewma_file_sink",
+      (s, dir) => {
+        val outRoot = java.nio.file.Files
+          .createTempDirectory("graft_ewma_sink")
+        try {
+          val smoothed = Streams
+            .ewmaStream(Streams.eventsStream(s, dir), alpha = 0.25).toDF()
+          val write: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (b, epoch) => {
+              b.write.mode("overwrite").parquet(s"$outRoot/batch=$epoch"); ()
+            }
+          val q = smoothed.writeStream.foreachBatch(write).start()
+          try q.processAllAvailable() finally q.stop()
+          // per-term floor(ewma·1e6) into int64: the smoothed doubles are
+          // bit-identical across engines (q118's hash proves it) and ×1e6 +
+          // floor are single exact-agreeing IEEE ops, so the sum is
+          // integer-exact — decimal-6 rounding of raw EWMA doubles hit the
+          // scale-6 midpoint trap (21/150 users at sf0.01, one ulp apart)
+          s.read.parquet(outRoot.toString).drop("batch")
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n"),
+              sum(floor(col("ewma") * lit(1e6)).cast("long"))
+                .as("sum_ewma_micro"))
+            .orderBy("user_id").localCheckpoint(true)
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files.walk(outRoot)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, value AS ewma FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |         CAST(0.25 AS DOUBLE) * b.value + CAST(0.75 AS DOUBLE) * r.ewma
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(ewma * CAST(1000000 AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS sum_ewma_micro
+        |FROM r
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin))
   )
 }

@@ -1276,16 +1276,27 @@ object VectorQueries {
         val assigned = Similarity
           .ivfAssignProbes(emb, cells, SemDedupProbes)
           .localCheckpoint(true)
+        // Pair-generation shape (r11): the probe rows CARRY their vector
+        // into the per-cell self-join, cosine is a streamed FILTER on the
+        // join output, and only the (tiny) surviving dup ids are ever
+        // distinct'd. The previous shape (distinct the (i,j) pair set
+        // FIRST, then join both 512-byte vectors back on) shuffled
+        // |pairs|·|vec| bytes — measured blowing the box's disk with
+        // ~160M candidate pairs at the 100× corpus (3 dup pipelines in
+        // one JVM = ~3× q222's spill). Here the only corpus-bearing
+        // shuffle is the probe table itself (n·p rows, hash-partitioned
+        // by cell — the bucketed co-location a cluster would persist);
+        // candidate mass is pure streamed compute. A pair sharing
+        // multiple probed cells costs a duplicate cosine instead of a
+        // pre-join distinct — orders cheaper than shuffling vectors per
+        // pair.
         val probes = assigned.select(col("vec_id"),
-          explode(col("cells")).as("cell"))
-        val cand = probes.select(col("cell"), col("vec_id").as("i"))
-          .join(probes.select(col("cell"), col("vec_id").as("j")), "cell")
+          explode(col("cells")).as("cell"), col("v"))
+        val dups = probes
+          .select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
+          .join(probes.select(col("cell"), col("vec_id").as("j"),
+            col("v").as("vj")), "cell")
           .filter(col("i") < col("j"))
-          .select("i", "j").distinct()
-        val vecs = assigned.select(col("vec_id"), col("v"))
-        val dups = cand
-          .join(vecs.select(col("vec_id").as("i"), col("v").as("vi")), "i")
-          .join(vecs.select(col("vec_id").as("j"), col("v").as("vj")), "j")
           .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
           .select(col("j").as("dup_id")).distinct()
         assigned.join(dups, col("vec_id") === col("dup_id"), "left")
@@ -1519,16 +1530,14 @@ object VectorQueries {
         val assigned = Similarity
           .ivfAssignProbesTwoLevel(emb, cells, SemDedupProbes, nCoarse, 2)
           .localCheckpoint(true)
+        // vector-carrying cell-local pair join — see q222's shape note
         val probes = assigned.select(col("vec_id"),
-          explode(col("cells")).as("cell"))
-        val cand = probes.select(col("cell"), col("vec_id").as("i"))
-          .join(probes.select(col("cell"), col("vec_id").as("j")), "cell")
+          explode(col("cells")).as("cell"), col("v"))
+        val dups = probes
+          .select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
+          .join(probes.select(col("cell"), col("vec_id").as("j"),
+            col("v").as("vj")), "cell")
           .filter(col("i") < col("j"))
-          .select("i", "j").distinct()
-        val vecs = assigned.select(col("vec_id"), col("v"))
-        val dups = cand
-          .join(vecs.select(col("vec_id").as("i"), col("v").as("vi")), "i")
-          .join(vecs.select(col("vec_id").as("j"), col("v").as("vj")), "j")
           .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
           .select(col("j").as("dup_id")).distinct()
         assigned.join(dups, col("vec_id") === col("dup_id"), "left")
@@ -1611,16 +1620,16 @@ object VectorQueries {
         val cells = math.max(8L, emb.count() / 100L).toInt
         val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
         def dupsOf(assigned: DataFrame): DataFrame = {
+          // vector-carrying cell-local pair join — see q222's shape note
+          // (this query runs THREE dup pipelines in one JVM, which is
+          // exactly where the pair-sized vector shuffle filled the disk)
           val probes = assigned.select(col("vec_id"),
-            explode(col("cells")).as("cell"))
-          val cand = probes.select(col("cell"), col("vec_id").as("i"))
-            .join(probes.select(col("cell"), col("vec_id").as("j")), "cell")
+            explode(col("cells")).as("cell"), col("v"))
+          probes
+            .select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
+            .join(probes.select(col("cell"), col("vec_id").as("j"),
+              col("v").as("vj")), "cell")
             .filter(col("i") < col("j"))
-            .select("i", "j").distinct()
-          val vecs = assigned.select(col("vec_id"), col("v"))
-          cand
-            .join(vecs.select(col("vec_id").as("i"), col("v").as("vi")), "i")
-            .join(vecs.select(col("vec_id").as("j"), col("v").as("vj")), "j")
             .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
             .select(col("j").as("dup_id")).distinct()
         }
@@ -1840,10 +1849,11 @@ object VectorQueries {
         val outRoot = java.nio.file.Files
           .createTempDirectory("graft_ingest_screen")
         try {
+          // corpus probes CARRY their vector (q222's shape note): the
+          // ingest↔corpus candidate join streams cosine as a filter and
+          // only matches are ever distinct'd — no pair-sized vector shuffle
           val corpProbes = index.select(col("vec_id").as("nid"),
-            explode(col("cells")).as("cell"))
-          val corpVecs = index.select(col("vec_id").as("nid"),
-            col("v").as("nv"))
+            explode(col("cells")).as("cell"), col("v").as("nv"))
           val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
           val ingest = s.readStream.schema(schema)
             .parquet(s"$dir/embeddings.parquet*")
@@ -1855,13 +1865,10 @@ object VectorQueries {
                   Similarity.asDouble(col("embedding")).as("v")),
                 coarse, froute, SemDedupProbes, 2)
               val ingProbes = asg.select(col("vec_id"),
-                explode(col("cells")).as("cell"))
-              val cand = ingProbes.join(corpProbes, "cell")
-                .select("vec_id", "nid").distinct()
-              val dups = cand
-                .join(asg.select(col("vec_id"), col("v")), "vec_id")
-                .join(corpVecs, "nid")
+                explode(col("cells")).as("cell"), col("v"))
+              val dups = ingProbes.join(corpProbes, "cell")
                 .filter(Similarity.cosine(col("v"), col("nv")) >= SemDedupTau)
+                .select("vec_id", "nid").distinct()
                 .groupBy("vec_id")
                 .agg(count(lit(1)).as("n_dup_matches"))
               asg.select(col("vec_id"))

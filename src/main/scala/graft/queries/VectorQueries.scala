@@ -1914,6 +1914,112 @@ object VectorQueries {
         |  COALESCE(d.n_dup_matches, 0) AS n_dup_matches,
         |  CASE WHEN d.n_dup_matches IS NOT NULL THEN 1 ELSE 0 END AS is_dup
         |FROM base LEFT JOIN dups d ON base.vec_id = d.j
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // ---- streaming ingest END-TO-END: screen → append survivors → search --
+    // q233's screen and q230's append composed into the pipeline a vector
+    // store actually runs: each micro-batch is screened against the
+    // ORIGINAL persisted index (dup iff any shared-probed-cell corpus
+    // neighbor at cosine ≥ τ), the survivors are two-level-assigned +
+    // PQ-encoded as a per-epoch INDEX DELTA (appendToIvfPqIndexTwoLevel
+    // against an empty base — the idempotent overwrite-by-epoch sink
+    // discipline applied to index maintenance itself), and search runs
+    // over original ∪ deltas. Because the screen verdict is vs the
+    // original index only, the final index is independent of batch
+    // boundaries and delivery order — replaying any batch overwrites the
+    // identical delta. Oracle: q233's dup chain decides membership; asg
+    // and qprobe are the two-level assignment MINUS the dup'd ingest ids;
+    // the shared PQ/ADC/rerank chain runs unchanged — so the streamed
+    // screen+append+search equals one declarative SQL over the corpus,
+    // hash-exact.
+    QueryDef("q235_stream_ingest_append_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val isNew = col("vec_id") >= cells && col("vec_id") % 5 === 0
+        val old = emb.filter(!isNew)
+        val coarse = Similarity.ivfCoarseCentroids(old, nCoarse)
+          .localCheckpoint(true)
+        val froute = Similarity
+          .routeFineCentroids(Similarity.ivfCentroids(old, cells), coarse)
+          .localCheckpoint(true)
+        val index0 = Similarity.buildIvfPqIndexTwoLevel(old, cells,
+            SemDedupProbes, nCoarse, 2)
+          .persist()
+        val outRoot = java.nio.file.Files
+          .createTempDirectory("graft_ingest_append")
+        try {
+          val corpProbes = index0.select(col("vec_id").as("nid"),
+            explode(col("cells")).as("cell"), col("v").as("nv"))
+          val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+          val ingest = s.readStream.schema(schema)
+            .parquet(s"$dir/embeddings.parquet*")
+            .filter(isNew)
+          val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, epoch) => {
+              val b = batch.localCheckpoint(true) // screened AND encoded below
+              val asg = Similarity.assignProbesTwoLevelWith(
+                b.select(col("vec_id"),
+                  Similarity.asDouble(col("embedding")).as("v")),
+                coarse, froute, SemDedupProbes, 2)
+              val dupIds = asg
+                .select(col("vec_id"), explode(col("cells")).as("cell"),
+                  col("v"))
+                .join(corpProbes, "cell")
+                .filter(Similarity.cosine(col("v"), col("nv")) >= SemDedupTau)
+                .select(col("vec_id").as("dup_id")).distinct()
+              val survivors = b.join(dupIds,
+                col("vec_id") === col("dup_id"), "left_anti")
+              Similarity.appendToIvfPqIndexTwoLevel(index0.limit(0),
+                  coarse, froute, survivors, SemDedupProbes, 2)
+                .write.mode("overwrite").parquet(s"$outRoot/batch=$epoch")
+            }
+          val q = ingest.writeStream.foreachBatch(step).start()
+          try q.processAllAvailable() finally q.stop()
+          val merged = index0.unionByName(
+              s.read.parquet(outRoot.toString).drop("batch"))
+            .persist()
+          // % 49, not the usual % 50: every multiple of 50 is a multiple
+          // of 5, i.e. entirely inside the ingest split — most get
+          // screened as dups and the query set would collapse to vec_id 0.
+          // 49 is coprime to 5, so the queries mix corpus members and
+          // surviving ingest (the searched index is still the full merge).
+          try Similarity.ivfPqSearchIndexed(merged, 5,
+              col("vec_id") % 49 === 0, IvfPqRerank)
+            .orderBy("qid", "rn").localCheckpoint(true)
+          finally merged.unpersist(blocking = false)
+        } finally {
+          index0.unpersist(blocking = false)
+          scala.util.Using.resource(java.nio.file.Files.walk(outRoot)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH ${ivfPqSearchCtesWith(
+          s"""$twoLevelAsgpCtes,
+            |sicorp AS (
+            |  SELECT vec_id, cell FROM asgp
+            |  WHERE NOT (vec_id >= (SELECT cells FROM k) AND vec_id % 5 = 0)),
+            |siing AS (
+            |  SELECT vec_id, cell FROM asgp
+            |  WHERE vec_id >= (SELECT cells FROM k) AND vec_id % 5 = 0),
+            |sidup AS (
+            |  SELECT DISTINCT i.vec_id AS dup_id
+            |  FROM siing i JOIN sicorp c ON i.cell = c.cell
+            |  JOIN e ei ON i.vec_id = ei.vec_id
+            |  JOIN e ec ON c.vec_id = ec.vec_id
+            |  WHERE list_dot_product(ei.v, ec.v)
+            |      / (sqrt(list_dot_product(ei.v, ei.v))
+            |        * sqrt(list_dot_product(ec.v, ec.v))) >= $SemDedupTau)""".stripMargin,
+          """asg AS (
+            |  SELECT vec_id, cell FROM asgp WHERE rn = 1
+            |    AND vec_id NOT IN (SELECT dup_id FROM sidup))""".stripMargin,
+          """qprobe AS (
+            |  SELECT vec_id AS qid, cell FROM asgp WHERE vec_id % 49 = 0
+            |    AND vec_id NOT IN (SELECT dup_id FROM sidup))""".stripMargin)}
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin))
   )
 }

@@ -170,6 +170,37 @@ object VectorQueries {
       |gc AS (SELECT vec_id AS gid, v AS gv FROM e
       |      WHERE vec_id < (SELECT ncoarse FROM g))""".stripMargin)
 
+  /** One micro-batch of the streaming semantic-dedup ingest screen
+    * (q233/q235): two-level-assign the batch against the persisted
+    * coarse/fine-routing tables, find shared-probed-cell corpus candidates
+    * (corpProbes carries its vector — cosine streams as a filter, no
+    * pair-sized vector shuffle), and emit the integer-only verdict per
+    * ingest vector. Package-visible so the batch-boundary-independence
+    * spec can drive the SAME code over multi-epoch delivery.
+    */
+  private[graft] def ingestScreenBatch(batch: org.apache.spark.sql.DataFrame,
+      coarse: org.apache.spark.sql.DataFrame,
+      froute: org.apache.spark.sql.DataFrame,
+      corpProbes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val asg = Similarity.assignProbesTwoLevelWith(
+      batch.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v")),
+      coarse, froute, SemDedupProbes, 2)
+    val ingProbes = asg.select(col("vec_id"),
+      explode(col("cells")).as("cell"), col("v"))
+    val dups = ingProbes.join(corpProbes, "cell")
+      .filter(Similarity.cosine(col("v"), col("nv")) >= SemDedupTau)
+      .select("vec_id", "nid").distinct()
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dup_matches"))
+    asg.select(col("vec_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        when(col("n_dup_matches").isNotNull, 1).otherwise(0).as("is_dup"))
+  }
+
   /** The candidate-limited fine assignment at a given gProbe, over the
     * shared prefix: `name` AS the ranked (vec_id, cell, rn, v) table.
     * vrouteAll is hard-capped at rank 3, so a larger gProbe would silently
@@ -1860,23 +1891,7 @@ object VectorQueries {
             .filter(isNew)
           val screen: (org.apache.spark.sql.DataFrame, Long) => Unit =
             (batch, epoch) => {
-              val asg = Similarity.assignProbesTwoLevelWith(
-                batch.select(col("vec_id"),
-                  Similarity.asDouble(col("embedding")).as("v")),
-                coarse, froute, SemDedupProbes, 2)
-              val ingProbes = asg.select(col("vec_id"),
-                explode(col("cells")).as("cell"), col("v"))
-              val dups = ingProbes.join(corpProbes, "cell")
-                .filter(Similarity.cosine(col("v"), col("nv")) >= SemDedupTau)
-                .select("vec_id", "nid").distinct()
-                .groupBy("vec_id")
-                .agg(count(lit(1)).as("n_dup_matches"))
-              asg.select(col("vec_id"))
-                .join(dups, Seq("vec_id"), "left")
-                .select(col("vec_id"),
-                  coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
-                  when(col("n_dup_matches").isNotNull, 1).otherwise(0)
-                    .as("is_dup"))
+              ingestScreenBatch(batch, coarse, froute, corpProbes)
                 .write.mode("overwrite").parquet(s"$outRoot/batch=$epoch")
             }
           val q = ingest.writeStream.foreachBatch(screen).start()

@@ -98,6 +98,61 @@ class Round11Spec extends SparkSpec {
     assert(full.nonEmpty && inc.sameElements(full))
   }
 
+  test("streaming ingest screen: multi-epoch delivery == single-batch " +
+      "verdicts (batch-boundary independence)") {
+    val emb = Tables.embeddings(spark, dir)
+    val cells = math.max(8L, emb.count() / 100L).toInt
+    val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val isNew = col("vec_id") >= cells && col("vec_id") % 5 === 0
+    val old = emb.filter(!isNew)
+    val coarse = Similarity.ivfCoarseCentroids(old, nCoarse)
+      .localCheckpoint(true)
+    val froute = Similarity
+      .routeFineCentroids(Similarity.ivfCentroids(old, cells), coarse)
+      .localCheckpoint(true)
+    val index = Similarity
+      .buildIvfPqIndexTwoLevel(old, cells, 4, nCoarse, 2).persist()
+    val corpProbes = index.select(col("vec_id").as("nid"),
+      explode(col("cells")).as("cell"), col("v").as("nv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val single = rows(graft.queries.VectorQueries
+      .ingestScreenBatch(emb.filter(isNew), coarse, froute, corpProbes))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ing_parts")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ing_out")
+    try {
+      // the same ingest rows split across 3 parquet files, delivered one
+      // file per micro-batch — the screen's verdict union must be
+      // identical to the single-batch run (the q233/q235 contract)
+      emb.filter(isNew).repartition(3)
+        .write.mode("overwrite").parquet(srcDir.toString)
+      val schema = emb.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString + "/*.parquet")
+      val epochs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          epochs.add(epoch)
+          graft.queries.VectorQueries
+            .ingestScreenBatch(batch, coarse, froute, corpProbes)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$epoch")
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(epochs.size >= 2, s"expected multi-epoch delivery, got $epochs")
+      val multi = rows(spark.read.parquet(outDir.toString).drop("batch"))
+      assert(single.nonEmpty && multi.sameElements(single))
+    } finally {
+      index.unpersist(blocking = false)
+      Seq(srcDir, outDir).foreach { d =>
+        scala.util.Using.resource(java.nio.file.Files.walk(d)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+  }
+
   test("SURVEY §2.4 and the registry agree (no doc drift)") {
     // every registered query's number appears in SURVEY.md, and every
     // "qN ✓" claim in SURVEY.md names a registered query — so table drift

@@ -665,15 +665,36 @@ object Similarity {
     * recomputes its build per consumer.
     */
   def ivfPqSearchIndexed(index: DataFrame, k: Int, queryPred: Column,
-                         rerank: Int): DataFrame = {
+                         rerank: Int): DataFrame =
+    ivfPqSearchQueries(index,
+      index.filter(queryPred)
+        .select(col("vec_id").as("qid"), col("v").as("qv")),
+      index.filter(queryPred)
+        .select(col("vec_id").as("qid"), explode(col("cells")).as("cell")),
+      k, rerank)
+
+  /** IVF-PQ search for EXTERNAL queries — the production search path: the
+    * query vectors need not be index members (a user searching a corpus
+    * with NEW embeddings). `queries` is (qid, qv double[]); `qcells` is
+    * (qid, cell), the queries' probe assignment against the SAME centroid
+    * geometry the index was built with (flat [[assignProbesWith]] or
+    * two-level [[assignProbesTwoLevelWith]] against the persisted tables,
+    * exploded) — assignment stays a seam so the caller picks the routing
+    * that matches the index's scale knob. [[ivfPqSearchIndexed]] is now
+    * this with queries drawn from the index itself. Caller contract: qids
+    * disjoint from corpus vec_ids (the nid ≠ qid guard only suppresses
+    * literal id collisions, it cannot de-alias a query that IS a corpus
+    * row under a different id). Scale shape unchanged: queries/LUTs/
+    * shortlists broadcast (q-sized), corpus vectors never shuffle, both
+    * reductions bounded mergeable TopKNeighborsAgg.
+    */
+  def ivfPqSearchQueries(index: DataFrame, queries: DataFrame,
+                         qcells: DataFrame, k: Int, rerank: Int): DataFrame = {
     val corpus = index
       .select(col("vec_id").as("nid"), col("cells").getItem(0).as("cell"),
         col("pq_code"))
-    val qv = index.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val qprobe = index.filter(queryPred)
-      .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
-    val cand = qprobe.join(corpus, Seq("cell"))
+    val qv = queries.select(col("qid"), col("qv"))
+    val cand = qcells.join(corpus, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
     // ADC table on the broadcast query side (|queries| rows pay the full
     // codebook expression once); candidates pay nSub lookups each — see

@@ -115,10 +115,11 @@ object VectorQueries {
     * pre-stripped (no margin pipes of their own).
     */
   private def ivfPqSearchCtesWith(prelude: String, asgCte: String,
-      qprobeCte: String): String =
+      qprobeCte: String,
+      qvecCte: String = "qvec AS (SELECT vec_id AS qid, v FROM e)"): String =
     s"""$prelude,
       |$asgCte,
-      |${ivfPqChainCtes(qprobeCte)}""".stripMargin
+      |${ivfPqChainCtes(qprobeCte, qvecCte)}""".stripMargin
 
   /** Two-level routing scaffold shared by q226 (semantic dedup) and q227
     * (autoscaled IVF-PQ build): corpus-derived knobs (cells = max(8,
@@ -229,10 +230,15 @@ object VectorQueries {
 
   /** The PQ-codebook → candidate → ADC → rerank chain (everything after
     * the assignment seam); `qprobeCte` is injected between `codes` and
-    * `cand` exactly where the flat template declared it.
+    * `cand` exactly where the flat template declared it. `qvecCte` names
+    * the (qid, v) table the ADC and rerank stages read query VECTORS from
+    * — defaulting to the corpus (queries are index members), overridden by
+    * q236 with an external query table (the ivfPqSearchQueries seam).
     */
-  private def ivfPqChainCtes(qprobeCte: String): String =
-    s"""cb AS (
+  private def ivfPqChainCtes(qprobeCte: String,
+      qvecCte: String = "qvec AS (SELECT vec_id AS qid, v FROM e)"): String =
+    s"""$qvecCte,
+      |cb AS (
       |  SELECT CAST(s.range AS INTEGER) AS sub, CAST(cc.range AS INTEGER) AS cid,
       |         CAST(d.range AS INTEGER) AS dsub,
       |    CASE WHEN (CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || '_' ||
@@ -269,7 +275,7 @@ object VectorQueries {
       |    CAST(SUM(CAST(floor((eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv)
       |      * (eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv) * 1e6) AS BIGINT))
       |      AS BIGINT) AS adist
-      |  FROM cand JOIN e eq ON eq.vec_id = cand.qid
+      |  FROM cand JOIN qvec eq ON eq.qid = cand.qid
       |  JOIN cb ON cb.cid = CAST((cand.pq_code >> (4 * cb.sub)) & 15 AS INTEGER)
       |  GROUP BY cand.qid, cand.nid),
       |short AS (
@@ -281,7 +287,7 @@ object VectorQueries {
       |  SELECT s.qid, s.nid,
       |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
       |      * sqrt(list_dot_product(b.v, b.v))) AS cos
-      |  FROM short s JOIN e a ON a.vec_id = s.qid
+      |  FROM short s JOIN qvec a ON a.qid = s.qid
       |               JOIN e b ON b.vec_id = s.nid),
       |final AS (
       |  SELECT qid, nid, cos, CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -2034,6 +2040,91 @@ object VectorQueries {
           """qprobe AS (
             |  SELECT vec_id AS qid, cell FROM asgp WHERE vec_id % 49 = 0
             |    AND vec_id NOT IN (SELECT dup_id FROM sidup))""".stripMargin)}
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- ANN search with EXTERNAL queries (the production search path) --
+    // Every prior search draws its queries FROM the index (vec_id % k) —
+    // fine for dedup-style self-search, but a real retrieval user arrives
+    // with NEW embeddings. This drives Similarity.ivfPqSearchQueries: 20
+    // deterministic external queries (q225's md5-parity ±0.025 jitter of
+    // the first corpus vectors — near their source but bit-exactly
+    // derivable by both engines, ids offset +10⁶ so they CANNOT collide
+    // with corpus ids), two-level-routed against the index's persisted
+    // coarse/fine tables (the same assignment seam an append batch uses),
+    // then the unchanged ADC/rerank chain. Oracle: the external-query
+    // table and its two-level routing as CTEs, feeding the shared chain
+    // with the query-vector source swapped to the external table (the
+    // qvec seam) — hash-exact end to end.
+    QueryDef("q236_ann_external_queries",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val dims = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id"),
+            posexplode(Similarity.asDouble(col("embedding")))
+              .as(Seq("j", "x")))
+        val xq = dims.withColumn("x2", col("x") +
+            when(conv(substring(md5(concat_ws("_", col("vec_id"), col("j"))),
+                32, 1), 16, 10).cast("int") % 2 === 1,
+              lit(0.025)).otherwise(lit(-0.025)))
+          .groupBy("vec_id")
+          .agg(array_sort(collect_list(struct(col("j"), col("x2")))).as("ps"))
+          .select((col("vec_id") + lit(1000000L)).as("qid"),
+            transform(col("ps"), _.getField("x2")).as("qv"))
+          .localCheckpoint(true) // 20 rows; reused by routing + search
+        val coarse = Similarity.ivfCoarseCentroids(emb, nCoarse)
+          .localCheckpoint(true)
+        val froute = Similarity
+          .routeFineCentroids(Similarity.ivfCentroids(emb, cells), coarse)
+          .localCheckpoint(true)
+        val index = Similarity.buildIvfPqIndexTwoLevel(emb, cells,
+            SemDedupProbes, nCoarse, 2)
+          .persist()
+        try {
+          val qcells = Similarity.assignProbesTwoLevelWith(
+              xq.select(col("qid").as("vec_id"), col("qv").as("v")),
+              coarse, froute, SemDedupProbes, 2)
+            .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
+          Similarity.ivfPqSearchQueries(index, xq, qcells, 5, IvfPqRerank)
+            .orderBy("qid", "rn").localCheckpoint(true)
+        } finally index.unpersist(blocking = false)
+      },
+      Some(s"""WITH ${ivfPqSearchCtesWith(
+          s"""$twoLevelAsgpCtes,
+            |xqdims AS (
+            |  SELECT vec_id, CAST(d.range AS INTEGER) AS j,
+            |         v[d.range + 1] AS x
+            |  FROM e, range(64) d WHERE vec_id < 20),
+            |xq AS (
+            |  SELECT vec_id + 1000000 AS qid, list(x +
+            |      CASE WHEN (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) ||
+            |          '_' || CAST(j AS VARCHAR)), 32, 1)) AS BIGINT) % 2) = 1
+            |        THEN 0.025 ELSE -0.025 END ORDER BY j) AS qv
+            |  FROM xqdims GROUP BY vec_id),
+            |xqroute AS (
+            |  SELECT qid, gid, qv FROM (
+            |    SELECT xq.qid, gc.gid, xq.qv,
+            |      row_number() OVER (PARTITION BY xq.qid
+            |        ORDER BY list_dot_product(xq.qv, gc.gv)
+            |            / (sqrt(list_dot_product(xq.qv, xq.qv))
+            |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
+            |          gc.gid ASC) AS rn
+            |    FROM xq CROSS JOIN gc) WHERE rn <= 2),
+            |xqasgp AS (
+            |  SELECT qid, cell, rn FROM (
+            |    SELECT r.qid, fr.cid AS cell,
+            |      row_number() OVER (PARTITION BY r.qid
+            |        ORDER BY list_dot_product(r.qv, fr.cv)
+            |            / (sqrt(list_dot_product(r.qv, r.qv))
+            |              * sqrt(list_dot_product(fr.cv, fr.cv))) DESC,
+            |          fr.cid ASC) AS rn
+            |    FROM xqroute r JOIN froute fr ON r.gid = fr.gid)
+            |  WHERE rn <= $SemDedupProbes)""".stripMargin,
+          "asg AS (SELECT vec_id, cell FROM asgp WHERE rn = 1)",
+          "qprobe AS (SELECT qid, cell FROM xqasgp)",
+          "qvec AS (SELECT qid, qv AS v FROM xq)")}
         |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin))
   )

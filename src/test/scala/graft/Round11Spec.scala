@@ -153,6 +153,45 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("external-query IVF-PQ search with exhaustive knobs == brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val cells = 8
+    val nCoarse = 4
+    // external queries: first 5 corpus vectors nudged +0.01 on dim 0, ids
+    // offset far outside the corpus id space
+    val xq = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + lit(1000000L)).as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qv", concat(array(element_at(col("qv"), 1) + lit(0.01)),
+        slice(col("qv"), 2, 63)))
+      .localCheckpoint(true)
+    val coarse = Similarity.ivfCoarseCentroids(emb, nCoarse)
+    val froute = Similarity
+      .routeFineCentroids(Similarity.ivfCentroids(emb, cells), coarse)
+    val index = Similarity
+      .buildIvfPqIndexTwoLevel(emb, cells, 4, nCoarse, 2).persist()
+    try {
+      // probe EVERY coarse cell and EVERY fine cell, rerank the whole
+      // corpus: the approximation collapses and the result must equal the
+      // exact brute-force top-k over the same (query, corpus) pair
+      val qcells = Similarity.assignProbesTwoLevelWith(
+          xq.select(col("qid").as("vec_id"), col("qv").as("v")),
+          coarse, froute, nProbe = cells, gProbe = nCoarse)
+        .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("qid", "rn", "nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val viaIndex = rows(
+        Similarity.ivfPqSearchQueries(index, xq, qcells, 3, rerank = n))
+      val brute = rows(Similarity.bruteForceTopK(
+        xq.select(col("qid").as("vec_id"), col("qv").as("embedding")),
+        emb, 3))
+      assert(viaIndex.length == 15 && viaIndex.sameElements(brute))
+    } finally index.unpersist(blocking = false)
+  }
+
   test("SURVEY §2.4 and the registry agree (no doc drift)") {
     // every registered query's number appears in SURVEY.md, and every
     // "qN ✓" claim in SURVEY.md names a registered query — so table drift

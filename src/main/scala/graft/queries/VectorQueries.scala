@@ -228,6 +228,46 @@ object VectorQueries {
     s"""$twoLevelRoutePrefixCtes,
       |${twoLevelAsgpCte("asgp", 2)}""".stripMargin
 
+  /** Shared oracle scaffold for q236/q237: the two-level corpus routing
+    * prefix plus the deterministic external-query table (q225's md5-parity
+    * ±0.025 jitter of the first 20 vectors, ids offset +10⁶) and its
+    * two-level routing (`xqroute` top-2 coarse, `xqasgp` top-probe fine).
+    * NOTE: declared before `defs` — object vals initialize in declaration
+    * order, and a forward reference here would interpolate "null" into
+    * every oracle that uses it.
+    */
+  private val externalQueryRoutedCtes =
+    s"""$twoLevelAsgpCtes,
+      |xqdims AS (
+      |  SELECT vec_id, CAST(d.range AS INTEGER) AS j,
+      |         v[d.range + 1] AS x
+      |  FROM e, range(64) d WHERE vec_id < 20),
+      |xq AS (
+      |  SELECT vec_id + 1000000 AS qid, list(x +
+      |      CASE WHEN (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) ||
+      |          '_' || CAST(j AS VARCHAR)), 32, 1)) AS BIGINT) % 2) = 1
+      |        THEN 0.025 ELSE -0.025 END ORDER BY j) AS qv
+      |  FROM xqdims GROUP BY vec_id),
+      |xqroute AS (
+      |  SELECT qid, gid, qv FROM (
+      |    SELECT xq.qid, gc.gid, xq.qv,
+      |      row_number() OVER (PARTITION BY xq.qid
+      |        ORDER BY list_dot_product(xq.qv, gc.gv)
+      |            / (sqrt(list_dot_product(xq.qv, xq.qv))
+      |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
+      |          gc.gid ASC) AS rn
+      |    FROM xq CROSS JOIN gc) WHERE rn <= 2),
+      |xqasgp AS (
+      |  SELECT qid, cell, rn FROM (
+      |    SELECT r.qid, fr.cid AS cell,
+      |      row_number() OVER (PARTITION BY r.qid
+      |        ORDER BY list_dot_product(r.qv, fr.cv)
+      |            / (sqrt(list_dot_product(r.qv, r.qv))
+      |              * sqrt(list_dot_product(fr.cv, fr.cv))) DESC,
+      |          fr.cid ASC) AS rn
+      |    FROM xqroute r JOIN froute fr ON r.gid = fr.gid)
+      |  WHERE rn <= $SemDedupProbes)""".stripMargin
+
   /** The PQ-codebook → candidate → ADC → rerank chain (everything after
     * the assignment seam); `qprobeCte` is injected between `codes` and
     * `cand` exactly where the flat template declared it. `qvecCte` names
@@ -2058,74 +2098,93 @@ object VectorQueries {
     // qvec seam) — hash-exact end to end.
     QueryDef("q236_ann_external_queries",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val cells = math.max(8L, emb.count() / 100L).toInt
-        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
-        val dims = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id"),
-            posexplode(Similarity.asDouble(col("embedding")))
-              .as(Seq("j", "x")))
-        val xq = dims.withColumn("x2", col("x") +
-            when(conv(substring(md5(concat_ws("_", col("vec_id"), col("j"))),
-                32, 1), 16, 10).cast("int") % 2 === 1,
-              lit(0.025)).otherwise(lit(-0.025)))
-          .groupBy("vec_id")
-          .agg(array_sort(collect_list(struct(col("j"), col("x2")))).as("ps"))
-          .select((col("vec_id") + lit(1000000L)).as("qid"),
-            transform(col("ps"), _.getField("x2")).as("qv"))
-          .localCheckpoint(true) // 20 rows; reused by routing + search
-        val coarse = Similarity.ivfCoarseCentroids(emb, nCoarse)
-          .localCheckpoint(true)
-        val froute = Similarity
-          .routeFineCentroids(Similarity.ivfCentroids(emb, cells), coarse)
-          .localCheckpoint(true)
-        val index = Similarity.buildIvfPqIndexTwoLevel(emb, cells,
-            SemDedupProbes, nCoarse, 2)
-          .persist()
-        try {
-          val qcells = Similarity.assignProbesTwoLevelWith(
-              xq.select(col("qid").as("vec_id"), col("qv").as("v")),
-              coarse, froute, SemDedupProbes, 2)
-            .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
-          Similarity.ivfPqSearchQueries(index, xq, qcells, 5, IvfPqRerank)
-            .orderBy("qid", "rn").localCheckpoint(true)
-        } finally index.unpersist(blocking = false)
+        val (xq, index, qcells) = externalAnnSetup(s, dir)
+        try Similarity.ivfPqSearchQueries(index, xq, qcells, 5, IvfPqRerank)
+          .orderBy("qid", "rn").localCheckpoint(true)
+        finally index.unpersist(blocking = false)
       },
-      Some(s"""WITH ${ivfPqSearchCtesWith(
-          s"""$twoLevelAsgpCtes,
-            |xqdims AS (
-            |  SELECT vec_id, CAST(d.range AS INTEGER) AS j,
-            |         v[d.range + 1] AS x
-            |  FROM e, range(64) d WHERE vec_id < 20),
-            |xq AS (
-            |  SELECT vec_id + 1000000 AS qid, list(x +
-            |      CASE WHEN (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) ||
-            |          '_' || CAST(j AS VARCHAR)), 32, 1)) AS BIGINT) % 2) = 1
-            |        THEN 0.025 ELSE -0.025 END ORDER BY j) AS qv
-            |  FROM xqdims GROUP BY vec_id),
-            |xqroute AS (
-            |  SELECT qid, gid, qv FROM (
-            |    SELECT xq.qid, gc.gid, xq.qv,
-            |      row_number() OVER (PARTITION BY xq.qid
-            |        ORDER BY list_dot_product(xq.qv, gc.gv)
-            |            / (sqrt(list_dot_product(xq.qv, xq.qv))
-            |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
-            |          gc.gid ASC) AS rn
-            |    FROM xq CROSS JOIN gc) WHERE rn <= 2),
-            |xqasgp AS (
-            |  SELECT qid, cell, rn FROM (
-            |    SELECT r.qid, fr.cid AS cell,
-            |      row_number() OVER (PARTITION BY r.qid
-            |        ORDER BY list_dot_product(r.qv, fr.cv)
-            |            / (sqrt(list_dot_product(r.qv, r.qv))
-            |              * sqrt(list_dot_product(fr.cv, fr.cv))) DESC,
-            |          fr.cid ASC) AS rn
-            |    FROM xqroute r JOIN froute fr ON r.gid = fr.gid)
-            |  WHERE rn <= $SemDedupProbes)""".stripMargin,
+      Some(s"""WITH ${ivfPqSearchCtesWith(externalQueryRoutedCtes,
           "asg AS (SELECT vec_id, cell FROM asgp WHERE rn = 1)",
+          "qprobe AS (SELECT qid, cell FROM xqasgp)",
+          "qvec AS (SELECT qid, qv AS v FROM xq)")}
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- FILTERED ANN search (metadata predicate × vector search) --------
+    // The retrieval composite users actually run: "nearest documents to my
+    // query AMONG the English ones". Strategy is PRE-FILTER (the right one
+    // when the predicate is selective and indexed metadata is joinable):
+    // the index is semi-joined to the allowed document ids BEFORE search —
+    // the predicate pushes into the documents scan, the semi join prunes
+    // corpus cells and rerank fetches alike, and search cost scales with
+    // the FILTERED corpus. The recall trade is documented where it lives:
+    // filtering thins cells, so a production deployment raises nprobe (or
+    // uses post-filter-with-overfetch when the predicate is weak) — the
+    // knob algebra, not the operator, encodes selectivity. doc_id ≡ vec_id
+    // in this corpus (q208's fusion contract). Queries are q236's external
+    // jittered set; oracle = the shared external-query scaffold with `asg`
+    // semi-joined to the lang predicate.
+    QueryDef("q237_filtered_ann_search",
+      (s, dir) => {
+        val (xq, index, qcells) = externalAnnSetup(s, dir)
+        val allowed = Tables.documents(s, dir)
+          .filter(col("lang") === "en").select(col("doc_id"))
+        val fIndex = index.join(allowed,
+          col("vec_id") === col("doc_id"), "left_semi")
+        try Similarity.ivfPqSearchQueries(fIndex, xq, qcells, 5, IvfPqRerank)
+          .orderBy("qid", "rn").localCheckpoint(true)
+        finally index.unpersist(blocking = false)
+      },
+      Some(s"""WITH ${ivfPqSearchCtesWith(externalQueryRoutedCtes,
+          s"""asg AS (
+            |  SELECT s.vec_id, s.cell
+            |  FROM (SELECT vec_id, cell FROM asgp WHERE rn = 1) s
+            |  JOIN documents d ON s.vec_id = d.doc_id
+            |  WHERE d.lang = 'en')""".stripMargin,
           "qprobe AS (SELECT qid, cell FROM xqasgp)",
           "qvec AS (SELECT qid, qv AS v FROM xq)")}
         |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin))
   )
+
+  /** Shared Spark-side scaffold for the external-query searches
+    * (q236/q237): the 20 deterministic jittered queries, the persisted
+    * two-level centroid/routing tables, the autoscaled two-level index
+    * (PERSISTED — the caller owns the unpersist), and the queries' probe
+    * assignment. One definition so the filtered variant cannot drift from
+    * the unfiltered one.
+    */
+  private def externalAnnSetup(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val cells = math.max(8L, emb.count() / 100L).toInt
+    val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val dims = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        posexplode(Similarity.asDouble(col("embedding"))).as(Seq("j", "x")))
+    val xq = dims.withColumn("x2", col("x") +
+        when(conv(substring(md5(concat_ws("_", col("vec_id"), col("j"))),
+            32, 1), 16, 10).cast("int") % 2 === 1,
+          lit(0.025)).otherwise(lit(-0.025)))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("x2")))).as("ps"))
+      .select((col("vec_id") + lit(1000000L)).as("qid"),
+        transform(col("ps"), _.getField("x2")).as("qv"))
+      .localCheckpoint(true) // 20 rows; reused by routing + search
+    val coarse = Similarity.ivfCoarseCentroids(emb, nCoarse)
+      .localCheckpoint(true)
+    val froute = Similarity
+      .routeFineCentroids(Similarity.ivfCentroids(emb, cells), coarse)
+      .localCheckpoint(true)
+    val index = Similarity.buildIvfPqIndexTwoLevel(emb, cells,
+        SemDedupProbes, nCoarse, 2)
+      .persist()
+    val qcells = Similarity.assignProbesTwoLevelWith(
+        xq.select(col("qid").as("vec_id"), col("qv").as("v")),
+        coarse, froute, SemDedupProbes, 2)
+      .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
+    (xq, index, qcells)
+  }
+
 }

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** External-query id convention (ADVICE r11): [[ivfPqSearchQueries]]'
+    * caller contract is qids DISJOINT from corpus vec_ids — a colliding
+    * qid would silently drop that corpus row from the candidates via the
+    * nid ≠ qid guard instead of failing. Enforce the convention in one
+    * place: offset external query ids by this constant (far outside every
+    * fixture's and stress corpus's id space, which tops out at
+    * replica·10⁹ + 10⁵ — the offset keeps qids in a band no corpus id
+    * occupies because corpus ids within a replica stay < 10⁵). q236/q237's
+    * Spark and oracle sides both add it.
+    */
+  val ExternalQueryIdOffset = 1000000L
+
   /** Cast a float array column to double once, up front. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
@@ -81,6 +93,56 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("block").as("label"), col("i"), col("j"), col("cos"))
   }
+
+  /** THE pair-join shape rule (round-11's disk-spill lesson), as one
+    * definition: cell-local score-then-distinct near-dup detection over a
+    * multi-probe assignment table. `assigned` must be (vec_id, cells, v) —
+    * the [[ivfAssignProbes]]/[[ivfAssignProbesTwoLevel]] output shape.
+    * Probe rows CARRY their vector into the per-cell self-join, cosine is
+    * a streamed FILTER on the join output, and only the (tiny) surviving
+    * dup ids are ever distinct'd. The rejected shape — distinct the (i, j)
+    * candidate pair set FIRST, then join both vectors back on — shuffles
+    * |pairs|·|vec| bytes and was measured filling the box's disk at the
+    * 100× corpus (~160M candidate pairs; q228's three pipelines in one
+    * JVM). Here the only corpus-bearing shuffle is the probe table itself
+    * (n·p rows hash-partitioned by cell — the bucketed co-location a
+    * cluster would persist); a pair sharing multiple probed cells costs a
+    * duplicate cosine instead of a pre-join distinct — orders cheaper than
+    * shuffling vectors per pair. Returns the distinct one-column (dup_id)
+    * set: vectors sharing a probed cell with a LOWER-id vector at
+    * cosine ≥ tau (dup = higher id, q210's rule). SCALING.md's
+    * score-then-distinct checklist row points here; q222/q226/q228 route
+    * through this definition so the lesson cannot drift copy by copy.
+    */
+  def cellLocalDupIds(assigned: DataFrame, tau: Double): DataFrame = {
+    val probes = assigned.select(col("vec_id"),
+      explode(col("cells")).as("cell"), col("v"))
+    probes.select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
+      .join(probes.select(col("cell"), col("vec_id").as("j"),
+        col("v").as("vj")), "cell")
+      .filter(col("i") < col("j"))
+      .filter(cosine(col("vi"), col("vj")) >= tau)
+      .select(col("j").as("dup_id")).distinct()
+  }
+
+  /** [[cellLocalDupIds]]'s ingest-vs-corpus twin (same shape rule, one
+    * definition for the streaming screens q233/q235): probe rows of an
+    * ingest batch (`assigned`, the (vec_id, cells, v) assignment shape)
+    * join corpus probe rows (`corpProbes`, pre-exploded (nid, cell, nv) —
+    * built once from the persisted index and reused across micro-batches),
+    * cosine streams as a filter, and only matched id PAIRS are distinct'd.
+    * Returns distinct (vec_id, nid): ingest vector `vec_id` matched corpus
+    * neighbor `nid` at cosine ≥ tau in some shared probed cell. Callers
+    * aggregate to verdicts (q233 counts matches; q235 keeps only the
+    * distinct dup ids).
+    */
+  def cellLocalScreen(assigned: DataFrame, corpProbes: DataFrame,
+      tau: Double): DataFrame =
+    assigned.select(col("vec_id"), explode(col("cells")).as("cell"),
+        col("v"))
+      .join(corpProbes, "cell")
+      .filter(cosine(col("v"), col("nv")) >= tau)
+      .select("vec_id", "nid").distinct()
 
   /** IVF coarse quantization with a deterministic quantizer: the first
     * `nCentroids` vectors act as cell centroids; every vector joins the cell

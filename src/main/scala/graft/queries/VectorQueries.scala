@@ -188,11 +188,7 @@ object VectorQueries {
       batch.select(col("vec_id"),
         Similarity.asDouble(col("embedding")).as("v")),
       coarse, froute, SemDedupProbes, 2)
-    val ingProbes = asg.select(col("vec_id"),
-      explode(col("cells")).as("cell"), col("v"))
-    val dups = ingProbes.join(corpProbes, "cell")
-      .filter(Similarity.cosine(col("v"), col("nv")) >= SemDedupTau)
-      .select("vec_id", "nid").distinct()
+    val dups = Similarity.cellLocalScreen(asg, corpProbes, SemDedupTau)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_dup_matches"))
     asg.select(col("vec_id"))
@@ -243,7 +239,7 @@ object VectorQueries {
       |         v[d.range + 1] AS x
       |  FROM e, range(64) d WHERE vec_id < 20),
       |xq AS (
-      |  SELECT vec_id + 1000000 AS qid, list(x +
+      |  SELECT vec_id + ${Similarity.ExternalQueryIdOffset} AS qid, list(x +
       |      CASE WHEN (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) ||
       |          '_' || CAST(j AS VARCHAR)), 32, 1)) AS BIGINT) % 2) = 1
       |        THEN 0.025 ELSE -0.025 END ORDER BY j) AS qv
@@ -1353,29 +1349,11 @@ object VectorQueries {
         val assigned = Similarity
           .ivfAssignProbes(emb, cells, SemDedupProbes)
           .localCheckpoint(true)
-        // Pair-generation shape (r11): the probe rows CARRY their vector
-        // into the per-cell self-join, cosine is a streamed FILTER on the
-        // join output, and only the (tiny) surviving dup ids are ever
-        // distinct'd. The previous shape (distinct the (i,j) pair set
-        // FIRST, then join both 512-byte vectors back on) shuffled
-        // |pairs|·|vec| bytes — measured blowing the box's disk with
-        // ~160M candidate pairs at the 100× corpus (3 dup pipelines in
-        // one JVM = ~3× q222's spill). Here the only corpus-bearing
-        // shuffle is the probe table itself (n·p rows, hash-partitioned
-        // by cell — the bucketed co-location a cluster would persist);
-        // candidate mass is pure streamed compute. A pair sharing
-        // multiple probed cells costs a duplicate cosine instead of a
-        // pre-join distinct — orders cheaper than shuffling vectors per
-        // pair.
-        val probes = assigned.select(col("vec_id"),
-          explode(col("cells")).as("cell"), col("v"))
-        val dups = probes
-          .select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
-          .join(probes.select(col("cell"), col("vec_id").as("j"),
-            col("v").as("vj")), "cell")
-          .filter(col("i") < col("j"))
-          .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
-          .select(col("j").as("dup_id")).distinct()
+        // Pair-generation shape (r11, ONE definition since r12): the
+        // vector-carrying cell-local score-then-distinct join —
+        // Similarity.cellLocalDupIds' scaladoc carries the disk-spill
+        // lesson that retired the distinct-pairs-then-rejoin shape.
+        val dups = Similarity.cellLocalDupIds(assigned, SemDedupTau)
         assigned.join(dups, col("vec_id") === col("dup_id"), "left")
           .select(col("vec_id"), col("cells").getItem(0).as("cell"),
             when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
@@ -1607,16 +1585,8 @@ object VectorQueries {
         val assigned = Similarity
           .ivfAssignProbesTwoLevel(emb, cells, SemDedupProbes, nCoarse, 2)
           .localCheckpoint(true)
-        // vector-carrying cell-local pair join — see q222's shape note
-        val probes = assigned.select(col("vec_id"),
-          explode(col("cells")).as("cell"), col("v"))
-        val dups = probes
-          .select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
-          .join(probes.select(col("cell"), col("vec_id").as("j"),
-            col("v").as("vj")), "cell")
-          .filter(col("i") < col("j"))
-          .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
-          .select(col("j").as("dup_id")).distinct()
+        // the shared score-then-distinct shape (Similarity.cellLocalDupIds)
+        val dups = Similarity.cellLocalDupIds(assigned, SemDedupTau)
         assigned.join(dups, col("vec_id") === col("dup_id"), "left")
           .select(col("vec_id"), col("cells").getItem(0).as("cell"),
             when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
@@ -1696,20 +1666,11 @@ object VectorQueries {
         val emb = Tables.embeddings(s, dir)
         val cells = math.max(8L, emb.count() / 100L).toInt
         val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
-        def dupsOf(assigned: DataFrame): DataFrame = {
-          // vector-carrying cell-local pair join — see q222's shape note
-          // (this query runs THREE dup pipelines in one JVM, which is
-          // exactly where the pair-sized vector shuffle filled the disk)
-          val probes = assigned.select(col("vec_id"),
-            explode(col("cells")).as("cell"), col("v"))
-          probes
-            .select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
-            .join(probes.select(col("cell"), col("vec_id").as("j"),
-              col("v").as("vj")), "cell")
-            .filter(col("i") < col("j"))
-            .filter(Similarity.cosine(col("vi"), col("vj")) >= SemDedupTau)
-            .select(col("j").as("dup_id")).distinct()
-        }
+        // the shared score-then-distinct shape — this query runs THREE dup
+        // pipelines in one JVM, exactly where the retired pair-sized vector
+        // shuffle filled the disk (Similarity.cellLocalDupIds' scaladoc)
+        def dupsOf(assigned: DataFrame): DataFrame =
+          Similarity.cellLocalDupIds(assigned, SemDedupTau)
         val dupF = dupsOf(Similarity
             .ivfAssignProbes(emb, cells, SemDedupProbes)
             .localCheckpoint(true))
@@ -1926,8 +1887,8 @@ object VectorQueries {
         val outRoot = java.nio.file.Files
           .createTempDirectory("graft_ingest_screen")
         try {
-          // corpus probes CARRY their vector (q222's shape note): the
-          // ingest↔corpus candidate join streams cosine as a filter and
+          // corpus probes CARRY their vector (the cellLocalScreen shape):
+          // the ingest↔corpus candidate join streams cosine as a filter and
           // only matches are ever distinct'd — no pair-sized vector shuffle
           val corpProbes = index.select(col("vec_id").as("nid"),
             explode(col("cells")).as("cell"), col("v").as("nv"))
@@ -2024,11 +1985,10 @@ object VectorQueries {
                 b.select(col("vec_id"),
                   Similarity.asDouble(col("embedding")).as("v")),
                 coarse, froute, SemDedupProbes, 2)
-              val dupIds = asg
-                .select(col("vec_id"), explode(col("cells")).as("cell"),
-                  col("v"))
-                .join(corpProbes, "cell")
-                .filter(Similarity.cosine(col("v"), col("nv")) >= SemDedupTau)
+              // the shared score-then-distinct screen shape
+              // (Similarity.cellLocalScreen), reduced to the dup id set
+              val dupIds = Similarity
+                .cellLocalScreen(asg, corpProbes, SemDedupTau)
                 .select(col("vec_id").as("dup_id")).distinct()
               val survivors = b.join(dupIds,
                 col("vec_id") === col("dup_id"), "left_anti")
@@ -2169,7 +2129,8 @@ object VectorQueries {
           lit(0.025)).otherwise(lit(-0.025)))
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("j"), col("x2")))).as("ps"))
-      .select((col("vec_id") + lit(1000000L)).as("qid"),
+      .select((col("vec_id") + lit(Similarity.ExternalQueryIdOffset))
+          .as("qid"),
         transform(col("ps"), _.getField("x2")).as("qv"))
       .localCheckpoint(true) // 20 rows; reused by routing + search
     val coarse = Similarity.ivfCoarseCentroids(emb, nCoarse)

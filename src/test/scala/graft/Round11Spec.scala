@@ -196,8 +196,10 @@ class Round11Spec extends SparkSpec {
     // every registered query's number appears in SURVEY.md, and every
     // "qN ✓" claim in SURVEY.md names a registered query — so table drift
     // fails a test instead of a judge's grep (r10 verdict #7)
+    // resolve relative to the working directory (sbt runs from the repo
+    // root), not a hardcoded checkout path — ADVICE r11
     val survey = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val registered = SparkEntry.allDefs.map(_.name.split("_")(0)).toSet
     val missingFromSurvey = registered.filterNot(q =>
       ("""(?<![0-9a-z])""" + q + """(?![0-9])""").r

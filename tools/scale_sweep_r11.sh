@@ -42,6 +42,11 @@ runbb() { # runbb <tag> <sfdir> <timeout_s> [heap]
   local rc=${PIPESTATUS[0]}
   if [ "$rc" = 124 ]; then
     echo "{\"dnf_timeout_s\": $to}" > "$OUT/$tag.json"
+  elif [ "$rc" != 0 ]; then
+    # BucketedBench prints its metric JSON BEFORE the rows_match/exchange
+    # gate exits 1 — a gated-out leg's timings must not be quotable by
+    # sweep_table (ADVICE r11)
+    echo "{\"failed_rc\": $rc}" > "$OUT/$tag.json"
   fi
   echo "rc=$rc tail:"; cat "$OUT/$tag.json"
 }

@@ -799,7 +799,8 @@ object Similarity {
     try {
       // M-step skipped after the FINAL E-step — those centroids would be
       // discarded (a full corpus-wide shuffle + collect for nothing)
-      val (assigned, _) = lloyd(e, k, iterations, mAfterLast = false)
+      val (assigned, _) = lloyd(e, firstNInit(e, k), iterations,
+        mAfterLast = false)
       // materialize the final E-step (the only action that runs it), so the
       // cached projection can be released below and downstream reads are free
       assigned.select("vec_id", "cluster", "dist").localCheckpoint(true)
@@ -819,25 +820,132 @@ object Similarity {
     val spark = emb.sparkSession
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
     try {
-      val (_, centroids) = lloyd(e, k, iterations, mAfterLast = true)
+      val (_, centroids) = lloyd(e, firstNInit(e, k), iterations,
+        mAfterLast = true)
       import spark.implicits._
       centroids.toSeq.toDF("cid", "cv")
     } finally e.unpersist()
   }
 
-  /** Shared Lloyd loop over a cached (vec_id, v) projection: returns the
-    * LAZY final assignment and the driver-side centroid array (after
+  /** The deterministic first-`k` (lowest vec_id) init every oracle-checked
+    * query uses — DuckDB replicates it as `WHERE vec_id < k`.
+    */
+  private def firstNInit(e: DataFrame, k: Int): Array[(Long, Seq[Double])] = {
+    val init = e.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    require(init.length == k, s"corpus has only ${init.length} vectors for k=$k")
+    init
+  }
+
+  /** Seeded k-means++ initialization (Arthur & Vassilvitskii, SODA 2007) —
+    * the production init the first-n stand-in's scaladocs have named since
+    * round 8: centroid t+1 is sampled with probability ∝ D²(x) (squared
+    * distance to the nearest already-chosen centroid), which bounds the
+    * expected quantization error at O(log k)·OPT where a bad deterministic
+    * seed (e.g. first-n ids all landing in one cluster) has no bound at
+    * all. Fully distributed AND deterministic under the seed:
+    *   - the D²-weighted draw is an exponential race — each point draws
+    *     E(x) = -ln(u(x)) / D²(x) with u(x) a seeded xxhash64 of
+    *     (seed, round, vec_id) mapped into (0,1), and the argmin of E is
+    *     distributed exactly as the D²-weighted sample (P(argmin = x) =
+    *     w(x)/Σw — the Gumbel/exponential-race identity). One `min(struct)`
+    *     aggregate per round: no sort, no cumulative scan, no driver-side
+    *     weight table.
+    *   - D² is maintained incrementally: one `least(d2, dist²-to-new-
+    *     centroid)` projection per round over a localCheckpointed frame
+    *     (the iterative-loop discipline), so the k rounds cost O(k·n) dot
+    *     products total — the same asymptotic as one Lloyd E-step.
+    * Points at D² = 0 (exact duplicates of a chosen centroid) draw E = ∞
+    * and are picked only when every remaining point is a duplicate.
+    * Returns the (cid, cv) centroid table (cid = 0..k-1 in pick order) —
+    * feed it to [[buildIvfPqIndexWith]]/[[buildIvfPqIndexTwoLevelWith]]/
+    * [[assignProbesWith]], or let [[kmeansPlusPlusCentroids]] refine it.
+    * Oracle-checked queries keep the first-n path (a DuckDB twin of the
+    * race would re-implement xxhash64); specs pin this path's determinism
+    * and its quantization-error win instead (Round12Spec).
+    *
+    * Scale note: k sequential rounds of one aggregate each — the right
+    * shape for k into the thousands. For k beyond that, the published
+    * fix is k-means‖ (Bahmani et al., VLDB 2012): oversample ~l·log(ψ)
+    * candidates in O(log ψ) rounds, then recluster the candidate set;
+    * the per-round machinery here (incremental D², seeded race) is the
+    * same building block.
+    */
+  def kmeansPlusPlusInit(emb: DataFrame, k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"kmeansPlusPlusInit needs k > 0 (got k=$k)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // seeded uniform in (0,1): pmod keeps the hash in [0, MaxValue), the
+    // +0.5 centers it away from both endpoints (u = 0 would make -ln(u)
+    // infinite, u = 1 would make it 0 and always win the race)
+    def u(round: Int): Column =
+      (pmod(xxhash64(lit(seed), lit(round), col("vec_id")), lit(Long.MaxValue))
+        .cast("double") + lit(0.5)) / lit(Long.MaxValue.toDouble)
+    def d2To(c: Seq[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      greatest(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl)
+        + lit(c.map(x => x * x).sum), lit(0.0))
+    }
+    def pick(keyed: DataFrame): (Long, Seq[Double]) = {
+      val r = keyed
+        .select(min(struct(col("key"), col("vec_id"), col("v"))).as("m"))
+        .select(col("m.vec_id"), col("m.v")).head()
+      (r.getLong(0), r.getSeq[Double](1))
+    }
+    val e0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // first centroid: a uniform seeded pick (the race with all weights 1)
+    val first = pick(e0.withColumn("key", u(0)))
+    var chosen = List(first)
+    var cur = e0.withColumn("d2", d2To(first._2)).localCheckpoint(true)
+    for (t <- 1 until k) {
+      val next = pick(cur.withColumn("key",
+        when(col("d2") > 0, -log(u(t)) / col("d2"))
+          .otherwise(lit(Double.MaxValue))))
+      chosen ::= next
+      if (t < k - 1)
+        cur = cur.withColumn("d2", least(col("d2"), d2To(next._2)))
+          .localCheckpoint(true)
+    }
+    chosen.reverse.zipWithIndex
+      .map { case ((_, cv), i) => (i.toLong, cv) }
+      .toDF("cid", "cv")
+  }
+
+  /** k-means++ init + Lloyd refinement — the seeded production twin of
+    * [[kmeansCentroids]] (same E/M loop, same empty-cluster and exact-mean
+    * discipline; only the init differs). Deterministic under (seed, k,
+    * iterations). Returns the converged (cid, cv) table.
+    */
+  def kmeansPlusPlusCentroids(emb: DataFrame, k: Int, iterations: Int,
+      seed: Long): DataFrame = {
+    require(k > 0 && iterations > 0,
+      s"kmeansPlusPlusCentroids needs k > 0 and iterations > 0 " +
+        s"(got k=$k, iterations=$iterations)")
+    val spark = emb.sparkSession
+    val init = kmeansPlusPlusInit(emb, k, seed)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+    try {
+      val (_, centroids) = lloyd(e, init, iterations, mAfterLast = true)
+      import spark.implicits._
+      centroids.toSeq.toDF("cid", "cv")
+    } finally e.unpersist()
+  }
+
+  /** Shared Lloyd loop over a cached (vec_id, v) projection, from an
+    * explicit `init` centroid array ([[firstNInit]] for the deterministic
+    * oracle path, [[kmeansPlusPlusInit]] for the production path): returns
+    * the LAZY final assignment and the driver-side centroid array (after
     * `iterations - 1` M-steps, or `iterations` when `mAfterLast`). The
     * caller owns the cache lifecycle of `e`.
     */
-  private def lloyd(e: DataFrame, k: Int, iterations: Int,
-      mAfterLast: Boolean): (DataFrame, Array[(Long, Seq[Double])]) = {
+  private def lloyd(e: DataFrame, init: Array[(Long, Seq[Double])],
+      iterations: Int, mAfterLast: Boolean)
+      : (DataFrame, Array[(Long, Seq[Double])]) = {
     val spark = e.sparkSession
-    var centroids: Array[(Long, Seq[Double])] = e
-      .orderBy("vec_id").limit(k)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
-    require(centroids.length == k, s"corpus has only ${centroids.length} vectors for k=$k")
+    var centroids: Array[(Long, Seq[Double])] = init
     val dim = centroids.head._2.length
     var assigned: DataFrame = null
     for (iter <- 0 until iterations) {

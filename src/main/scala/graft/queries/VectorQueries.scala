@@ -63,6 +63,15 @@ object VectorQueries {
   private[graft] val IvfPqProbes = 24
   private[graft] val IvfPqRerank = 480
 
+  /** Post-filter overfetch for q238: the unfiltered search keeps this many
+    * per query before the predicate is applied (5·k — the conventional
+    * first guess; the eval measures where it stops being enough).
+    * NOTE: declared before `defs` — object vals initialize in declaration
+    * order, and a forward reference from the oracle-SQL interpolation
+    * would silently read 0.
+    */
+  private val PostOverfetch = 25
+
   /** Shared oracle scaffold for q216/q217: corpus argmax cells (`asg`),
     * the q206 PQ codebook/codes (`cb`/`codes`), query probes (`qprobe`,
     * top-`IvfPqProbes` cells), the ids+codes candidate join (`cand`),
@@ -119,7 +128,10 @@ object VectorQueries {
       qvecCte: String = "qvec AS (SELECT vec_id AS qid, v FROM e)"): String =
     s"""$prelude,
       |$asgCte,
-      |${ivfPqChainCtes(qprobeCte, qvecCte)}""".stripMargin
+      |$qvecCte,
+      |$pqCodesCtes,
+      |$qprobeCte,
+      |${adcChainCtes("", "asg", "qprobe", "qvec")}""".stripMargin
 
   /** Two-level routing scaffold shared by q226 (semantic dedup) and q227
     * (autoscaled IVF-PQ build): corpus-derived knobs (cells = max(8,
@@ -253,7 +265,14 @@ object VectorQueries {
       |              * sqrt(list_dot_product(gc.gv, gc.gv))) DESC,
       |          gc.gid ASC) AS rn
       |    FROM xq CROSS JOIN gc) WHERE rn <= 2),
-      |xqasgp AS (
+      |${xqAsgpCte("xqasgp", SemDedupProbes)}""".stripMargin
+
+  /** The external queries' top-`np` fine-cell probe table over the shared
+    * `xqroute`/`froute` routing — extracted so q238 can instantiate the
+    * probe-width knob (`xqasgp8`) beside the default.
+    */
+  private def xqAsgpCte(name: String, np: Int): String =
+    s"""$name AS (
       |  SELECT qid, cell, rn FROM (
       |    SELECT r.qid, fr.cid AS cell,
       |      row_number() OVER (PARTITION BY r.qid
@@ -262,19 +281,14 @@ object VectorQueries {
       |              * sqrt(list_dot_product(fr.cv, fr.cv))) DESC,
       |          fr.cid ASC) AS rn
       |    FROM xqroute r JOIN froute fr ON r.gid = fr.gid)
-      |  WHERE rn <= $SemDedupProbes)""".stripMargin
+      |  WHERE rn <= $np)""".stripMargin
 
-  /** The PQ-codebook → candidate → ADC → rerank chain (everything after
-    * the assignment seam); `qprobeCte` is injected between `codes` and
-    * `cand` exactly where the flat template declared it. `qvecCte` names
-    * the (qid, v) table the ADC and rerank stages read query VECTORS from
-    * — defaulting to the corpus (queries are index members), overridden by
-    * q236 with an external query table (the ivfPqSearchQueries seam).
+  /** The PQ codebook + corpus-encode CTEs (cb … codes) — the q206 recipe,
+    * query-independent (requires only `e`). Declared once; every ADC chain
+    * instance ([[adcChainCtes]]) reads `cb`/`codes` from here.
     */
-  private def ivfPqChainCtes(qprobeCte: String,
-      qvecCte: String = "qvec AS (SELECT vec_id AS qid, v FROM e)"): String =
-    s"""$qvecCte,
-      |cb AS (
+  private val pqCodesCtes =
+    """cb AS (
       |  SELECT CAST(s.range AS INTEGER) AS sub, CAST(cc.range AS INTEGER) AS cid,
       |         CAST(d.range AS INTEGER) AS dsub,
       |    CASE WHEN (CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || '_' ||
@@ -300,34 +314,44 @@ object VectorQueries {
       |codes AS (
       |  SELECT vec_id, CAST(SUM(CAST(cid AS BIGINT) << (4 * sub)) AS BIGINT)
       |    AS pq_code
-      |  FROM pqbest WHERE rn = 1 GROUP BY vec_id),
-      |$qprobeCte,
-      |cand AS (
+      |  FROM pqbest WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+
+  /** One candidate → ADC → shortlist → exact-rerank chain instance, CTE
+    * names prefixed with `p` so several searches can coexist in one oracle
+    * (q238 runs nine). Reads a corpus-assignment table `asg` (vec_id,
+    * cell), a query-probe table `qprobe` (qid, cell), a query-vector table
+    * `qvec` (qid, v), and the shared [[pqCodesCtes]]; emits `${p}final`
+    * (qid, nid, cos, rn) — the CTE-for-CTE twin of
+    * Similarity.ivfPqSearchQueries.
+    */
+  private def adcChainCtes(p: String, asg: String, qprobe: String,
+      qvec: String): String =
+    s"""${p}cand AS (
       |  SELECT q.qid, a.vec_id AS nid, codes.pq_code
-      |  FROM qprobe q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid
+      |  FROM $qprobe q JOIN $asg a ON q.cell = a.cell AND a.vec_id <> q.qid
       |  JOIN codes ON codes.vec_id = a.vec_id),
-      |adc AS (
-      |  SELECT cand.qid, cand.nid,
+      |${p}adc AS (
+      |  SELECT cnd.qid, cnd.nid,
       |    CAST(SUM(CAST(floor((eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv)
       |      * (eq.v[cb.sub * 8 + cb.dsub + 1] - cb.cv) * 1e6) AS BIGINT))
       |      AS BIGINT) AS adist
-      |  FROM cand JOIN qvec eq ON eq.qid = cand.qid
-      |  JOIN cb ON cb.cid = CAST((cand.pq_code >> (4 * cb.sub)) & 15 AS INTEGER)
-      |  GROUP BY cand.qid, cand.nid),
-      |short AS (
+      |  FROM ${p}cand cnd JOIN $qvec eq ON eq.qid = cnd.qid
+      |  JOIN cb ON cb.cid = CAST((cnd.pq_code >> (4 * cb.sub)) & 15 AS INTEGER)
+      |  GROUP BY cnd.qid, cnd.nid),
+      |${p}short AS (
       |  SELECT qid, nid FROM (
       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
-      |      ORDER BY adist ASC, nid ASC) AS rn FROM adc)
+      |      ORDER BY adist ASC, nid ASC) AS rn FROM ${p}adc)
       |  WHERE rn <= $IvfPqRerank),
-      |rescored AS (
+      |${p}rescored AS (
       |  SELECT s.qid, s.nid,
       |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
       |      * sqrt(list_dot_product(b.v, b.v))) AS cos
-      |  FROM short s JOIN qvec a ON a.qid = s.qid
+      |  FROM ${p}short s JOIN $qvec a ON a.qid = s.qid
       |               JOIN e b ON b.vec_id = s.nid),
-      |final AS (
+      |${p}final AS (
       |  SELECT qid, nid, cos, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-      |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn FROM rescored)""".stripMargin
+      |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn FROM ${p}rescored)""".stripMargin
 
   private val ivfPqCtes = ivfPqSearchCtes(ivfPqEC)
 
@@ -2058,7 +2082,7 @@ object VectorQueries {
     // qvec seam) — hash-exact end to end.
     QueryDef("q236_ann_external_queries",
       (s, dir) => {
-        val (xq, index, qcells) = externalAnnSetup(s, dir)
+        val (xq, index, qcells, _, _) = externalAnnSetup(s, dir)
         try Similarity.ivfPqSearchQueries(index, xq, qcells, 5, IvfPqRerank)
           .orderBy("qid", "rn").localCheckpoint(true)
         finally index.unpersist(blocking = false)
@@ -2086,7 +2110,7 @@ object VectorQueries {
     // semi-joined to the lang predicate.
     QueryDef("q237_filtered_ann_search",
       (s, dir) => {
-        val (xq, index, qcells) = externalAnnSetup(s, dir)
+        val (xq, index, qcells, _, _) = externalAnnSetup(s, dir)
         val allowed = Tables.documents(s, dir)
           .filter(col("lang") === "en").select(col("doc_id"))
         val fIndex = index.join(allowed,
@@ -2104,18 +2128,162 @@ object VectorQueries {
           "qprobe AS (SELECT qid, cell FROM xqasgp)",
           "qvec AS (SELECT qid, qv AS v FROM xq)")}
         |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin))
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- filtered-ANN recall/selectivity eval (the q237 trade, measured) --
+    // q237's scaladoc names the knob algebra — pre-filter thins cells so a
+    // selective predicate wants a higher nprobe, and a WEAK predicate is
+    // better served by post-filter-with-overfetch — but documented ≠
+    // measured (r11 verdict item #2). This eval runs both strategies at
+    // three predicate selectivities (lang buckets: en ≈ 44%, de ≈ 14%,
+    // zh ∧ id%3 ≈ 5% of the corpus) against brute-force ground truth ON
+    // THE FILTERED corpus, in exact integer units (counts + ppm recall via
+    // integer div — hash-checkable). Legs per selectivity: pre-filter at
+    // nprobe 4 (the operator default) and 8 (the recovery knob), and
+    // post-filter over ONE shared unfiltered top-25 search (overfetch =
+    // 5k). MEASURED on the fixtures (sf0.01 / sf0.1, both hash-green): at
+    // the weak predicate the strategies TIE (en: post 0.67/0.70 ≡ pre
+    // 0.67/0.70) and post-filter is the cheaper call (one shared
+    // unfiltered search serves every predicate); as the predicate
+    // strengthens post-filter collapses (de 0.50/0.49, zh3 0.20/0.28 —
+    // only ~s·overfetch of the 25 survive the filter) while pre-filter
+    // holds (de 0.59/0.60, zh3 0.57/0.53), and raising nprobe 4→8 buys
+    // real recall exactly where q237's scaladoc predicts — most at the
+    // bigger corpus, whose cells are thinner (sf0.1: en 0.70→0.77,
+    // de 0.60→0.67, zh3 0.53→0.68). The crossover sits where s·overfetch
+    // ≈ k (s ≈ 20% at overfetch 25): above it post-filter ties at lower
+    // cost, below it pre-filter + raised nprobe is the only strategy
+    // that holds recall.
+    QueryDef("q238_filtered_ann_recall_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        val (xq, index, qc4, coarse, froute) = externalAnnSetup(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val docs = Tables.documents(s, dir)
+        val qc8 = Similarity.assignProbesTwoLevelWith(
+            xq.select(col("qid").as("vec_id"), col("qv").as("v")),
+            coarse, froute, 8, 2)
+          .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
+        val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          ("en", col("lang") === "en"),
+          ("de", col("lang") === "de"),
+          ("zh3", col("lang") === "zh" && col("doc_id") % 3 === 0))
+        try {
+          // ONE unfiltered overfetch search, shared by every post-filter
+          // leg (that sharing IS post-filter's cost advantage)
+          val over = Similarity
+            .ivfPqSearchQueries(index, xq, qc4, PostOverfetch, IvfPqRerank)
+            .localCheckpoint(true)
+          val legs = preds.flatMap { case (tag, p) =>
+            val allowed = docs.filter(p).select(col("doc_id"))
+              .localCheckpoint(true)
+            val truth = Similarity.bruteForceTopK(
+                xq.select(col("qid").as("vec_id"), col("qv").as("embedding")),
+                emb.join(allowed, col("vec_id") === col("doc_id"),
+                  "left_semi"), 5)
+              .select("qid", "nid").localCheckpoint(true)
+            val fIndex = index.join(allowed,
+              col("vec_id") === col("doc_id"), "left_semi")
+            def stats(method: String, approx: DataFrame): DataFrame =
+              truth.agg(count(lit(1)).as("n_truth"))
+                .crossJoin(truth.join(approx
+                    .select(col("qid").as("q2"), col("nid").as("n2")),
+                    col("qid") === col("q2") && col("nid") === col("n2"),
+                    "left_semi")
+                  .agg(count(lit(1)).as("hits")))
+                .select(lit(method).as("method"), col("n_truth"),
+                  col("hits"),
+                  expr("(hits * CAST(1000000 AS BIGINT)) div n_truth")
+                    .as("recall_micro"))
+            val post = over
+              .join(allowed, col("nid") === col("doc_id"), "left_semi")
+              .withColumn("rn2", row_number().over(
+                Window.partitionBy("qid").orderBy(col("rn").asc)))
+              .filter(col("rn2") <= 5)
+            Seq(
+              stats(s"pre_np4_$tag", Similarity
+                .ivfPqSearchQueries(fIndex, xq, qc4, 5, IvfPqRerank)),
+              stats(s"pre_np8_$tag", Similarity
+                .ivfPqSearchQueries(fIndex, xq, qc8, 5, IvfPqRerank)),
+              stats(s"post_np4_$tag", post))
+          }
+          legs.reduce(_ unionAll _).orderBy("method").localCheckpoint(true)
+        } finally index.unpersist(blocking = false)
+      },
+      Some(s"""WITH $externalQueryRoutedCtes,
+        |${xqAsgpCte("xqasgp8", 8)},
+        |qvec AS (SELECT qid, qv AS v FROM xq),
+        |$pqCodesCtes,
+        |asgu AS (SELECT vec_id, cell FROM asgp WHERE rn = 1),
+        |${adcChainCtes("u", "asgu", "xqasgp", "qvec")},
+        |${filteredAnnTagCtes("en", "lang = 'en'")},
+        |${filteredAnnTagCtes("de", "lang = 'de'")},
+        |${filteredAnnTagCtes("zh3", "lang = 'zh' AND doc_id % 3 = 0")}
+        |SELECT method, n_truth, hits,
+        |  (hits * CAST(1000000 AS BIGINT)) // n_truth AS recall_micro
+        |FROM (
+        |${filteredAnnStatsSql("en")}
+        |UNION ALL
+        |${filteredAnnStatsSql("de")}
+        |UNION ALL
+        |${filteredAnnStatsSql("zh3")})
+        |ORDER BY method""".stripMargin))
   )
 
+  /** Per-selectivity oracle CTEs for q238: allowed ids, brute-force truth
+    * over the FILTERED corpus, the filtered corpus assignment, the two
+    * pre-filter ADC chains (probe width 4 and 8), and the post-filter
+    * re-rank over the shared unfiltered overfetch chain (`ufinal`).
+    */
+  private def filteredAnnTagCtes(tag: String, pred: String): String =
+    s"""alw_$tag AS (SELECT doc_id FROM documents WHERE $pred),
+      |tru_$tag AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT x.qid, b.vec_id AS nid,
+      |      row_number() OVER (PARTITION BY x.qid
+      |        ORDER BY list_dot_product(x.qv, b.v)
+      |            / (sqrt(list_dot_product(x.qv, x.qv))
+      |              * sqrt(list_dot_product(b.v, b.v))) DESC,
+      |          b.vec_id ASC) AS rn
+      |    FROM xq x JOIN e b ON b.vec_id <> x.qid
+      |    JOIN alw_$tag d ON b.vec_id = d.doc_id) WHERE rn <= 5),
+      |asg_$tag AS (
+      |  SELECT a.vec_id, a.cell FROM asgu a
+      |  JOIN alw_$tag d ON a.vec_id = d.doc_id),
+      |${adcChainCtes(s"p4$tag", s"asg_$tag", "xqasgp", "qvec")},
+      |${adcChainCtes(s"p8$tag", s"asg_$tag", "xqasgp8", "qvec")},
+      |post_$tag AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT f.qid, f.nid,
+      |      row_number() OVER (PARTITION BY f.qid ORDER BY f.rn ASC) AS rn2
+      |    FROM ufinal f JOIN alw_$tag d ON f.nid = d.doc_id
+      |    WHERE f.rn <= $PostOverfetch) WHERE rn2 <= 5)""".stripMargin
+
+  /** The three one-row stats legs (pre np4/np8, post np4) for one q238
+    * selectivity tag, UNION ALL-joined by the caller.
+    */
+  private def filteredAnnStatsSql(tag: String): String =
+    Seq(("pre_np4", s"(SELECT qid, nid FROM p4${tag}final WHERE rn <= 5)"),
+        ("pre_np8", s"(SELECT qid, nid FROM p8${tag}final WHERE rn <= 5)"),
+        ("post_np4", s"post_$tag")).map { case (m, tbl) =>
+      s"""SELECT '${m}_$tag' AS method,
+        |  (SELECT COUNT(*) FROM tru_$tag) AS n_truth,
+        |  (SELECT COUNT(*) FROM tru_$tag t JOIN $tbl a
+        |     ON t.qid = a.qid AND t.nid = a.nid) AS hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Shared Spark-side scaffold for the external-query searches
-    * (q236/q237): the 20 deterministic jittered queries, the persisted
-    * two-level centroid/routing tables, the autoscaled two-level index
-    * (PERSISTED — the caller owns the unpersist), and the queries' probe
-    * assignment. One definition so the filtered variant cannot drift from
-    * the unfiltered one.
+    * (q236/q237/q238): the 20 deterministic jittered queries, the
+    * persisted two-level centroid/routing tables (returned so q238 can
+    * derive probe assignments at other widths), the autoscaled two-level
+    * index (PERSISTED — the caller owns the unpersist), and the queries'
+    * default probe assignment. One definition so the filtered variants
+    * cannot drift from the unfiltered one.
     */
   private def externalAnnSetup(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val emb = Tables.embeddings(s, dir)
     val cells = math.max(8L, emb.count() / 100L).toInt
@@ -2145,7 +2313,7 @@ object VectorQueries {
         xq.select(col("qid").as("vec_id"), col("qv").as("v")),
         coarse, froute, SemDedupProbes, 2)
       .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
-    (xq, index, qcells)
+    (xq, index, qcells, coarse, froute)
   }
 
 }

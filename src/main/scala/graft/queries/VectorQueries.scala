@@ -26,7 +26,7 @@ object VectorQueries {
     * round-6 single-probe config (8 cells, p=1) measured 0.54 / 0.85.
     */
   private val SemDedupCells = 32
-  private val SemDedupProbes = 4
+  private[graft] val SemDedupProbes = 4
   private val SemDedupTau = 0.3
 
   /** Shared oracle scaffold for q210/q214, replicating
@@ -2288,19 +2288,7 @@ object VectorQueries {
     val emb = Tables.embeddings(s, dir)
     val cells = math.max(8L, emb.count() / 100L).toInt
     val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
-    val dims = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id"),
-        posexplode(Similarity.asDouble(col("embedding"))).as(Seq("j", "x")))
-    val xq = dims.withColumn("x2", col("x") +
-        when(conv(substring(md5(concat_ws("_", col("vec_id"), col("j"))),
-            32, 1), 16, 10).cast("int") % 2 === 1,
-          lit(0.025)).otherwise(lit(-0.025)))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("j"), col("x2")))).as("ps"))
-      .select((col("vec_id") + lit(Similarity.ExternalQueryIdOffset))
-          .as("qid"),
-        transform(col("ps"), _.getField("x2")).as("qv"))
-      .localCheckpoint(true) // 20 rows; reused by routing + search
+    val xq = externalQueries(s, dir)
     val coarse = Similarity.ivfCoarseCentroids(emb, nCoarse)
       .localCheckpoint(true)
     val froute = Similarity
@@ -2314,6 +2302,30 @@ object VectorQueries {
         coarse, froute, SemDedupProbes, 2)
       .select(col("vec_id").as("qid"), explode(col("cells")).as("cell"))
     (xq, index, qcells, coarse, froute)
+  }
+
+  /** The 20 deterministic external query vectors (q225's md5-parity ±0.025
+    * jitter of the first corpus vectors, ids offset by
+    * [[Similarity.ExternalQueryIdOffset]]) — package-visible so
+    * AnnSearchBench times search over the same query set q236/q237/q238
+    * verify.
+    */
+  private[graft] def externalQueries(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dims = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        posexplode(Similarity.asDouble(col("embedding"))).as(Seq("j", "x")))
+    dims.withColumn("x2", col("x") +
+        when(conv(substring(md5(concat_ws("_", col("vec_id"), col("j"))),
+            32, 1), 16, 10).cast("int") % 2 === 1,
+          lit(0.025)).otherwise(lit(-0.025)))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("x2")))).as("ps"))
+      .select((col("vec_id") + lit(Similarity.ExternalQueryIdOffset))
+          .as("qid"),
+        transform(col("ps"), _.getField("x2")).as("qv"))
+      .localCheckpoint(true) // 20 rows; reused by routing + search
   }
 
 }

@@ -74,21 +74,24 @@ object AnnSearchBench {
     val (coldS, rowsCold) = time(search())
     val (warmS, rowsWarm) = time(search())
 
-    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"metric":"ann_search_split","value":${f(warmS)},""" +
-      s""""unit":"sec","build_s":${f(buildS)},"search_cold_s":${f(coldS)},""" +
-      s""""search_warm_s":${f(warmS)},"s_per_query":${f(warmS / 20.0)},""" +
-      s""""n_vectors":$n,"cells":$cells,"rows":$rowsWarm,"sf":"$sfDir"}""")
     spark.stop()
     scala.util.Using.resource(
         java.nio.file.Files.walk(java.nio.file.Paths.get(state))) { w =>
       w.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
+    // gate BEFORE the metric line: a failed leg must never print timings a
+    // sweep-table grep could quote (the BucketedBench failed_rc lesson,
+    // ADVICE r12 — this binary had the trap the r11 runner patch fixed)
     if (rowsCold != rowsWarm || rowsWarm == 0) {
       System.err.println(s"ANN SEARCH BENCH FAILED: cold=$rowsCold " +
         s"warm=$rowsWarm (expected equal, nonzero)")
       sys.exit(1)
     }
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"ann_search_split","value":${f(warmS)},""" +
+      s""""unit":"sec","build_s":${f(buildS)},"search_cold_s":${f(coldS)},""" +
+      s""""search_warm_s":${f(warmS)},"s_per_query":${f(warmS / 20.0)},""" +
+      s""""n_vectors":$n,"cells":$cells,"rows":$rowsWarm,"sf":"$sfDir"}""")
   }
 }

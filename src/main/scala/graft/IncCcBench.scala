@@ -20,17 +20,15 @@ import graft.ext.Dedup
   *      parquet state (the ingest source delivers the batch as its own
   *      file — the step must not pay a corpus-table scan to find it).
   *   2. step_s — the per-ingest maintenance step against the PERSISTED
-  *      state only: shingle the batch, within-batch pairs
-  *      (Dedup.ngramJaccardPairs), cross corpus↔batch pairs via the
-  *      persisted postings (Dedup.crossCorpusJaccardPairsIndexed — the
-  *      batch postings broadcast, the corpus postings STREAM map-side),
-  *      collapse endpoints through the persisted labels (endpoint set
-  *      semi-joins the label table — labels stream, nothing corpus-sized
-  *      crosses an exchange), CC on the collapsed delta, and the
-  *      LABEL-UPDATE set (changed labels = label table inner-joined to
-  *      the broadcast delta + fresh endpoints + batch singletons) — the
+  *      state only: the pair delta (Dedup.incrementalCcPairs — batch
+  *      postings broadcast, corpus postings STREAM map-side) and the
+  *      changed ∪ fresh ∪ singles LABEL-UPDATE set
+  *      (Dedup.incrementalCcLabelUpdates — labels stream against the
+  *      broadcast delta, nothing corpus-sized crosses an exchange) — the
   *      delta-sized write a production step persists, NOT q232's
   *      corpus-sized relabel aggregate (which is an oracle-output shape).
+  *      Both seams are spec-pinned against q232's oracle-verified full
+  *      relabel (Round13Spec).
   *
   * The claim's prediction: step_s stays flat-to-sublinear across
   * 1×/10×/100× corpora at a fixed batch — the only corpus-linear terms
@@ -87,47 +85,15 @@ object IncCcBench {
     val labels = spark.read.parquet(s"$state/labels")
 
     val (stepS, out) = time {
+      // the step IS the library seams Round13Spec pins against q232's
+      // oracle-verified full relabel: pair delta against the persisted
+      // postings, then the delta-sized changed ∪ fresh ∪ singles update set
       val b = spark.read.parquet(s"$state/batch").localCheckpoint(true)
-      val within = Dedup.ngramJaccardPairs(b, "doc_id", "text", 3, 0.5)
-        .select("i", "j")
-      val cross = Dedup.crossCorpusJaccardPairsIndexed(postings, sizes, b,
+      val newPairs = Dedup.incrementalCcPairs(postings, sizes, b,
           "doc_id", "text", 3, 0.5)
-        .select("i", "j")
-      val newPairs = within.unionByName(cross).localCheckpoint(true)
-      // endpoint label lookup WITHOUT shuffling the label table: the
-      // (delta-sized) endpoint set broadcasts into a semi join, labels
-      // stream map-side (q232's plain left join would SMJ-shuffle the
-      // corpus-sized label table — fine at oracle scale, not here)
-      val ends = newPairs.select(col("i").as("id"))
-        .unionAll(newPairs.select(col("j").as("id"))).distinct()
         .localCheckpoint(true)
-      val endLabels = labels
-        .join(broadcast(ends), Seq("id"), "left_semi")
-        .localCheckpoint(true)
-      val collapsed = newPairs
-        .join(endLabels.select(col("id").as("i"), col("label").as("li")),
-          Seq("i"), "left")
-        .join(endLabels.select(col("id").as("j"), col("label").as("lj")),
-          Seq("j"), "left")
-        .select(coalesce(col("li"), col("i")).as("i"),
-          coalesce(col("lj"), col("j")).as("j"))
-      val delta = Dedup.connectedComponents(collapsed)
-        .select(col("id").as("dl"), col("label").as("nlabel"))
-        .localCheckpoint(true)
-      // the persisted update set: members of merged components whose label
-      // moves (labels stream against the broadcast delta), fresh endpoints,
-      // and batch singletons (trivial inserts at their own id)
-      val changed = labels.join(broadcast(delta), col("label") === col("dl"))
-        .filter(col("nlabel") =!= col("label"))
-        .select(col("id"), col("nlabel").as("label"))
-      val fresh = ends
-        .join(endLabels.select(col("id")), Seq("id"), "left_anti")
-        .join(delta, col("id") === col("dl"), "left")
-        .select(col("id"), coalesce(col("nlabel"), col("id")).as("label"))
-      val singles = b.select(col("doc_id").as("id"))
-        .join(ends, Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("label"))
-      val updates = changed.unionByName(fresh).unionByName(singles)
+      val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
+        b.select(col("doc_id").as("id")))
       val r = updates.agg(count(lit(1)).as("n_updates"),
         sum(col("id") + col("label")).as("chk")).head()
       val nPairs = newPairs.count()

@@ -728,12 +728,27 @@ object Similarity {
     */
   def ivfPqSearchIndexed(index: DataFrame, k: Int, queryPred: Column,
                          rerank: Int): DataFrame =
-    ivfPqSearchQueries(index,
+    // self-queries ARE corpus rows under their own ids — the nid ≠ qid
+    // guard is doing exactly its job here, so this path goes straight to
+    // the impl and never trips the external-contract debug gate
+    ivfPqSearchImpl(index,
       index.filter(queryPred)
         .select(col("vec_id").as("qid"), col("v").as("qv")),
       index.filter(queryPred)
         .select(col("vec_id").as("qid"), explode(col("cells")).as("cell")),
       k, rerank)
+
+  /** Spark-conf key for the [[ivfPqSearchQueries]] qid-disjointness debug
+    * gate: when "true", the external search pays one flag-gated semi-join
+    * probe of the index's id column and FAILS LOUDLY on a colliding qid
+    * instead of silently dropping that corpus row from the candidates
+    * (ADVICE r11/r12 — the contract was documentation-only). Off by
+    * default: production searches pay nothing; specs and debug sessions
+    * set it. [[ExternalQueryIdOffset]] remains the one sanctioned qid
+    * construction (q236/q237/AnnSearchBench all route through
+    * VectorQueries.externalQueries, which applies it).
+    */
+  val AssertQidDisjointConf = "spark.graft.debug.assertQidDisjoint"
 
   /** IVF-PQ search for EXTERNAL queries — the production search path: the
     * query vectors need not be index members (a user searching a corpus
@@ -752,6 +767,22 @@ object Similarity {
     */
   def ivfPqSearchQueries(index: DataFrame, queries: DataFrame,
                          qcells: DataFrame, k: Int, rerank: Int): DataFrame = {
+    if (index.sparkSession.conf
+        .getOption(AssertQidDisjointConf).contains("true")) {
+      val collisions = queries.select(col("qid").as("vec_id"))
+        .join(index.select("vec_id"), Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(collisions.isEmpty,
+        s"external query ids collide with corpus vec_ids " +
+          s"(${collisions.mkString(", ")}): the nid != qid guard would " +
+          "silently drop those corpus rows from the candidates — offset " +
+          "qids by Similarity.ExternalQueryIdOffset")
+    }
+    ivfPqSearchImpl(index, queries, qcells, k, rerank)
+  }
+
+  private def ivfPqSearchImpl(index: DataFrame, queries: DataFrame,
+                              qcells: DataFrame, k: Int, rerank: Int): DataFrame = {
     val corpus = index
       .select(col("vec_id").as("nid"), col("cells").getItem(0).as("cell"),
         col("pq_code"))
@@ -876,6 +907,7 @@ object Similarity {
     require(k > 0, s"kmeansPlusPlusInit needs k > 0 (got k=$k)")
     val spark = emb.sparkSession
     import spark.implicits._
+    val sc = spark.sparkContext
     // seeded uniform in (0,1): pmod keeps the hash in [0, MaxValue), the
     // +0.5 centers it away from both endpoints (u = 0 would make -ln(u)
     // infinite, u = 1 would make it 0 and always win the race)
@@ -894,19 +926,38 @@ object Similarity {
       (r.getLong(0), r.getSeq[Double](1))
     }
     val e0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // k > n would make every remaining point D² = 0 after the corpus is
+    // exhausted and the race's MaxValue tie would silently re-pick the
+    // lowest vec_id as a duplicate centroid — fail loudly instead
+    // (firstNInit's require(init.length == k) failure mode, ADVICE r12)
+    val n = e0.count()
+    require(n >= k,
+      s"kmeansPlusPlusInit needs at least k corpus rows (k=$k, rows=$n)")
     // first centroid: a uniform seeded pick (the race with all weights 1)
     val first = pick(e0.withColumn("key", u(0)))
     var chosen = List(first)
     var cur = e0.withColumn("d2", d2To(first._2)).localCheckpoint(true)
+    // generation discipline (ADVICE r12): each round's checkpoint is
+    // released as soon as its successor materializes — without this the
+    // k-1 generations stay pinned in the block manager until session end
+    // (O(k·n) storage), the exact leak CheckpointGen exists to prevent
+    var pinned = graft.util.CheckpointGen.pinnedIds(cur)
     for (t <- 1 until k) {
       val next = pick(cur.withColumn("key",
         when(col("d2") > 0, -log(u(t)) / col("d2"))
           .otherwise(lit(Double.MaxValue))))
       chosen ::= next
-      if (t < k - 1)
-        cur = cur.withColumn("d2", least(col("d2"), d2To(next._2)))
+      if (t < k - 1) {
+        val succ = cur.withColumn("d2", least(col("d2"), d2To(next._2)))
           .localCheckpoint(true)
+        graft.util.CheckpointGen.release(sc, pinned)
+        cur = succ
+        pinned = graft.util.CheckpointGen.pinnedIds(cur)
+      }
     }
+    graft.util.CheckpointGen.release(sc, pinned)
+    assert(chosen.map(_._1).distinct.length == k,
+      s"k-means++ race picked a duplicate centroid (k=$k)")
     chosen.reverse.zipWithIndex
       .map { case ((_, cv), i) => (i.toLong, cv) }
       .toDF("cid", "cv")

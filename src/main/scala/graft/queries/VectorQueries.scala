@@ -467,7 +467,7 @@ object VectorQueries {
   private val EvalOnlyQueries = Set(
     "q201_ann_recall", "q214_semantic_dedup_recall",
     "q217_ivf_pq_recall", "q225_lsh_geometry_eval",
-    "q228_two_level_dedup_agreement")
+    "q228_two_level_dedup_agreement", "q238_filtered_ann_recall_eval")
 
   val defs: Seq[QueryDef] = rawDefs.map(d =>
     if (EvalOnlyQueries(d.name)) d.copy(evalOnly = true) else d)

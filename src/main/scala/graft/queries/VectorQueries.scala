@@ -467,7 +467,8 @@ object VectorQueries {
   private val EvalOnlyQueries = Set(
     "q201_ann_recall", "q214_semantic_dedup_recall",
     "q217_ivf_pq_recall", "q225_lsh_geometry_eval",
-    "q228_two_level_dedup_agreement", "q238_filtered_ann_recall_eval")
+    "q228_two_level_dedup_agreement", "q238_filtered_ann_recall_eval",
+    "q239_kmeanspp_quality_eval")
 
   val defs: Seq[QueryDef] = rawDefs.map(d =>
     if (EvalOnlyQueries(d.name)) d.copy(evalOnly = true) else d)
@@ -2228,7 +2229,54 @@ object VectorQueries {
         |${filteredAnnStatsSql("de")}
         |UNION ALL
         |${filteredAnnStatsSql("zh3")})
-        |ORDER BY method""".stripMargin))
+        |ORDER BY method""".stripMargin)),
+
+    // ---- k-means++ init quality eval (the production centroid path,
+    // measured on the corpus) ----
+    // Round 12 proved the seeded ++ init's >10x quantization win on an
+    // adversarial spec fixture (Round12Spec's id-ordered blobs); this
+    // eval MEASURES the same comparison on the corpus the IVF operators
+    // actually cluster: converged quantization error (sum over vectors of
+    // min squared distance to the centroid set) of the deterministic
+    // first-n-seeded clustering vs the ++-seeded one, identical k and
+    // Lloyd iterations. Integer micro-units — floor(d2·1e6 + 0.5) per
+    // vector is exact/correctly-rounded IEEE ops on a deterministic d2
+    // (sequential-fold dot), so the long sums are partition-layout
+    // independent. Rows-only check by design: the seeded race is xxhash64
+    // (a DuckDB twin would re-implement the hash — the q98/q107 class);
+    // Round12Spec pins the init's semantics, this records the number.
+    // Expected reading: on THIS corpus vec_id order is uncorrelated with
+    // cluster structure, so first-n ≈ a random draw and the two inits
+    // converge to parity (measured ppm ≈ 1.00e6 at sf0.01) — ++'s value
+    // is ROBUSTNESS to id-ordered/adversarial layouts (the Round12Spec
+    // blobs, >10× there), not a win on already-shuffled data.
+    QueryDef("q239_kmeanspp_quality_eval",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        def errMicro(cents: org.apache.spark.sql.DataFrame): Long =
+          emb.select(Similarity.asDouble(col("embedding")).as("v"),
+              col("vec_id"))
+            .crossJoin(broadcast(cents))
+            .select(col("vec_id"),
+              greatest(Similarity.dot(col("v"), col("v"))
+                - lit(2.0) * Similarity.dot(col("v"), col("cv"))
+                + Similarity.dot(col("cv"), col("cv")), lit(0.0)).as("d2"))
+            .groupBy("vec_id").agg(min(col("d2")).as("best"))
+            .agg(sum(floor(col("best") * 1000000d + 0.5d).cast("long"))
+              .as("e"))
+            .head().getLong(0)
+        val (k, iters) = (8, 5)
+        val eFirst = errMicro(Similarity.kmeansCentroids(emb, k, iters))
+        val ePp = errMicro(
+          Similarity.kmeansPlusPlusCentroids(emb, k, iters, seed = 42L))
+        // ppm ratio in pure Long arithmetic (eFirst > 0: the corpus is
+        // never a perfect 8-point codebook)
+        Seq((k, iters, eFirst, ePp, ePp * 1000000L / eFirst))
+          .toDF("k", "iterations", "err_first_micro", "err_pp_micro",
+            "pp_vs_first_ppm")
+      },
+      None)
   )
 
   /** Per-selectivity oracle CTEs for q238: allowed ids, brute-force truth

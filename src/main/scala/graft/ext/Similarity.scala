@@ -897,11 +897,11 @@ object Similarity {
     * and its quantization-error win instead (Round12Spec).
     *
     * Scale note: k sequential rounds of one aggregate each — the right
-    * shape for k into the thousands. For k beyond that, the published
-    * fix is k-means‖ (Bahmani et al., VLDB 2012): oversample ~l·log(ψ)
-    * candidates in O(log ψ) rounds, then recluster the candidate set;
-    * the per-round machinery here (incremental D², seeded race) is the
-    * same building block.
+    * shape for k into the thousands. For k beyond that, use
+    * [[kmeansParallelInit]] (k-means‖, Bahmani et al. VLDB 2012):
+    * oversampled candidates in O(rounds) passes, then a driver-side
+    * weighted recluster — built from the same incremental-D²/seeded-draw
+    * machinery as this method.
     */
   def kmeansPlusPlusInit(emb: DataFrame, k: Int, seed: Long): DataFrame = {
     require(k > 0, s"kmeansPlusPlusInit needs k > 0 (got k=$k)")
@@ -975,6 +975,184 @@ object Similarity {
         s"(got k=$k, iterations=$iterations)")
     val spark = emb.sparkSession
     val init = kmeansPlusPlusInit(emb, k, seed)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+    try {
+      val (_, centroids) = lloyd(e, init, iterations, mAfterLast = true)
+      import spark.implicits._
+      centroids.toSeq.toDF("cid", "cv")
+    } finally e.unpersist()
+  }
+
+  /** k-means‖ init (Bahmani et al., "Scalable K-Means++", VLDB 2012) —
+    * the oversampled O(rounds)-pass seeding for k beyond what
+    * [[kmeansPlusPlusInit]]'s k sequential rounds can afford (at the
+    * autoscale law's cells ∝ n, a 10⁹-vector corpus wants k ~ 10⁵ fine
+    * centroids; ++ init is 10⁵ sequential jobs, this is ~5).
+    * Each round samples every point INDEPENDENTLY with probability
+    * min(1, l·d²/φ) (φ = current total quantization cost, one aggregate;
+    * the coin is the seeded xxhash64 uniform, so the draw is
+    * deterministic and partition-layout-free), adds the ~l sampled
+    * points to the candidate set, and tightens every point's d² against
+    * the new candidates — a NARROW map per round (the candidate batch
+    * rides in as expression literals; no shuffle, no vector ever crosses
+    * an exchange — codegen-friendly for l into the hundreds, falls back
+    * to interpreted expressions beyond Janino's method limits but stays
+    * narrow; the broadcast-join alternative would push the corpus
+    * vectors through a shuffle, which is the worse trade at every l).
+    * The ≤ 1 + l·rounds candidates are then weighted by the
+    * points they'd claim (one (vec_id → min struct) aggregate — only
+    * (vec_id, d2, cid) shuffles) and reclustered driver-side with
+    * WEIGHTED k-means++ (candidate count is l·rounds ≈ O(k), driver-safe
+    * by construction).
+    *
+    * Determinism: distributed draws are xxhash64(seed, round, vec_id);
+    * the driver recluster is a seeded Random over vec_id-sorted
+    * candidates. Degenerate corpora (fewer candidates than k because d²
+    * collapses early) fall back to topping up with the lowest-id
+    * non-candidate points — [[firstNInit]]'s failure mode, never a
+    * silent duplicate. Returns (cid, cv), cid = 0..k-1.
+    */
+  def kmeansParallelInit(emb: DataFrame, k: Int, seed: Long,
+      oversample: Int = 0, rounds: Int = 5): DataFrame = {
+    require(k > 0 && rounds > 0,
+      s"kmeansParallelInit needs k > 0 and rounds > 0 (got k=$k, rounds=$rounds)")
+    val l = if (oversample > 0) oversample else 2 * k
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def u(round: Int): Column =
+      (pmod(xxhash64(lit(seed), lit(round), col("vec_id")), lit(Long.MaxValue))
+        .cast("double") + lit(0.5)) / lit(Long.MaxValue.toDouble)
+    def d2To(c: Seq[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      greatest(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl)
+        + lit(c.map(x => x * x).sum), lit(0.0))
+    }
+    val e0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val n = e0.count()
+    require(n >= k,
+      s"kmeansParallelInit needs at least k corpus rows (k=$k, rows=$n)")
+    // seed candidate: the uniform race pick (all weights 1)
+    val first = e0
+      .select(min(struct(u(0).as("key"), col("vec_id"), col("v"))).as("m"))
+      .select(col("m.vec_id"), col("m.v")).head()
+    var cands = Vector((first.getLong(0), first.getSeq[Double](1)))
+    var cur = e0.withColumn("d2", d2To(cands.head._2)).localCheckpoint(true)
+    var pinned = graft.util.CheckpointGen.pinnedIds(cur)
+    for (t <- 1 to rounds) {
+      val phi = cur.agg(sum(col("d2"))).head().getDouble(0)
+      if (phi > 0) {
+        val knownIds = cands.map(_._1).toSet
+        val batch = cur
+          .filter(u(t) < lit(l.toDouble) * col("d2") / lit(phi))
+          .select(col("vec_id"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .filter(c => !knownIds.contains(c._1))
+          .sortBy(_._1)
+        if (batch.nonEmpty) {
+          cands ++= batch
+          // tighten d² against the whole batch in ONE narrow projection
+          val succ = cur.withColumn("d2",
+              least((col("d2") +: batch.toSeq.map(c => d2To(c._2))): _*))
+            .localCheckpoint(true)
+          graft.util.CheckpointGen.release(sc, pinned)
+          cur = succ
+          pinned = graft.util.CheckpointGen.pinnedIds(cur)
+        }
+      }
+    }
+    // deterministic top-up for degenerate corpora: lowest-id non-candidates
+    if (cands.length < k) {
+      val knownIds = cands.map(_._1).toSet
+      val extra = e0.filter(!col("vec_id").isInCollection(knownIds))
+        .orderBy("vec_id").limit(k - cands.length)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cands ++= extra
+    }
+    // weight candidates by the points they'd claim (argmin ties to the
+    // lowest candidate index — one aggregate; vectors stay put, only
+    // (vec_id, d2, cid) crosses the exchange)
+    val cdf = broadcast(cands.zipWithIndex
+      .map { case ((_, cv), i) => (i.toLong, cv) }.toDF("cid", "cv"))
+    val weights = e0.crossJoin(cdf)
+      .select(col("vec_id"), col("cid"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .groupBy(col("best.cid").as("cid")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.CheckpointGen.release(sc, pinned)
+    val weighted = cands.zipWithIndex.map { case ((_, cv), i) =>
+      (cv, weights.getOrElse(i.toLong, 0L).toDouble)
+    }
+    weightedPlusPlus(weighted, k, seed).zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv) }
+      .toDF("cid", "cv")
+  }
+
+  /** Driver-side WEIGHTED k-means++ over the (small) k-means‖ candidate
+    * set: D²·weight-proportional sequential picks with a seeded Random —
+    * the recluster step Bahmani et al. §3.3 prescribes. Deterministic
+    * under (input order, seed). Zero-weight candidates can still be
+    * picked only when every remaining mass is zero (degenerate top-up).
+    */
+  private def weightedPlusPlus(cands: Seq[(Seq[Double], Double)], k: Int,
+      seed: Long): Seq[Seq[Double]] = {
+    require(cands.length >= k,
+      s"weighted ++ recluster needs >= k candidates (k=$k, got ${cands.length})")
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // first pick: weight-proportional
+    def pickByMass(mass: Seq[Double]): Int = {
+      val tot = mass.sum
+      if (tot <= 0) mass.indices.head
+      else {
+        val r = rnd.nextDouble() * tot
+        var acc = 0.0; var i = 0
+        while (i < mass.length - 1 && acc + mass(i) < r) { acc += mass(i); i += 1 }
+        i
+      }
+    }
+    val taken = new Array[Boolean](cands.length)
+    val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+    def take(i: Int): Unit = { chosen += i; taken(i) = true }
+    take(pickByMass(cands.map(_._2)))
+    val minD2 = cands.map(c => d2(c._1, cands(chosen.head)._1)).toArray
+    while (chosen.length < k) {
+      val mass = cands.indices.map(i =>
+        if (taken(i)) 0.0 else cands(i)._2 * minD2(i))
+      val next =
+        if (mass.sum > 0) pickByMass(mass)
+        else cands.indices.find(i => !taken(i)).get
+      take(next)
+      var i = 0
+      while (i < minD2.length) {
+        val d = d2(cands(i)._1, cands(next)._1)
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+    }
+    chosen.toSeq.map(i => cands(i)._1)
+  }
+
+  /** k-means‖ init + Lloyd refinement — the large-k production twin of
+    * [[kmeansPlusPlusCentroids]] (identical E/M loop; only the seeding
+    * differs: O(rounds) passes instead of k). Deterministic under
+    * (seed, k, iterations, oversample, rounds).
+    */
+  def kmeansParallelCentroids(emb: DataFrame, k: Int, iterations: Int,
+      seed: Long, oversample: Int = 0, rounds: Int = 5): DataFrame = {
+    require(iterations > 0,
+      s"kmeansParallelCentroids needs iterations > 0 (got $iterations)")
+    val spark = emb.sparkSession
+    val init = kmeansParallelInit(emb, k, seed, oversample, rounds)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()

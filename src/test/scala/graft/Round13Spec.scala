@@ -108,4 +108,70 @@ class Round13Spec extends SparkSpec {
         .count() > 0)
     } finally spark.conf.unset(Similarity.AssertQidDisjointConf)
   }
+
+  // Round12Spec's adversarial fixture: three tight 2-D blobs with ids
+  // ordered so any first-n seeding lands every centroid in blob 0
+  private def skewedBlobs = {
+    import spark.implicits._
+    val pts = for {
+      (cx, cy, blob) <- Seq((0.0, 0.0, 0L), (10.0, 10.0, 1L), (20.0, 0.0, 2L))
+      i <- 0 until 8
+    } yield (blob * 8L + i,
+      Array((cx + (i % 4) * 0.1).toFloat, (cy + (i / 4) * 0.1).toFloat))
+    pts.toDF("vec_id", "embedding")
+  }
+
+  private def quantErr(pts: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): Double =
+    pts.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
+          "0D, (acc, x) -> acc + x)").as("d2"))
+      .groupBy("vec_id").agg(min(col("d2")).as("best"))
+      .agg(sum("best")).head().getDouble(0)
+
+  test("k-means|| (Bahmani oversampling) recovers the adversarial blobs " +
+      "in O(rounds) passes where first-n cannot") {
+    val firstN = Similarity.kmeansCentroids(skewedBlobs, 3, 5)
+    val par = Similarity.kmeansParallelCentroids(skewedBlobs, 3, 5, seed = 7L)
+    assert(par.count() == 3)
+    val (eF, eP) = (quantErr(skewedBlobs, firstN), quantErr(skewedBlobs, par))
+    // same structural gap Round12Spec asserts for ++: first-3 lumps two
+    // blobs under one centroid, the oversampled seeding separates them
+    assert(eP * 10 < eF,
+      s"k-means|| ($eP) should beat first-n ($eF) by >10x here")
+  }
+
+  test("k-means|| init is deterministic under a fixed seed and returns " +
+      "k centroids drawn from the corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, Dir)
+    def run() = Similarity.kmeansParallelInit(emb, 8, seed = 99L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val (a, b) = (run(), run())
+    assert(a.length == 8)
+    assert(a.map(_._1).sameElements(0L until 8L))
+    assert(a.map(_._2).sameElements(b.map(_._2)))
+    // every centroid is an actual corpus vector (init never invents points)
+    val corpus = emb.select(Similarity.asDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0)).toSet
+    assert(a.forall(c => corpus.contains(c._2)))
+  }
+
+  test("k-means|| degenerate corpus (fewer distinct points than k) tops " +
+      "up deterministically instead of silently duplicating") {
+    import spark.implicits._
+    // 3 distinct coordinates, each under 4 vec_ids: sampling mass dies
+    // after the 3 distinct points are candidates, so k = 5 must exercise
+    // the lowest-id top-up and the zero-mass recluster fallback
+    val pts = (0 until 12)
+      .map(i => (i.toLong, Array(((i % 3) * 10.0).toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val init = Similarity.kmeansParallelInit(pts, 5, seed = 3L).collect()
+    assert(init.length == 5)
+    val vecs = init.map(_.getSeq[Double](1))
+    // all three distinct coordinates survive the recluster (the duplicate
+    // fills cannot displace a real cluster)
+    assert(vecs.map(_.head).distinct.sorted.toSeq == Seq(0.0, 10.0, 20.0))
+  }
 }

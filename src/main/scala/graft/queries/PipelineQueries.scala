@@ -38,25 +38,36 @@ object PipelineQueries {
 
   // shared oracle scaffold for q65/q103: exact ngram-Jaccard pairs →
   // reachability closure → min-label components (`comp(id, label)`)
-  private val ccOracleCte =
-    """docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |sh AS (SELECT doc_id,
+  /** The DuckDB 3-shingle-Jaccard-CC closure (docs → shingle postings →
+    * thresholded pairs → reachability → min-label components), instanced
+    * under a name prefix and a doc predicate so one definition serves the
+    * full-corpus oracles (q65/q232) AND q240's corpus-only twin — the
+    * factoring rule: scaffold drift must be impossible, not unlikely.
+    */
+  private def ccCtesFor(p: String, pred: String): String =
+    s"""${p}docs AS (SELECT doc_id, string_split(text, ' ') w
+      |  FROM documents WHERE $pred),
+      |${p}sh AS (SELECT doc_id,
       |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) ds
-      |  FROM docs),
-      |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n FROM sh WHERE len(ds) > 0),
-      |cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+      |  FROM ${p}docs),
+      |${p}ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n
+      |  FROM ${p}sh WHERE len(ds) > 0),
+      |${p}cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
       |    any_value(a.n) AS na, any_value(b.n) AS nb
-      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM ${p}ex a JOIN ${p}ex b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |jpairs AS (SELECT i, j FROM cand
+      |${p}jpairs AS (SELECT i, j FROM ${p}cand
       |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
-      |edges AS (SELECT i AS src, j AS dst FROM jpairs
-      |  UNION ALL SELECT j, i FROM jpairs),
-      |reach(id, r) AS (
-      |  SELECT DISTINCT src, src FROM edges
+      |${p}edges AS (SELECT i AS src, j AS dst FROM ${p}jpairs
+      |  UNION ALL SELECT j, i FROM ${p}jpairs),
+      |${p}reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM ${p}edges
       |  UNION
-      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-      |comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
+      |  SELECT ${p}reach.id, e.dst FROM ${p}reach JOIN ${p}edges e
+      |    ON ${p}reach.r = e.src),
+      |${p}comp AS (SELECT id, min(r) AS label FROM ${p}reach GROUP BY id)""".stripMargin
+
+  private val ccOracleCte = ccCtesFor("", "TRUE")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1084,7 +1095,53 @@ object PipelineQueries {
         |  max(id) AS max_id
         |FROM comp
         |GROUP BY label
-        |ORDER BY label""".stripMargin))
+        |ORDER BY label""".stripMargin)),
+
+    // ---- the incremental-CC LABEL-UPDATE set itself, oracle-checked ----
+    // q232 verifies the post-ingest COMPONENT TABLE (the corpus-sized
+    // relabel — an oracle-output shape); this verifies the DELTA-SIZED
+    // WRITE a production step actually persists: Dedup's changed ∪ fresh
+    // ∪ singles update set against the persisted postings/sizes/labels
+    // state (the exact seam IncCcBench times and Round13Spec pins). The
+    // DuckDB twin derives the same set from two reachability closures —
+    // corpus-only (o_comp = the persisted labels) and full (comp = the
+    // rebuild): changed = ids whose closure label moved, fresh = ids the
+    // full closure labels that the corpus one didn't (endpoints pulled in
+    // by new pairs), singles = batch docs in no pair at all, self-labeled.
+    // Min-label canonicality makes the two formulations provably equal
+    // (q232's argument); this query makes the equality HASH-CHECKED.
+    QueryDef("q240_incremental_cc_updates",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 5 === 0
+        val oldDocs = docs.filter(!isNew)
+        // the persisted state (in production: parquet tables)
+        val postings = Dedup.ngramPostings(oldDocs, "doc_id", "text", 3)
+          .localCheckpoint(true)
+        val labels = Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(oldDocs, "doc_id", "text", 3, 0.5))
+          .localCheckpoint(true)
+        val newPairs = Dedup.incrementalCcPairs(postings,
+            Dedup.ngramPostingSizes(postings), docs.filter(isNew),
+            "doc_id", "text", 3, 0.5)
+          .localCheckpoint(true)
+        Dedup.incrementalCcLabelUpdates(labels, newPairs,
+            docs.filter(isNew).select(col("doc_id").as("id")))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${ccCtesFor("o_", "doc_id % 5 <> 0")},
+        |${ccCtesFor("", "TRUE")},
+        |upd AS (
+        |  SELECT o.id, c.label FROM o_comp o JOIN comp c ON o.id = c.id
+        |  WHERE c.label <> o.label
+        |  UNION ALL
+        |  SELECT c.id, c.label FROM comp c
+        |  LEFT JOIN o_comp o ON c.id = o.id WHERE o.id IS NULL
+        |  UNION ALL
+        |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
+        |  WHERE d.doc_id % 5 = 0
+        |    AND d.doc_id NOT IN (SELECT id FROM comp))
+        |SELECT id, label FROM upd ORDER BY id""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

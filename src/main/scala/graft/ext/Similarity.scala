@@ -995,17 +995,16 @@ object Similarity {
     * the coin is the seeded xxhash64 uniform, so the draw is
     * deterministic and partition-layout-free), adds the ~l sampled
     * points to the candidate set, and tightens every point's d² against
-    * the new candidates — a NARROW map per round (the candidate batch
-    * rides in as expression literals; no shuffle, no vector ever crosses
-    * an exchange — codegen-friendly for l into the hundreds, falls back
-    * to interpreted expressions beyond Janino's method limits but stays
-    * narrow; the broadcast-join alternative would push the corpus
-    * vectors through a shuffle, which is the worse trade at every l).
-    * The ≤ 1 + l·rounds candidates are then weighted by the
-    * points they'd claim (one (vec_id → min struct) aggregate — only
-    * (vec_id, d2, cid) shuffles) and reclustered driver-side with
-    * WEIGHTED k-means++ (candidate count is l·rounds ≈ O(k), driver-safe
-    * by construction).
+    * the new candidates — a NARROW map per round through the codegen
+    * [[graft.functions.NearestInSet]] expression (the candidate batch is
+    * ONE reference-object matrix, the generated loop is constant-size:
+    * no shuffle, no vector ever crosses an exchange, and codegen survives
+    * any l — the literal-fold alternative de-optimizes to interpreted
+    * evaluation at l ≈ 2k, the BandedSig lesson). The ≤ 1 + l·rounds
+    * candidates are then weighted by the points they'd claim (the same
+    * expression's argmin cid: one narrow map + a |C|-row aggregate) and
+    * reclustered driver-side with WEIGHTED k-means++ (candidate count is
+    * l·rounds ≈ O(k), driver-safe by construction).
     *
     * Determinism: distributed draws are xxhash64(seed, round, vec_id);
     * the driver recluster is a seeded Random over vec_id-sorted
@@ -1025,10 +1024,16 @@ object Similarity {
     def u(round: Int): Column =
       (pmod(xxhash64(lit(seed), lit(round), col("vec_id")), lit(Long.MaxValue))
         .cast("double") + lit(0.5)) / lit(Long.MaxValue.toDouble)
-    def d2To(c: Seq[Double]): Column = {
-      val cl = array(c.map(lit): _*)
-      greatest(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl)
-        + lit(c.map(x => x * x).sum), lit(0.0))
+    // d² against a candidate batch via the codegen NearestInSet expression
+    // (ONE reference-object matrix, constant-size generated loop) — the
+    // least(d2To(c1), …, d2To(cB)) literal chain this replaces fell out of
+    // codegen at B ≈ 2k and ran interpreted (measured 87 s vs 19 s at
+    // k=64 / 20k vectors — the BandedSig lesson, relearned)
+    def minD2(batch: Seq[Seq[Double]]): Column = {
+      val dim = batch.head.length
+      graft.functions.VectorExpressions
+        .nearestInSet(col("v"), batch.flatten.toArray, dim)
+        .getField("d2")
     }
     val e0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val n = e0.count()
@@ -1039,7 +1044,8 @@ object Similarity {
       .select(min(struct(u(0).as("key"), col("vec_id"), col("v"))).as("m"))
       .select(col("m.vec_id"), col("m.v")).head()
     var cands = Vector((first.getLong(0), first.getSeq[Double](1)))
-    var cur = e0.withColumn("d2", d2To(cands.head._2)).localCheckpoint(true)
+    var cur = e0.withColumn("d2", minD2(Seq(cands.head._2)))
+      .localCheckpoint(true)
     var pinned = graft.util.CheckpointGen.pinnedIds(cur)
     for (t <- 1 to rounds) {
       val phi = cur.agg(sum(col("d2"))).head().getDouble(0)
@@ -1055,7 +1061,7 @@ object Similarity {
           cands ++= batch
           // tighten d² against the whole batch in ONE narrow projection
           val succ = cur.withColumn("d2",
-              least((col("d2") +: batch.toSeq.map(c => d2To(c._2))): _*))
+              least(col("d2"), minD2(batch.map(_._2).toSeq)))
             .localCheckpoint(true)
           graft.util.CheckpointGen.release(sc, pinned)
           cur = succ
@@ -1072,18 +1078,15 @@ object Similarity {
       cands ++= extra
     }
     // weight candidates by the points they'd claim (argmin ties to the
-    // lowest candidate index — one aggregate; vectors stay put, only
-    // (vec_id, d2, cid) crosses the exchange)
-    val cdf = broadcast(cands.zipWithIndex
-      .map { case ((_, cv), i) => (i.toLong, cv) }.toDF("cid", "cv"))
-    val weights = e0.crossJoin(cdf)
-      .select(col("vec_id"), col("cid"),
-        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
-          + dot(col("cv"), col("cv"))).as("d2"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("best"))
-      .groupBy(col("best.cid").as("cid")).agg(count(lit(1)).as("w"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lowest candidate index, NearestInSet's tie rule) — one narrow map
+    // over the corpus + a |C|-row aggregate; no join, nothing wide
+    val candMatrix = cands.flatMap(_._2).toArray
+    val dim = cands.head._2.length
+    val weights = e0
+      .select(graft.functions.VectorExpressions
+        .nearestInSet(col("v"), candMatrix, dim).getField("cid").as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
     graft.util.CheckpointGen.release(sc, pinned)
     val weighted = cands.zipWithIndex.map { case ((_, cv), i) =>
       (cv, weights.getOrElse(i.toLong, 0L).toDouble)

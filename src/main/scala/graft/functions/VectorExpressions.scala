@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Native codegen dot product over two ArrayType(DoubleType) columns.
   *
@@ -53,8 +53,91 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest candidate in a driver-supplied centroid set: embedding →
+  * struct(d2 DOUBLE, cid INT) — the minimum squared Euclidean distance
+  * over the set and the index achieving it (ties → lowest index).
+  *
+  * Why a custom expression (the [[graft.functions.BandedSig]] lesson,
+  * measured again on k-means‖ round 13): folding each candidate in as a
+  * `least(d2To(c1), …, d2To(cB))` literal chain works for a handful of
+  * candidates but at B ≈ 2k the generated method exceeds Janino's limits,
+  * whole-stage codegen bails, and every row pays B interpreted
+  * CreateArray-of-64-literals allocations — measured 87 s vs the ++
+  * init's 19 s at k=64 on 20k vectors. Here the flattened candidate
+  * matrix is ONE reference object and the generated code is a
+  * constant-size double loop; B scales to the tens of thousands the
+  * k-means‖ recluster is built for.
+  *
+  * Case-class equality is reference equality on the matrix — fine for
+  * the per-round fresh instances the init builds; do not memoize plans
+  * across distinct matrices.
+  */
+case class NearestInSet(child: Expression, cands: Array[Double], dim: Int)
+    extends UnaryExpression with PqArrayInput {
+  require(dim > 0 && cands.nonEmpty && cands.length % dim == 0,
+    s"candidate matrix must be a nonempty multiple of dim=$dim (got ${cands.length})")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+  override def prettyName: String = "nearest_in_set"
+
+  private def nCands = cands.length / dim
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val x = getter(a)
+    val n = math.min(a.numElements(), dim)
+    var best = Double.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < nCands) {
+      val base = c * dim
+      var s = 0.0
+      var d = 0
+      while (d < n) { val t = x(d) - cands(base + d); s += t * t; d += 1 }
+      if (s < best) { best = s; bestC = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cm = ctx.addReferenceObj("nearestCands", cands, "double[]")
+      val (n, best, bestC, c, d, s, t, base) = (
+        ctx.freshName("n"), ctx.freshName("best"), ctx.freshName("bestC"),
+        ctx.freshName("c"), ctx.freshName("d"), ctx.freshName("s"),
+        ctx.freshName("t"), ctx.freshName("base"))
+      s"""
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |double $best = Double.MAX_VALUE; int $bestC = 0;
+         |for (int $c = 0; $c < $nCands; $c++) {
+         |  int $base = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    double $t = ${genGet(arr, d)} - $cm[$base + $d];
+         |    $s += $t * $t;
+         |  }
+         |  if ($s < $best) { $best = $s; $bestC = $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$best, $bestC});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by the codegen expression. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-level nearest-candidate struct(d2, cid) over a flattened
+    * driver-side candidate matrix (row-major, `dim` doubles per row).
+    */
+  def nearestInSet(v: Column, cands: Array[Double], dim: Int): Column =
+    GraftBridge.column(NearestInSet(GraftBridge.expression(v), cands, dim))
 }

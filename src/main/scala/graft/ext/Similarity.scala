@@ -926,15 +926,21 @@ object Similarity {
       (r.getLong(0), r.getSeq[Double](1))
     }
     val e0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // k > n would make every remaining point D² = 0 after the corpus is
-    // exhausted and the race's MaxValue tie would silently re-pick the
-    // lowest vec_id as a duplicate centroid — fail loudly instead
-    // (firstNInit's require(init.length == k) failure mode, ADVICE r12)
-    val n = e0.count()
+    // first centroid: a uniform seeded pick (the race with all weights 1).
+    // The n >= k guard rides the SAME aggregate (count piggybacked on the
+    // race min — ADVICE r13: a separate count() was a full corpus pass
+    // spent purely on a precondition): k > n would make every remaining
+    // point D² = 0 after the corpus is exhausted and the race's MaxValue
+    // tie would silently re-pick the lowest vec_id as a duplicate centroid
+    // — fail loudly instead (firstNInit's failure mode, ADVICE r12)
+    val fr = e0.withColumn("key", u(0))
+      .agg(min(struct(col("key"), col("vec_id"), col("v"))).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("m.vec_id"), col("m.v"), col("n")).head()
+    val n = fr.getLong(2)
     require(n >= k,
       s"kmeansPlusPlusInit needs at least k corpus rows (k=$k, rows=$n)")
-    // first centroid: a uniform seeded pick (the race with all weights 1)
-    val first = pick(e0.withColumn("key", u(0)))
+    val first = (fr.getLong(0), fr.getSeq[Double](1))
     var chosen = List(first)
     var cur = e0.withColumn("d2", d2To(first._2)).localCheckpoint(true)
     // generation discipline (ADVICE r12): each round's checkpoint is
@@ -956,8 +962,11 @@ object Similarity {
       }
     }
     graft.util.CheckpointGen.release(sc, pinned)
-    assert(chosen.map(_._1).distinct.length == k,
-      s"k-means++ race picked a duplicate centroid (k=$k)")
+    // explicit throw, NOT assert: the duplicate-centroid failure mode must
+    // fail loudly even in an assertions-elided build (ADVICE r13)
+    if (chosen.map(_._1).distinct.length != k)
+      throw new IllegalStateException(
+        s"k-means++ race picked a duplicate centroid (k=$k)")
     chosen.reverse.zipWithIndex
       .map { case ((_, cv), i) => (i.toLong, cv) }
       .toDF("cid", "cv")
@@ -1036,13 +1045,15 @@ object Similarity {
         .getField("d2")
     }
     val e0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val n = e0.count()
+    // seed candidate: the uniform race pick (all weights 1); the n >= k
+    // guard rides the same aggregate — no separate count() pass (ADVICE r13)
+    val first = e0
+      .agg(min(struct(u(0).as("key"), col("vec_id"), col("v"))).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("m.vec_id"), col("m.v"), col("n")).head()
+    val n = first.getLong(2)
     require(n >= k,
       s"kmeansParallelInit needs at least k corpus rows (k=$k, rows=$n)")
-    // seed candidate: the uniform race pick (all weights 1)
-    val first = e0
-      .select(min(struct(u(0).as("key"), col("vec_id"), col("v"))).as("m"))
-      .select(col("m.vec_id"), col("m.v")).head()
     var cands = Vector((first.getLong(0), first.getSeq[Double](1)))
     var cur = e0.withColumn("d2", minD2(Seq(cands.head._2)))
       .localCheckpoint(true)
@@ -1112,14 +1123,21 @@ object Similarity {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // first pick: weight-proportional
+    // first pick: weight-proportional. Zero-mass indices are never
+    // selectable while positive mass remains: rnd.nextDouble() == 0.0 would
+    // otherwise halt the scan on an already-taken (mass 0) candidate and
+    // return a duplicate centroid (ADVICE r13) — the scan steps over them
+    // unconditionally, which also keeps a trailing zero-mass index from
+    // absorbing the r ≈ tot boundary.
     def pickByMass(mass: Seq[Double]): Int = {
       val tot = mass.sum
       if (tot <= 0) mass.indices.head
       else {
         val r = rnd.nextDouble() * tot
         var acc = 0.0; var i = 0
-        while (i < mass.length - 1 && acc + mass(i) < r) { acc += mass(i); i += 1 }
+        while (i < mass.length - 1 && (mass(i) == 0.0 || acc + mass(i) < r)) {
+          acc += mass(i); i += 1
+        }
         i
       }
     }

@@ -87,7 +87,11 @@ case class NearestInSet(child: Expression, cands: Array[Double], dim: Int)
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val x = getter(a)
-    val n = math.min(a.numElements(), dim)
+    // a shorter input would silently score PARTIAL distances (wrong argmin,
+    // wrong d2) — fail loudly like the PqArrayInput type check (ADVICE r13)
+    if (a.numElements() < dim)
+      throw new IllegalArgumentException(s"$prettyName: input vector has " +
+        s"${a.numElements()} elements, candidate dim is $dim")
     var best = Double.MaxValue
     var bestC = 0
     var c = 0
@@ -95,7 +99,7 @@ case class NearestInSet(child: Expression, cands: Array[Double], dim: Int)
       val base = c * dim
       var s = 0.0
       var d = 0
-      while (d < n) { val t = x(d) - cands(base + d); s += t * t; d += 1 }
+      while (d < dim) { val t = x(d) - cands(base + d); s += t * t; d += 1 }
       if (s < best) { best = s; bestC = c }
       c += 1
     }
@@ -105,17 +109,20 @@ case class NearestInSet(child: Expression, cands: Array[Double], dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val cm = ctx.addReferenceObj("nearestCands", cands, "double[]")
-      val (n, best, bestC, c, d, s, t, base) = (
-        ctx.freshName("n"), ctx.freshName("best"), ctx.freshName("bestC"),
+      val (best, bestC, c, d, s, t, base) = (
+        ctx.freshName("best"), ctx.freshName("bestC"),
         ctx.freshName("c"), ctx.freshName("d"), ctx.freshName("s"),
         ctx.freshName("t"), ctx.freshName("base"))
       s"""
-         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |if ($arr.numElements() < $dim) {
+         |  throw new IllegalArgumentException("$prettyName: input vector has "
+         |    + $arr.numElements() + " elements, candidate dim is $dim");
+         |}
          |double $best = Double.MAX_VALUE; int $bestC = 0;
          |for (int $c = 0; $c < $nCands; $c++) {
          |  int $base = $c * $dim;
          |  double $s = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
+         |  for (int $d = 0; $d < $dim; $d++) {
          |    double $t = ${genGet(arr, d)} - $cm[$base + $d];
          |    $s += $t * $t;
          |  }

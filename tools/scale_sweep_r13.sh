@@ -14,8 +14,10 @@
 # true-dup regime; embeddings dim-rotated, so the vector side scales too).
 # Run from a git CLONE (REPO=<clone>), never the working repo: bash reads
 # scripts incrementally and sbt target/ locks collide with a live session.
+# REPO therefore has NO default (ADVICE r13: defaulting to /root/repo
+# contradicted the clone-only rule) — the caller must point it at a clone.
 set -u
-REPO=${REPO:-/root/repo}
+REPO=${REPO:?set REPO=<git clone of /root/repo> (never the working repo)}
 cd "$REPO"
 OUT=${1:-/tmp/scale_sweep_r13}
 mkdir -p "$OUT"
@@ -41,6 +43,12 @@ runm iC_10x  IncCcBench    /tmp/sf10salt        3600
 runm aS_1x   AnnSearchBench /root/testdata/sf0.1 1800
 runm aS_10x  AnnSearchBench /tmp/sf10salt        3600
 runm aS_100x AnnSearchBench /tmp/sf100x          5400 48g
+# kmInit: k-means|| vs ++ seeding cost/quality at the same three scales
+# (ADVICE r13: these legs were cited by SCALING.md but not reproducible
+# from the script)
+runm kmInit_1x   KmInitBench /root/testdata/sf0.1 1800
+runm kmInit_10x  KmInitBench /tmp/sf10salt        3600
+runm kmInit_100x KmInitBench /tmp/sf100x          5400 48g
 # the heaviest leg last: 100x prep re-runs full-corpus pairing + CC
 runm iC_100x IncCcBench    /tmp/sf100x          7200 48g
 

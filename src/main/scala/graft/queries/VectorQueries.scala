@@ -460,7 +460,7 @@ object VectorQueries {
       |        * ((SELECT COUNT(*) FROM corp) - 1)) AS cand_ppm)""".stripMargin
 
   /** Measurement-class queries (recall/geometry EVALS of the ANN operators,
-    * not pipelines): Bench times these once, not median-of-REPS — see
+    * not pipelines): Bench times these min-of-2, not median-of-REPS — see
     * QueryDef.evalOnly. Applied via post-map so the flag is declared in one
     * place instead of buried in four 50-line defs.
     */

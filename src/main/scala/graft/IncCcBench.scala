@@ -34,7 +34,21 @@ import graft.ext.Dedup
   * 1×/10×/100× corpora at a fixed batch — the only corpus-linear terms
   * left are shuffle-free streamed scans of the posting/label state
   * (embarrassingly parallel at cluster width), and every shuffle-bearing
-  * stage is delta-sized. Prints ONE JSON line.
+  * stage is delta-sized.
+  *
+  * Round 14 adds the step's BUCKET-PRUNED twin (step_pruned_s): prep also
+  * persists the postings hive-partitioned by pmod(sk, nBuckets)
+  * ([[graft.ext.Dedup.ngramPostingsBucketed]]; nBuckets auto-scales ∝
+  * corpus postings, override SPARK_GRAFT_POSTING_BUCKETS), and the pruned
+  * step probes only the batch's bucket set
+  * ([[graft.ext.Dedup.pruneToBatchBuckets]]) — retiring the one remaining
+  * corpus-linear term when |batch distinct sk| < nBuckets. The default
+  * ~1k-doc batch carries ~23k distinct keys and SATURATES feasible bucket
+  * counts (every bucket hit — the regime boundary, reported via
+  * buckets_hit/n_buckets); run a second leg with SPARK_GRAFT_BATCH_CAP=250
+  * (50 docs, ~1.4k keys) for the continuous-ingest regime where pruning
+  * bites. Both steps must produce identical updates (checked in-run).
+  * Prints ONE JSON line.
   */
 object IncCcBench {
   def main(args: Array[String]): Unit = {
@@ -64,7 +78,7 @@ object IncCcBench {
     val corpusDocs = corpus.count()
     val batchDocs = docs.filter(isBatch).count()
 
-    val (prepS, _) = time {
+    val (prepS, nBuckets) = time {
       Dedup.ngramPostings(corpus, "doc_id", "text", 3)
         .write.mode("overwrite").parquet(s"$state/postings")
       Dedup.ngramPostingSizes(spark.read.parquet(s"$state/postings"))
@@ -74,6 +88,18 @@ object IncCcBench {
         .write.mode("overwrite").parquet(s"$state/labels")
       docs.filter(isBatch)
         .write.mode("overwrite").parquet(s"$state/batch")
+      // the BUCKETED posting layout (r13 verdict #2): bucket count ∝
+      // corpus postings (≈3k rows/bucket, clamped), so at any scale a
+      // pruned probe reads O(|batch keys|) constant-size buckets. One
+      // file per bucket dir via repartition on the partition column.
+      val nPost = spark.read.parquet(s"$state/postings").count()
+      val b = sys.env.get("SPARK_GRAFT_POSTING_BUCKETS").map(_.toInt)
+        .getOrElse(math.min(16384L, math.max(64L, nPost / 3000L)).toInt)
+      Dedup.ngramPostingsBucketed(corpus, "doc_id", "text", 3, b)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$state/postings_bucketed")
+      b
     }
 
     spark.catalog.clearCache()
@@ -84,25 +110,57 @@ object IncCcBench {
     val sizes = spark.read.parquet(s"$state/sizes")
     val labels = spark.read.parquet(s"$state/labels")
 
-    val (stepS, out) = time {
-      // the step IS the library seams Round13Spec pins against q232's
-      // oracle-verified full relabel: pair delta against the persisted
-      // postings, then the delta-sized changed ∪ fresh ∪ singles update set
-      val b = spark.read.parquet(s"$state/batch").localCheckpoint(true)
-      val newPairs = Dedup.incrementalCcPairs(postings, sizes, b,
-          "doc_id", "text", 3, 0.5)
-        .localCheckpoint(true)
-      val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
-        b.select(col("doc_id").as("id")))
-      val r = updates.agg(count(lit(1)).as("n_updates"),
-        sum(col("id") + col("label")).as("chk")).head()
-      val nPairs = newPairs.count()
-      (r.getLong(0), r.getLong(1), nPairs)
+    def runStep(post: DataFrame => DataFrame): (Double, (Long, Long, Long)) =
+      time {
+        // the step IS the library seams Round13Spec pins against q232's
+        // oracle-verified full relabel: pair delta against the persisted
+        // postings, then the delta-sized changed ∪ fresh ∪ singles update
+        // set
+        val b = spark.read.parquet(s"$state/batch").localCheckpoint(true)
+        val newPairs = Dedup.incrementalCcPairs(post(postings), sizes, b,
+            "doc_id", "text", 3, 0.5)
+          .localCheckpoint(true)
+        val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
+          b.select(col("doc_id").as("id")))
+        val r = updates.agg(count(lit(1)).as("n_updates"),
+          sum(col("id") + col("label")).as("chk")).head()
+        val nPairs = newPairs.count()
+        (r.getLong(0), r.getLong(1), nPairs)
+      }
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
+
+    val (stepS, out) = runStep(identity)
+
+    // the PRUNED step: identical seams, but the corpus posting probe is
+    // the bucket-partitioned layout pruned to the batch's bucket set —
+    // the r13 verdict-#2 fix for the measured per-ingest floor (the full
+    // posting-state scan). Batch shingling here is delta-sized prep for
+    // the prune, not corpus work.
+    clear()
+    val bucketed = spark.read.parquet(s"$state/postings_bucketed")
+    var bucketsHit = 0
+    val (stepPrunedS, outPruned) = runStep { _ =>
+      val bPost = Dedup.ngramPostings(
+          spark.read.parquet(s"$state/batch"), "doc_id", "text", 3)
+        .localCheckpoint(true)
+      bucketsHit = bPost.select(Dedup.postingBucket(col("sk"), nBuckets))
+        .distinct().count().toInt
+      Dedup.pruneToBatchBuckets(bucketed, bPost, nBuckets)
+    }
+    // a pruned probe that changes the answer is a broken index, not a
+    // faster one — fail loudly before printing numbers
+    require(out == outPruned,
+      s"pruned step diverged from flat step: flat=$out pruned=$outPruned")
 
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"inc_cc_fixed_delta","value":${f(stepS)},""" +
       s""""unit":"sec","prep_s":${f(prepS)},"step_s":${f(stepS)},""" +
+      s""""step_pruned_s":${f(stepPrunedS)},"n_buckets":$nBuckets,""" +
+      s""""buckets_hit":$bucketsHit,""" +
       s""""corpus_docs":$corpusDocs,"batch_docs":$batchDocs,""" +
       s""""n_new_pairs":${out._3},"n_label_updates":${out._1},""" +
       s""""chk":${out._2},"sf":"$sfDir"}""")

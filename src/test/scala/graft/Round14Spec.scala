@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.ext.Dedup
+
+/** Round-14 invariants: the bucket-pruned posting probe (the delta-sized
+  * ingest fix for the r13-measured full-posting-scan floor) pinned
+  * against the full-state probe, and the pruning proven to reach the
+  * parquet scan (partition dirs actually skipped, not filtered post-read).
+  */
+class Round14Spec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.001"
+  private def split() = {
+    val docs = graft.sources.Tables.documents(spark, Dir)
+    val isBatch = col("doc_id") % 5 === 0
+    (docs.filter(!isBatch), docs.filter(isBatch))
+  }
+
+  test("bucket-pruned posting probe == full-state probe " +
+      "(pruneToBatchBuckets feeding crossCorpusJaccardPairsIndexed)") {
+    val (corpus, batch) = split()
+    val postings = Dedup.ngramPostings(corpus, "doc_id", "text", 3)
+      .localCheckpoint(true)
+    val sizes = Dedup.ngramPostingSizes(postings).localCheckpoint(true)
+    def pairs(post: org.apache.spark.sql.DataFrame) = Dedup
+      .crossCorpusJaccardPairsIndexed(post, sizes, batch,
+        "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val full = pairs(postings)
+    val bucketed = postings
+      .withColumn("bucket", Dedup.postingBucket(col("sk"), 64))
+    val bPost = Dedup.ngramPostings(batch, "doc_id", "text", 3)
+      .localCheckpoint(true)
+    val pruned = pairs(Dedup.pruneToBatchBuckets(bucketed, bPost, 64))
+    assert(full.nonEmpty, "fixture produced no cross-corpus pairs")
+    assert(pruned.sameElements(full))
+  }
+
+  test("bucket pruning reaches the parquet scan: only the batch's bucket " +
+      "dirs are read (numFiles metric on the hive-partitioned state)") {
+    val (corpus, batch) = split()
+    val nBuckets = 512
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_r14_buckets").toString
+    try {
+      Dedup.ngramPostingsBucketed(corpus, "doc_id", "text", 3, nBuckets)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$state/postings_bucketed")
+      val bucketed = spark.read.parquet(s"$state/postings_bucketed")
+      // a one-doc ingest batch: ~30 distinct shingle keys, so far fewer
+      // hit buckets than the corpus's dir count
+      val oneDoc = batch.orderBy("doc_id").limit(1).localCheckpoint(true)
+      val bPost = Dedup.ngramPostings(oneDoc, "doc_id", "text", 3)
+        .localCheckpoint(true)
+      val hit = bPost.select(Dedup.postingBucket(col("sk"), nBuckets))
+        .distinct().count()
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect() // settle AQE + populate scan metrics
+        val plan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scans = plan.collectLeaves()
+          .collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty, s"no FileSourceScan in:\n$plan")
+        scans.map(_.metrics("numFiles").value).sum
+      }
+      val fullFiles = filesRead(bucketed)
+      val prunedFiles = filesRead(
+        Dedup.pruneToBatchBuckets(bucketed, bPost, nBuckets))
+      assert(fullFiles > hit * 4,
+        s"fixture too small to demonstrate pruning (full=$fullFiles hit=$hit)")
+      assert(prunedFiles <= hit,
+        s"scan read $prunedFiles files for $hit hit buckets — partition " +
+          "pruning did not reach the scan")
+    } finally {
+      scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(state))) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+}

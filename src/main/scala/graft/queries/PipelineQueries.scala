@@ -1141,7 +1141,123 @@ object PipelineQueries {
         |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
         |  WHERE d.doc_id % 5 = 0
         |    AND d.doc_id NOT IN (SELECT id FROM comp))
-        |SELECT id, label FROM upd ORDER BY id""".stripMargin))
+        |SELECT id, label FROM upd ORDER BY id""".stripMargin)),
+
+    // ---- STREAMING incremental-CC maintenance, end to end (r13 #6) ----
+    // q240 oracle-checks ONE label-update write; this runs the whole
+    // maintenance loop AS A STREAM — the last uncomposed seam of the
+    // production dedup story. The ingest arrives as a multi-epoch file
+    // stream (3 staged files, maxFilesPerTrigger=1); each foreachBatch
+    // epoch runs the exact library seams against the CURRENT persisted
+    // state: delta pairs (within-batch ∪ cross-corpus via the posting
+    // index), the changed ∪ fresh ∪ singles label-update set, an
+    // idempotent per-epoch delta write (overwrite keyed by epoch — the
+    // production parquet artifact; the state upsert reads the WRITTEN
+    // delta back, so the write IS the handoff), then label upsert +
+    // posting/size append so the NEXT epoch screens against corpus ∪
+    // all prior epochs. Batch-boundary independence: the Round13Spec
+    // step ≡ rebuild equivalence holds at every state the induction
+    // visits (a self-labeled singleton collapses identically to an
+    // unlabeled endpoint), so the final label table equals the full
+    // rebuild regardless of how the ingest splits — which makes it
+    // SQL-oracle-able: full-closure components ∪ self-labels for
+    // streamed docs that never pair. State generations are released as
+    // their successors materialize (CheckpointGen — a stream must not
+    // grow block-manager pins per epoch).
+    QueryDef("q242_stream_cc_maintenance",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 5 === 0
+        val sc = s.sparkContext
+        import graft.util.CheckpointGen
+        var postings = Dedup.ngramPostings(docs.filter(!isNew),
+            "doc_id", "text", 3)
+          .localCheckpoint(true)
+        var sizes = Dedup.ngramPostingSizes(postings).localCheckpoint(true)
+        var labels = Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(docs.filter(!isNew),
+              "doc_id", "text", 3, 0.5))
+          .localCheckpoint(true)
+        var postPins = CheckpointGen.pinnedIds(postings)
+        var sizePins = CheckpointGen.pinnedIds(sizes)
+        var labelPins = CheckpointGen.pinnedIds(labels)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_cc").toString
+        try {
+          // stage the ingest as one file per epoch (flat dir, so
+          // maxFilesPerTrigger=1 delivers exactly 3 micro-batches)
+          java.nio.file.Files
+            .createDirectories(java.nio.file.Paths.get(s"$root/in"))
+          for (e <- 0 until 3) {
+            val scratch = s"$root/scratch$e"
+            docs.filter(isNew && col("doc_id") % 15 === e * 5)
+              .select("doc_id", "text").coalesce(1)
+              .write.mode("overwrite").parquet(scratch)
+            scala.util.Using.resource(java.nio.file.Files
+                .list(java.nio.file.Paths.get(scratch))) { w =>
+              val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
+                .findFirst().get()
+              java.nio.file.Files.move(part,
+                java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
+            }
+          }
+          val schema = s.read.parquet(s"$root/in/e0.parquet").schema
+          val ingest = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$root/in/*")
+          val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, epoch) => {
+              val b = batch.localCheckpoint(true)
+              val bPins = CheckpointGen.pinnedIds(b)
+              val newPairs = Dedup.incrementalCcPairs(postings, sizes, b,
+                  "doc_id", "text", 3, 0.5)
+                .localCheckpoint(true)
+              val pairPins = CheckpointGen.pinnedIds(newPairs)
+              val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
+                b.select(col("doc_id").as("id")))
+              updates.write.mode("overwrite")
+                .parquet(s"$root/updates/batch=$epoch")
+              CheckpointGen.release(sc,
+                pairPins ++ CheckpointGen.pinnedIds(updates))
+              val persisted = s.read.parquet(s"$root/updates/batch=$epoch")
+              val nextLabels = Dedup.applyCcLabelUpdates(labels, persisted)
+                .localCheckpoint(true)
+              val nlp = CheckpointGen.pinnedIds(nextLabels)
+              CheckpointGen.release(sc, labelPins -- nlp)
+              labels = nextLabels; labelPins = nlp
+              val bp = Dedup.ngramPostings(b, "doc_id", "text", 3)
+                .localCheckpoint(true)
+              val bpPins = CheckpointGen.pinnedIds(bp)
+              val nextPost = postings.unionByName(bp).localCheckpoint(true)
+              val npp = CheckpointGen.pinnedIds(nextPost)
+              CheckpointGen.release(sc, postPins -- npp)
+              postings = nextPost; postPins = npp
+              val nextSizes = sizes
+                .unionByName(Dedup.ngramPostingSizes(bp))
+                .localCheckpoint(true)
+              val nsp = CheckpointGen.pinnedIds(nextSizes)
+              CheckpointGen.release(sc, (sizePins ++ bpPins ++ bPins) -- nsp)
+              sizes = nextSizes; sizePins = nsp
+            }
+          val q = ingest.writeStream.foreachBatch(step).start()
+          try q.processAllAvailable() finally q.stop()
+          labels.orderBy("id").localCheckpoint(true)
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH RECURSIVE $ccOracleCte,
+        |fin AS (
+        |  SELECT id, label FROM comp
+        |  UNION ALL
+        |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
+        |  WHERE d.doc_id % 5 = 0
+        |    AND d.doc_id NOT IN (SELECT id FROM comp))
+        |SELECT id, label FROM fin ORDER BY id""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

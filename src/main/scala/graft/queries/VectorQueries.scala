@@ -2276,7 +2276,55 @@ object VectorQueries {
           .toDF("k", "iterations", "err_first_micro", "err_pp_micro",
             "pp_vs_first_ppm")
       },
-      None)
+      None),
+
+    // ---- k-means‖ seeding wired into the two-level PRODUCTION build ----
+    // kmeansParallelCentroids existed, was spec-pinned and benched
+    // (KmInitBench: init 2.2/4.7/24.6 s vs ++'s 11.8/14.3/30.4 s across
+    // the 1×/10×/100× corpora at k=64), but no composed artifact used it
+    // (r13 verdict #3). Here the ‖-seeded Lloyd centroids ARE the
+    // fine-cell table of the two-level build (buildIvfPqIndexTwoLevelWith
+    // — the index a production corpus builds at the autoscale law's
+    // k ~ 10⁴, where ++'s k sequential barrier jobs are exactly what ‖
+    // exists to remove). The ‖ race is seeded xxhash64 — the
+    // q98/q107/q239 un-oracle-able class — so the search runs at
+    // DEGENERATE knobs (nProbe = cells, gProbe = nCoarse, rerank = n):
+    // every candidate survives every stage, and the output must equal
+    // exact brute-force cosine top-5 REGARDLESS of where the seeded
+    // centroids landed — which IS DuckDB-expressible (q35's chain).
+    // What the hash-check proves: the ‖-seeded centroid table feeds
+    // routing, build, ADC shortlist and exact rerank bit-identically end
+    // to end (q227's argument with the seeding swapped in). Seeding
+    // QUALITY at production knobs is measured territory —
+    // KmInitBench (seed cost/quality ±1% vs ++) and Round13Spec (>10×
+    // blob recovery vs first-n) — not oracle territory.
+    QueryDef("q241_kmeans_par_seeded_index",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val n = emb.count().toInt
+        val cells = math.max(8, n / 100)
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val fine = Similarity.kmeansParallelCentroids(emb, cells,
+          iterations = 2, seed = 7L, rounds = 3)
+        val coarse = Similarity.ivfCoarseCentroids(emb, nCoarse)
+          .localCheckpoint(true)
+        val index = Similarity.buildIvfPqIndexTwoLevelWith(emb, fine,
+            coarse, cells, nCoarse)
+          .persist()
+        try Similarity.ivfPqSearchIndexed(index, 5,
+            col("vec_id") % 50 === 0, rerank = n)
+          .orderBy("qid", "rn").localCheckpoint(true)
+        finally index.unpersist(blocking = false)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosSql AS cos
+        |  FROM e a JOIN e b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+        |ranked AS (SELECT qid, nid, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin))
   )
 
   /** Per-selectivity oracle CTEs for q238: allowed ids, brute-force truth

@@ -86,4 +86,39 @@ class Round14Spec extends SparkSpec {
       }
     }
   }
+
+  test("q241: the k-means‖-seeded two-level index at degenerate knobs " +
+      "== brute-force cosine top-k (the seeding feeds search bit-exactly)") {
+    val result = SparkEntry.queries("q241_kmeans_par_seeded_index")(
+        spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val emb = graft.sources.Tables.embeddings(spark, Dir)
+    val brute = graft.ext.Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(brute.nonEmpty, "fixture produced no brute-force neighbors")
+    assert(result.sameElements(brute))
+  }
+
+  test("q242: streamed multi-epoch CC maintenance == the full rebuild " +
+      "∪ batch-singleton self-labels (batch-boundary independence)") {
+    val result = SparkEntry.queries("q242_stream_cc_maintenance")(
+        spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val docs = graft.sources.Tables.documents(spark, Dir)
+    val comp = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val compIds = comp.map(_._1).toSet
+    val singles = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filterNot(compIds).map(id => (id, id))
+    val truth = (comp ++ singles).sorted
+    assert(comp.nonEmpty, "fixture produced no components")
+    assert(result.sameElements(truth))
+  }
 }

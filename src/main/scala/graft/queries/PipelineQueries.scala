@@ -69,6 +69,58 @@ object PipelineQueries {
 
   private val ccOracleCte = ccCtesFor("", "TRUE")
 
+  /** The DSIR importance scores (doc_id, source, score_raw) shared by the
+    * global-quota (q229) and per-source-quota (q243) selections — one
+    * definition so the two selection policies cannot drift apart in
+    * scoring. Add-one-smoothed unigram log-likelihood ratio of target
+    * ('src0') vs pool; per-token weights are pure IEEE divisions,
+    * per-doc scores accumulate through dsum (decimal-6), scores stay
+    * UNROUNDED for ranking.
+    */
+  private def dsirScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val isT = col("source") === "src0"
+    val cnt = toks.groupBy("tok").agg(
+      sum(when(isT, 1L).otherwise(0L)).as("a"),
+      sum(when(isT, 0L).otherwise(1L)).as("b"))
+    val tot = cnt.agg(sum("a").as("na"), sum("b").as("nb"),
+      count(lit(1)).as("v"))
+    val w = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (((col("a") + 1).cast("double")
+            / (col("na") + col("v")).cast("double"))
+          / ((col("b") + 1).cast("double")
+            / (col("nb") + col("v")).cast("double"))).as("w"))
+    toks.filter(!isT)
+      .join(w, "tok")
+      .groupBy("doc_id", "source")
+      .agg(dsum(log(col("w"))).as("score_raw"))
+  }
+
+  /** The DuckDB twin of [[dsirScores]] (CTEs tok→cnt→tot→w→scored). */
+  private val dsirScoreCtes =
+    s"""tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT tok,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS b
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT SUM(a) AS na, SUM(b) AS nb, COUNT(*) AS v FROM cnt),
+      |w AS (
+      |  SELECT tok,
+      |    ((CAST(a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+      |      / ((CAST(b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))) AS w
+      |  FROM cnt CROSS JOIN tot),
+      |scored AS (
+      |  SELECT t.doc_id, t.source, ${sqlDsum("ln(w.w)")} AS score_raw
+      |  FROM tok t JOIN w ON t.tok = w.tok
+      |  WHERE t.source <> 'src0' GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- deterministic train/test split (hash-mod buckets, 80/20) ----
@@ -969,25 +1021,7 @@ object PipelineQueries {
     // threshold from an approx quantile and the rest is unchanged.
     QueryDef("q229_dsir_selection",
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            explode(split(col("text"), " ")).as("tok"))
-        val isT = col("source") === "src0"
-        val cnt = toks.groupBy("tok").agg(
-          sum(when(isT, 1L).otherwise(0L)).as("a"),
-          sum(when(isT, 0L).otherwise(1L)).as("b"))
-        val tot = cnt.agg(sum("a").as("na"), sum("b").as("nb"),
-          count(lit(1)).as("v"))
-        val w = cnt.crossJoin(broadcast(tot))
-          .select(col("tok"),
-            (((col("a") + 1).cast("double")
-                / (col("na") + col("v")).cast("double"))
-              / ((col("b") + 1).cast("double")
-                / (col("nb") + col("v")).cast("double"))).as("w"))
-        val scored = toks.filter(!isT)
-          .join(w, "tok")
-          .groupBy("doc_id", "source")
-          .agg(dsum(log(col("w"))).as("score_raw"))
+        val scored = dsirScores(s, dir)
         val win = Window.orderBy(col("score_raw").desc, col("doc_id").asc)
         scored
           .withColumn("rn", row_number().over(win))
@@ -998,24 +1032,7 @@ object PipelineQueries {
             round(col("score_raw"), 6).as("score"), col("rn"))
           .orderBy("rn")
       },
-      Some(s"""WITH tok AS (
-        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |cnt AS (
-        |  SELECT tok,
-        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
-        |    SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS b
-        |  FROM tok GROUP BY 1),
-        |tot AS (SELECT SUM(a) AS na, SUM(b) AS nb, COUNT(*) AS v FROM cnt),
-        |w AS (
-        |  SELECT tok,
-        |    ((CAST(a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
-        |      / ((CAST(b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))) AS w
-        |  FROM cnt CROSS JOIN tot),
-        |scored AS (
-        |  SELECT t.doc_id, t.source, ${sqlDsum("ln(w.w)")} AS score_raw
-        |  FROM tok t JOIN w ON t.tok = w.tok
-        |  WHERE t.source <> 'src0' GROUP BY 1, 2),
+      Some(s"""WITH $dsirScoreCtes,
         |rk AS (
         |  SELECT doc_id, source, score_raw,
         |    ROW_NUMBER() OVER (ORDER BY score_raw DESC, doc_id ASC) AS rn,
@@ -1025,6 +1042,45 @@ object PipelineQueries {
         |  CAST(rn AS INTEGER) AS rn
         |FROM rk WHERE rn <= (total + 9) // 10
         |ORDER BY rn""".stripMargin)),
+
+    // ---- DSIR selection under a PER-SOURCE quota (the 100 TB swap) ----
+    // q229's scaladoc documents its one scale caveat: the global
+    // top-10% window ranks the whole selection state through ONE sort.
+    // This is the documented swap as a tested operator instead of a
+    // comment (r13 verdict #8): identical scoring (one definition —
+    // dsirScores / dsirScoreCtes, so the pair cannot drift), but the
+    // quota applies WITHIN each source — rank and census are
+    // per-source-partitioned windows, so every sort is bounded by its
+    // source's rows and sources rank in parallel across the cluster; no
+    // global single-partition sort exists in the plan. Per-source quotas
+    // are also what a mixture-balancing ingest actually wants: the
+    // global quota lets one high-affinity source crowd out the rest,
+    // the per-source quota preserves the pool's source mixture.
+    QueryDef("q243_dsir_per_source_quota",
+      (s, dir) => {
+        val scored = dsirScores(s, dir)
+        val win = Window.partitionBy("source")
+          .orderBy(col("score_raw").desc, col("doc_id").asc)
+        scored
+          .withColumn("rn", row_number().over(win))
+          .withColumn("total", count(lit(1)).over(
+            Window.partitionBy("source")))
+          .filter(col("rn") <= expr("(total + 9) div 10"))
+          .select(col("doc_id"), col("source"),
+            round(col("score_raw"), 6).as("score"), col("rn"))
+          .orderBy("source", "rn")
+      },
+      Some(s"""WITH $dsirScoreCtes,
+        |rk AS (
+        |  SELECT doc_id, source, score_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score_raw DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS total
+        |  FROM scored)
+        |SELECT doc_id, source, round(score_raw, 6) AS score,
+        |  CAST(rn AS INTEGER) AS rn
+        |FROM rk WHERE rn <= (total + 9) // 10
+        |ORDER BY source, rn""".stripMargin)),
 
     // ---- incremental CC maintenance (label state + a delta of new pairs) --
     // The q79 analog for the COMPONENT graph: q79 screens an incoming batch

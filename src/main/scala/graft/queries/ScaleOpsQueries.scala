@@ -586,6 +586,73 @@ object ScaleOpsQueries {
         |SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
         |  CAST(SUM(s) AS DOUBLE) AS total
         |FROM partials GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- incremental dedup against the BUCKET-PARTITIONED posting state --
+    // q79 screens a batch against the corpus by re-shingling both sides;
+    // q240/IncCcBench probe a PERSISTED flat posting index. This runs the
+    // round-14 storage layout end to end, driver-checked: the corpus
+    // postings are persisted hive-partitioned by pmod(sk, 256)
+    // (Dedup.ngramPostingsBucketed — one file per bucket dir), and the
+    // ingest screen prunes the probe to the batch's bucket set
+    // (Dedup.pruneToBatchBuckets: a literal partition filter, so the scan
+    // reads ONLY hit bucket dirs — Round14Spec asserts the numFiles
+    // metric). Pruning is result-invariant by construction (a pruned
+    // bucket holds no batch key), which the oracle makes hash-checked:
+    // the output must equal the plain cross-corpus Jaccard SQL over the
+    // same split. At scale the bucket count grows ∝ corpus postings
+    // (constant rows per bucket), making the probe's read O(|batch
+    // keys|) — the delta-sized ingest the r13 verdict asked for.
+    QueryDef("q244_bucket_pruned_screen",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 5 === 0
+        val corpus = docs.filter(!isNew)
+        val batch = docs.filter(isNew)
+        val state = java.nio.file.Files
+          .createTempDirectory("graft_q244_state").toString
+        try {
+          // one-time prep a production deployment amortizes: the
+          // bucket-partitioned posting index + per-doc sizes
+          graft.ext.Dedup
+            .ngramPostingsBucketed(corpus, "doc_id", "text", 3, 256)
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$state/postings")
+          val bucketed = s.read.parquet(s"$state/postings")
+          val sizes = graft.ext.Dedup
+            .ngramPostingSizes(bucketed.select("i", "sk"))
+            .localCheckpoint(true)
+          // the per-ingest screen: batch postings once (delta-sized),
+          // probe pruned to their bucket set
+          val bPost = graft.ext.Dedup
+            .ngramPostings(batch, "doc_id", "text", 3)
+            .localCheckpoint(true)
+          graft.ext.Dedup.crossCorpusJaccardPairsIndexed(
+              graft.ext.Dedup.pruneToBatchBuckets(bucketed, bPost, 256),
+              sizes, batch, "doc_id", "text", 3, 0.5)
+            .orderBy("i", "j")
+            .localCheckpoint(true) // materialize before the state dir dies
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(state))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) ds
+        |  FROM docs),
+        |ex AS (SELECT doc_id, unnest(ds) AS s, len(ds) AS n FROM sh WHERE len(ds) > 0),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s
+        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+        |ORDER BY i, j""".stripMargin))
   )
 }

@@ -2088,12 +2088,7 @@ object VectorQueries {
           .orderBy("qid", "rn").localCheckpoint(true)
         finally index.unpersist(blocking = false)
       },
-      Some(s"""WITH ${ivfPqSearchCtesWith(externalQueryRoutedCtes,
-          "asg AS (SELECT vec_id, cell FROM asgp WHERE rn = 1)",
-          "qprobe AS (SELECT qid, cell FROM xqasgp)",
-          "qvec AS (SELECT qid, qv AS v FROM xq)")}
-        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin)),
+      Some(externalSearchOracleSql)),
 
     // ---- FILTERED ANN search (metadata predicate × vector search) --------
     // The retrieval composite users actually run: "nearest documents to my
@@ -2324,8 +2319,98 @@ object VectorQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
         |  FROM scored)
         |SELECT qid, rn, nid, cos FROM ranked WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin))
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- STREAMING ANN search (the serving path as a stream) ----------
+    // q233/q235 stream the WRITE side of the vector store (ingest screen,
+    // index append); this streams the READ side — the retrieval serving
+    // loop a deployed index actually runs: query vectors arrive as
+    // micro-batches (q236's 20 external queries staged as 4 single-file
+    // epochs, maxFilesPerTrigger=1) and each foreachBatch epoch routes
+    // ONLY the batch's queries against the index's persisted coarse/fine
+    // tables (batch·O(√cells) routing — the same delta-sized seam an
+    // append batch uses), runs the unchanged ADC/rerank chain against the
+    // STATIC persisted index, and lands results via the idempotent
+    // overwrite-by-epoch parquet sink (q187's discipline: replaying any
+    // epoch rewrites the identical result — per-query search depends only
+    // on (query row, static index), so the verdict set is row-local and
+    // independent of batch boundaries and delivery order). That
+    // independence is what makes a STREAM SQL-oracle-able: union over
+    // epochs ≡ the one-shot batch search, so the oracle IS q236's —
+    // shared by construction (externalSearchOracleSql), hash-exact.
+    // At scale this is the stream-static join pattern: the index is the
+    // static side (persisted, cell-partitioned), each micro-batch joins
+    // its routed cells only — no per-epoch index scan, no stream state.
+    QueryDef("q245_stream_ann_search",
+      (s, dir) => {
+        val (xq, index, _, coarse, froute) = externalAnnSetup(s, dir)
+        val sc = s.sparkContext
+        import graft.util.CheckpointGen
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_ann").toString
+        try {
+          // stage the queries as one file per epoch (flat dir, so
+          // maxFilesPerTrigger=1 delivers exactly 4 micro-batches)
+          java.nio.file.Files
+            .createDirectories(java.nio.file.Paths.get(s"$root/in"))
+          for (e <- 0 until 4) {
+            val scratch = s"$root/scratch$e"
+            xq.filter(pmod(col("qid"), lit(4)) === e).coalesce(1)
+              .write.mode("overwrite").parquet(scratch)
+            scala.util.Using.resource(java.nio.file.Files
+                .list(java.nio.file.Paths.get(scratch))) { w =>
+              val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
+                .findFirst().get()
+              java.nio.file.Files.move(part,
+                java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
+            }
+          }
+          val schema = s.read.parquet(s"$root/in/e0.parquet").schema
+          val ingest = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$root/in/*")
+          val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, epoch) => {
+              val b = batch.localCheckpoint(true)
+              val bPins = CheckpointGen.pinnedIds(b)
+              try {
+                val qcells = Similarity.assignProbesTwoLevelWith(
+                    b.select(col("qid").as("vec_id"), col("qv").as("v")),
+                    coarse, froute, SemDedupProbes, 2)
+                  .select(col("vec_id").as("qid"),
+                    explode(col("cells")).as("cell"))
+                Similarity.ivfPqSearchQueries(index, b, qcells, 5,
+                    IvfPqRerank)
+                  .write.mode("overwrite").parquet(s"$root/out/batch=$epoch")
+              } finally CheckpointGen.release(sc, bPins)
+            }
+          val q = ingest.writeStream.foreachBatch(step).start()
+          try q.processAllAvailable() finally q.stop()
+          s.read.parquet(s"$root/out").drop("batch")
+            .orderBy("qid", "rn").localCheckpoint(true)
+        } finally {
+          index.unpersist(blocking = false)
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(externalSearchOracleSql))
   )
+
+  /** q236's external-query search oracle — ALSO q245's: the streamed
+    * search is row-local against a static index, so union-over-epochs ≡
+    * the one-shot batch search. One definition so they cannot drift.
+    */
+  private lazy val externalSearchOracleSql: String =
+    s"""WITH ${ivfPqSearchCtesWith(externalQueryRoutedCtes,
+        "asg AS (SELECT vec_id, cell FROM asgp WHERE rn = 1)",
+        "qprobe AS (SELECT qid, cell FROM xqasgp)",
+        "qvec AS (SELECT qid, qv AS v FROM xq)")}
+      |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
 
   /** Per-selectivity oracle CTEs for q238: allowed ids, brute-force truth
     * over the FILTERED corpus, the filtered corpus assignment, the two

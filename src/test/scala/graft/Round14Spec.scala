@@ -121,4 +121,16 @@ class Round14Spec extends SparkSpec {
     assert(comp.nonEmpty, "fixture produced no components")
     assert(result.sameElements(truth))
   }
+
+  test("q245: streamed ANN search == the one-shot batch search (q236) — " +
+      "row-local search is batch-boundary independent") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val streamed = rows("q245_stream_ann_search")
+    val oneShot = rows("q236_ann_external_queries")
+    assert(oneShot.nonEmpty, "fixture produced no search results")
+    assert(streamed.sameElements(oneShot))
+  }
 }

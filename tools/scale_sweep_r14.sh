@@ -24,7 +24,11 @@ mkdir -p "$OUT"
 runm() { # runm <tag> <main> <sfdir> <timeout_s> [heap] [batch_cap]
   local tag=$1 main=$2 sfdir=$3 to=$4 mem=${5:-8g} cap=${6:-}
   echo "=== $tag ($main @ $sfdir, $mem, cap=${cap:-none}) ==="
-  SPARK_GRAFT_SF_DIR=$sfdir SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=$mem \
+  # env (not bare prefix assignments): an assignment produced by ${cap:+...}
+  # expansion is NOT recognized as one by bash — it becomes the command word
+  # and the leg dies with 127. env takes assignments as arguments, so the
+  # conditional cap composes.
+  env SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM="$mem" \
     ${cap:+SPARK_GRAFT_BATCH_CAP=$cap} \
     timeout "$to" sbt -batch "runMain graft.$main" \
     2>"$OUT/$tag.err" | grep '"metric"' > "$OUT/$tag.json"

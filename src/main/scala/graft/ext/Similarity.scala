@@ -663,6 +663,29 @@ object Similarity {
     index.unionByName(appended)
   }
 
+  /** Compact a fragmented index store into `nFiles` cell-clustered output
+    * partitions — the maintenance op every per-epoch append sink needs:
+    * [[appendToIvfPqIndex]] deltas landed by a streaming writer (the
+    * q235/q245 overwrite-by-epoch discipline) accumulate one small dir
+    * per epoch, and a year of epochs turns every index scan into a
+    * file-open storm (the measured r14 lesson: the bucketed posting
+    * probe's per-file overhead exceeded its pruning savings at ~25 KB
+    * files — file COUNT is a first-class scale variable). Compaction is
+    * one distributed rewrite: coalesce to target-size files, rows
+    * clustered by their primary cell (`cells[0]`) so parquet row-group
+    * stats give cell locality to a probed read. Row-preserving by
+    * construction (a repartition + intra-partition sort changes layout,
+    * never content) — q246 hash-checks search-after-compaction against
+    * the full search oracle, and Round14Spec pins the file-count drop.
+    * At 100 TB the same rewrite runs per partition-range on the exploded
+    * posting layout; nFiles follows total bytes / target block size.
+    */
+  def compactIndex(fragmented: DataFrame, nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"compactIndex needs nFiles > 0 (got $nFiles)")
+    fragmented.repartition(nFiles)
+      .sortWithinPartitions(element_at(col("cells"), 1))
+  }
+
   /** [[buildIvfPqIndex]] with the two-level (coarse-quantized) assignment —
     * the composition the autoscale law needs: with cells ∝ n (constant
     * cell occupancy, the production knob for corpus-sized workloads), the
@@ -1199,18 +1222,29 @@ object Similarity {
     val dim = centroids.head._2.length
     var assigned: DataFrame = null
     for (iter <- 0 until iterations) {
-      import spark.implicits._
-      val cdf = broadcast(centroids.toSeq.toDF("cid", "cv"))
-      // E-step: argmin distance, ties to the lowest cluster id — one
-      // min(struct) aggregate; the winning cid rides along in the struct
-      assigned = e.crossJoin(cdf)
-        .withColumn("d2", dot(col("v"), col("v"))
-          - lit(2.0) * dot(col("v"), col("cv")) + dot(col("cv"), col("cv")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cid"))).as("best"),
-             first(col("v")).as("v"))
-        .select(col("vec_id"), col("best.cid").as("cluster"),
-          sqrt(greatest(col("best.d2"), lit(0.0))).as("dist"), col("v"))
+      // E-step: argmin distance, ties to the lowest cluster id. Shape
+      // history (KmEStepBench): the original crossJoin(broadcast) +
+      // min(struct) aggregate multiplies every vector ×k through struct
+      // churn and an exchange-bearing aggregate — 12.2 s/iteration at
+      // k=1024 on 20k vectors. NearestInSetDot is the same argmin as ONE
+      // codegen projection (no row multiplication, no aggregate, no
+      // exchange — 2.7 s), in the crossJoin shape's exact float order
+      // (d2 = (Σv² − 2.0·Σv·c) + Σc², sequential folds), so the d2/dist
+      // values and boundary assignments every oracle hash-checks are
+      // BIT-IDENTICAL (pinned by PqExpressionsSpec). Matrix fed
+      // cid-sorted: index-order ties ≡ min(struct)'s lowest-cid ties.
+      val sorted = centroids.sortBy(_._1)
+      val flat = sorted.flatMap(_._2).toArray
+      val cidArr = sorted.map(_._1)
+      assigned = e.select(col("vec_id"),
+          graft.functions.VectorExpressions
+            .nearestInSetDot(col("v"), flat, dim).as("best"),
+          col("v"))
+        .select(col("vec_id"),
+          element_at(lit(cidArr), col("best").getField("cid") + 1)
+            .as("cluster"),
+          sqrt(greatest(col("best").getField("d2"), lit(0.0))).as("dist"),
+          col("v"))
       // M-step: per-(cluster, dim) means, reassembled into centroid arrays
       if (mAfterLast || iter < iterations - 1) {
         val updated = assigned

@@ -137,6 +137,106 @@ case class NearestInSet(child: Expression, cands: Array[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** [[NearestInSet]] in the DOT-FORM float evaluation the Lloyd E-step's
+  * crossJoin shape uses: d2 = (Σx² − 2.0·Σx·c) + Σc², each sum a
+  * sequential left-to-right fold ([[DotProduct]]'s order), NOT the
+  * direct Σ(x−c)². The two differ in the last ulp, and the E-step's d2
+  * feeds oracle-hash-checked outputs (q104's dist column, boundary
+  * assignments) — this variant is the drop-in that keeps every oracle
+  * bit-exact while removing the ×k row multiplication and the argmin
+  * aggregate (KmEStepBench: 12.2 s → 2.7 s per iteration at k=1024 on
+  * 20k vectors). Same tie rule as the min(struct) it replaces: strict <
+  * over candidates in index order ≡ lowest cid when the caller feeds the
+  * matrix cid-sorted. Σc² per candidate is precomputed once
+  * (deterministic — recomputed after deserialization).
+  */
+case class NearestInSetDot(child: Expression, cands: Array[Double], dim: Int)
+    extends UnaryExpression with PqArrayInput {
+  require(dim > 0 && cands.nonEmpty && cands.length % dim == 0,
+    s"candidate matrix must be a nonempty multiple of dim=$dim (got ${cands.length})")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+  override def prettyName: String = "nearest_in_set_dot"
+
+  private def nCands = cands.length / dim
+
+  @transient private lazy val ccs: Array[Double] = {
+    val a = new Array[Double](nCands)
+    var c = 0
+    while (c < nCands) {
+      val base = c * dim
+      var s = 0.0
+      var d = 0
+      while (d < dim) { val t = cands(base + d); s += t * t; d += 1 }
+      a(c) = s
+      c += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val x = getter(a)
+    if (a.numElements() < dim)
+      throw new IllegalArgumentException(s"$prettyName: input vector has " +
+        s"${a.numElements()} elements, candidate dim is $dim")
+    var xx = 0.0
+    var d = 0
+    while (d < dim) { val t = x(d); xx += t * t; d += 1 }
+    var best = Double.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < nCands) {
+      val base = c * dim
+      var xc = 0.0
+      d = 0
+      while (d < dim) { xc += x(d) * cands(base + d); d += 1 }
+      val d2 = (xx - 2.0 * xc) + ccs(c)
+      if (d2 < best) { best = d2; bestC = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cm = ctx.addReferenceObj("nearestDotCands", cands, "double[]")
+      val cc = ctx.addReferenceObj("nearestDotCcs", ccs, "double[]")
+      val (xx, best, bestC, c, d, xc, t, base, d2) = (
+        ctx.freshName("xx"), ctx.freshName("best"), ctx.freshName("bestC"),
+        ctx.freshName("c"), ctx.freshName("d"), ctx.freshName("xc"),
+        ctx.freshName("t"), ctx.freshName("base"), ctx.freshName("d2"))
+      s"""
+         |if ($arr.numElements() < $dim) {
+         |  throw new IllegalArgumentException("$prettyName: input vector has "
+         |    + $arr.numElements() + " elements, candidate dim is $dim");
+         |}
+         |double $xx = 0.0;
+         |for (int $d = 0; $d < $dim; $d++) {
+         |  double $t = ${genGet(arr, d)};
+         |  $xx += $t * $t;
+         |}
+         |double $best = Double.MAX_VALUE; int $bestC = 0;
+         |for (int $c = 0; $c < $nCands; $c++) {
+         |  int $base = $c * $dim;
+         |  double $xc = 0.0;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    $xc += ${genGet(arr, d)} * $cm[$base + $d];
+         |  }
+         |  double $d2 = ($xx - 2.0 * $xc) + $cc[$c];
+         |  if ($d2 < $best) { $best = $d2; $bestC = $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$best, $bestC});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by the codegen expression. */
   def dot(a: Column, b: Column): Column =
@@ -147,4 +247,10 @@ object VectorExpressions {
     */
   def nearestInSet(v: Column, cands: Array[Double], dim: Int): Column =
     GraftBridge.column(NearestInSet(GraftBridge.expression(v), cands, dim))
+
+  /** [[nearestInSet]] in the crossJoin-E-step's dot-form float order —
+    * bit-exact drop-in for `dot(v,v) − 2·dot(v,c) + dot(c,c)` argmin.
+    */
+  def nearestInSetDot(v: Column, cands: Array[Double], dim: Int): Column =
+    GraftBridge.column(NearestInSetDot(GraftBridge.expression(v), cands, dim))
 }

@@ -101,4 +101,59 @@ class PqExpressionsSpec extends SparkSpec {
       assert(got(id) == ((code, err)), s"re-encode mismatch for vec $id")
     }
   }
+
+  test("NearestInSetDot == the crossJoin E-step formula bit-exactly " +
+      "(d2 AND argmin — the lloyd swap's oracle-safety contract)") {
+    import graft.ext.Similarity
+    val e = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val dim = cents.head._2.length
+    val flat = cents.flatMap(_._2).toArray
+    val cidArr = cents.map(_._1)
+    import spark.implicits._
+    val cdf = broadcast(cents.toSeq.toDF("cid", "cv"))
+    val viaCross = e.crossJoin(cdf)
+      .withColumn("d2", Similarity.dot(col("v"), col("v"))
+        - lit(2.0) * Similarity.dot(col("v"), col("cv"))
+        + Similarity.dot(col("cv"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cluster"),
+        col("best").getField("d2").as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    def viaExpr(mode: String) = withFactoryMode(mode) {
+      e.select(col("vec_id"), graft.functions.VectorExpressions
+          .nearestInSetDot(col("v"), flat, dim).as("best"))
+        .select(col("vec_id"),
+          element_at(lit(cidArr), col("best").getField("cid") + 1)
+            .as("cluster"),
+          col("best").getField("d2").as("d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+    }
+    val gen = viaExpr("CODEGEN_ONLY")
+    assert(viaCross.nonEmpty)
+    // bit-exact: == on doubles (the oracle hash gate compares exact bits)
+    assert(gen.sameElements(viaCross))
+    assert(viaExpr("NO_CODEGEN").sameElements(viaCross))
+  }
+
+  test("NearestInSetDot rejects a dim-short input vector " +
+      "(same loud-failure contract as NearestInSet)") {
+    val ex = intercept[Exception] {
+      spark.range(1).select(graft.functions.VectorExpressions
+          .nearestInSetDot(array(lit(1.0), lit(2.0)),
+            Array(0.0, 0.0, 0.0), 3))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("candidate dim")))
+  }
 }

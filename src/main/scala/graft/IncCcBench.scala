@@ -47,8 +47,10 @@ import graft.ext.Dedup
   * counts (every bucket hit — the regime boundary, reported via
   * buckets_hit/n_buckets); run a second leg with SPARK_GRAFT_BATCH_CAP=250
   * (50 docs, ~1.4k keys) for the continuous-ingest regime where pruning
-  * bites. Both steps must produce identical updates (checked in-run).
-  * Prints ONE JSON line.
+  * bites. step_bucketed_s (the bucketed layout probed WITHOUT pruning)
+  * decomposes the twin into layout tax vs pruning benefit — see the
+  * in-code comment. All three steps must produce identical updates
+  * (checked in-run). Prints ONE JSON line.
   */
 object IncCcBench {
   def main(args: Array[String]): Unit = {
@@ -156,10 +158,27 @@ object IncCcBench {
     require(out == outPruned,
       s"pruned step diverged from flat step: flat=$out pruned=$outPruned")
 
+    // the bucketed layout probed WITHOUT pruning — the term that separates
+    // LAYOUT TAX from PRUNING BENEFIT. step_pruned_s vs step_s conflates
+    // two effects with opposite signs: reading fewer buckets (monotone
+    // savings, same layout) and reading one-file-per-bucket instead of the
+    // compact state (per-file open overhead — the tax the bucket sizing
+    // law governs). With this term: tax = step_bucketed_s − step_s,
+    // benefit = step_bucketed_s − step_pruned_s. At test scale ~25 KB
+    // bucket files make the tax dominate; at production block sizes
+    // (bucket ≈ 128 MB) the tax term vanishes and the benefit term is the
+    // corpus-sized scan the prune avoids.
+    clear()
+    val (stepBucketedS, outBucketed) = runStep(_ => bucketed.drop("bucket"))
+    require(out == outBucketed,
+      s"bucketed full step diverged from flat step: " +
+        s"flat=$out bucketed=$outBucketed")
+
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"inc_cc_fixed_delta","value":${f(stepS)},""" +
       s""""unit":"sec","prep_s":${f(prepS)},"step_s":${f(stepS)},""" +
-      s""""step_pruned_s":${f(stepPrunedS)},"n_buckets":$nBuckets,""" +
+      s""""step_pruned_s":${f(stepPrunedS)},""" +
+      s""""step_bucketed_s":${f(stepBucketedS)},"n_buckets":$nBuckets,""" +
       s""""buckets_hit":$bucketsHit,""" +
       s""""corpus_docs":$corpusDocs,"batch_docs":$batchDocs,""" +
       s""""n_new_pairs":${out._3},"n_label_updates":${out._1},""" +

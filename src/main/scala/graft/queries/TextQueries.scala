@@ -1260,7 +1260,72 @@ object TextQueries {
         |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
         |  CAST(SUM(t.tok) AS BIGINT) AS n_tokens
         |FROM dwords d JOIN wtok t USING (w)
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- per-source ADAPTIVE quality threshold (census-sized cuts) ----
+    // q29 filters on one fixed global cut; a curation pipeline that does
+    // that lets a verbose source flood the pool and starves a terse one —
+    // production quality gates derive the cut PER SOURCE from the score
+    // distribution itself (keep each source's top quintile). Two shapes
+    // exist for that and they scale differently: q243's rank quota runs a
+    // row_number window over every corpus row per source; this one never
+    // windows the corpus at all — the score is snapped to integer
+    // micro-units (floor(q·10⁶ + 0.5): both engines floor the SAME
+    // double, so the grid is bit-exact — the q158 midpoint discipline),
+    // the census is one map-side-partial hash-agg bounded by the
+    // 10⁶-value grid × |sources|, the nearest-rank-from-top cut
+    // (largest value with ≥ ⌈n/5⌉ docs at-or-above — a DATA value, so
+    // the keep comparison is integer-exact; interpolated quantiles are
+    // the measured q158 trap) comes from a window over CENSUS rows only,
+    // and the keep filter is a broadcast-join map pass. Threshold
+    // semantics keep ties (≥ cut — the FineWeb-style gate), unlike the
+    // quota's exact-count tie-break by id: the two differ exactly on
+    // tie mass, which is why both exist.
+    QueryDef("q247_adaptive_quality_cut",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+              .as("q_micro"))
+        val census = scored.groupBy("source", "q_micro")
+          .agg(count(lit(1)).as("c"))
+        val bySrc = Window.partitionBy("source")
+        val cuts = census
+          .withColumn("cum", sum("c").over(bySrc.orderBy(col("q_micro").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("c").over(bySrc))
+          .withColumn("k", expr("(n + 4) div 5")) // ceil(0.2 n), int
+          .groupBy("source")
+          .agg(max(when(col("cum") >= col("k"), col("q_micro")))
+            .as("cut_micro"))
+        scored.join(broadcast(cuts), "source")
+          .filter(col("q_micro") >= col("cut_micro"))
+          .select(col("doc_id"), col("source"), col("q_micro"),
+            col("cut_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id, source,
+        |  CAST(floor((0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * least(1.0, (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)) * 1e6 + 0.5) AS BIGINT) AS q_micro
+        |  FROM documents),
+        |census AS (
+        |  SELECT source, q_micro, COUNT(*) AS c FROM q GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, q_micro,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY q_micro DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM census),
+        |cuts AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN cum >= (n + 4) // 5 THEN q_micro END) AS cut_micro
+        |  FROM cum GROUP BY source)
+        |SELECT q.doc_id, q.source, q.q_micro, c.cut_micro
+        |FROM q JOIN cuts c USING (source)
+        |WHERE q.q_micro >= c.cut_micro
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** Merge-round count shared by q218 (trainer) and q219 (encode).

@@ -2397,7 +2397,63 @@ object VectorQueries {
           }
         }
       },
-      Some(externalSearchOracleSql))
+      Some(externalSearchOracleSql)),
+
+    // ---- index-store COMPACTION (small-files maintenance) -------------
+    // The op that keeps q235/q245's store healthy: per-epoch append
+    // deltas accumulate one small dir per epoch, and file COUNT is a
+    // first-class scale variable (the r14 bucket-probe sweep measured
+    // per-file open overhead EXCEEDING pruning savings at ~25 KB files —
+    // IncCcBench step_bucketed_s vs step_s). Here the fragmented store
+    // (base written wide + two per-epoch deltas, the q223 append split
+    // staged as parquet dirs) is compacted by one distributed rewrite —
+    // Similarity.compactIndex: repartition to target file count, rows
+    // clustered by primary cell for row-group locality — and search runs
+    // over the COMPACTED read. Compaction is row-preserving by
+    // construction, so the oracle is the full append-search chain
+    // (q216/q223's): the store round-trip (build → fragment → compact →
+    // read → search) must be hash-exact end to end. Round14Spec pins the
+    // layout claim itself (file count drops, content identical).
+    QueryDef("q246_index_compaction",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val isNew = col("vec_id") >= IvfPqCells && col("vec_id") % 5 === 0
+        val old = emb.filter(!isNew)
+        val cents = Similarity.ivfCentroids(old, IvfPqCells)
+          .localCheckpoint(true)
+        val base = Similarity.buildIvfPqIndex(old, IvfPqCells, IvfPqProbes)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_index_compact").toString
+        try {
+          base.repartition(6).write.mode("overwrite")
+            .parquet(s"$root/frag/base")
+          for (e <- Seq(0, 5)) {
+            Similarity.appendToIvfPqIndex(base.limit(0), cents,
+                emb.filter(isNew && pmod(col("vec_id"), lit(10)) === e),
+                IvfPqProbes)
+              .repartition(3).write.mode("overwrite")
+              .parquet(s"$root/frag/delta$e")
+          }
+          val frag = s.read.parquet(s"$root/frag/base",
+            s"$root/frag/delta0", s"$root/frag/delta5")
+          Similarity.compactIndex(frag, 2)
+            .write.mode("overwrite").parquet(s"$root/compact")
+          val index = s.read.parquet(s"$root/compact").persist()
+          try Similarity.ivfPqSearchIndexed(index, 5,
+              col("vec_id") % 50 === 0, IvfPqRerank)
+            .orderBy("qid", "rn").localCheckpoint(true)
+          finally index.unpersist(blocking = false)
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH $ivfPqCtes
+        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin))
   )
 
   /** q236's external-query search oracle — ALSO q245's: the streamed

@@ -122,6 +122,48 @@ class Round14Spec extends SparkSpec {
     assert(result.sameElements(truth))
   }
 
+  test("compactIndex: file count drops to the target, content identical " +
+      "(the q246 layout claim)") {
+    import graft.ext.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, Dir)
+    val base = Similarity.buildIvfPqIndex(emb, 8, 4)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString
+    try {
+      // fragmented store: 4-file base + two 3-file deltas (10 data files)
+      base.repartition(4).write.mode("overwrite").parquet(s"$root/frag/base")
+      for (e <- 0 to 1)
+        base.filter(col("vec_id") % 2 === e).repartition(3)
+          .write.mode("overwrite").parquet(s"$root/frag/delta$e")
+      val frag = spark.read.parquet(s"$root/frag/base",
+        s"$root/frag/delta0", s"$root/frag/delta1")
+      Similarity.compactIndex(frag, 2)
+        .write.mode("overwrite").parquet(s"$root/compact")
+      def dataFiles(sub: String) =
+        scala.util.Using.resource(java.nio.file.Files
+            .walk(java.nio.file.Paths.get(s"$root/$sub"))) { w =>
+          w.filter(_.getFileName.toString.endsWith(".parquet")).count()
+        }
+      assert(dataFiles("frag") == 10L)
+      assert(dataFiles("compact") == 2L)
+      def contents(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("pq_code"),
+          element_at(col("cells"), 1).cast("long").as("c1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted
+      val before = contents(frag)
+      val after = contents(spark.read.parquet(s"$root/compact"))
+      assert(before.nonEmpty && before.length == emb.count() * 2)
+      assert(after.sameElements(before))
+    } finally {
+      scala.util.Using.resource(java.nio.file.Files
+          .walk(java.nio.file.Paths.get(root))) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("q245: streamed ANN search == the one-shot batch search (q236) — " +
       "row-local search is batch-boundary independent") {
     def rows(name: String) = SparkEntry.queries(name)(spark, Dir)

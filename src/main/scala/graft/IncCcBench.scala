@@ -85,8 +85,13 @@ object IncCcBench {
         .write.mode("overwrite").parquet(s"$state/postings")
       Dedup.ngramPostingSizes(spark.read.parquet(s"$state/postings"))
         .write.mode("overwrite").parquet(s"$state/sizes")
+      // labels rebuild from the just-persisted index, not by re-shingling
+      // the corpus (ngramJaccardPairsFromPostings ≡ ngramJaccardPairs,
+      // Round14Spec) — prep pays ONE shingle pass over the corpus text
       Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5))
+          Dedup.ngramJaccardPairsFromPostings(
+            spark.read.parquet(s"$state/postings"),
+            spark.read.parquet(s"$state/sizes"), 0.5))
         .write.mode("overwrite").parquet(s"$state/labels")
       docs.filter(isBatch)
         .write.mode("overwrite").parquet(s"$state/batch")

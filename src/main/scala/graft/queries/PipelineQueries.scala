@@ -1174,12 +1174,15 @@ object PipelineQueries {
         // the persisted state (in production: parquet tables)
         val postings = Dedup.ngramPostings(oldDocs, "doc_id", "text", 3)
           .localCheckpoint(true)
+        val sizes = Dedup.ngramPostingSizes(postings)
+        // the label state rebuilds from the persisted index, not by
+        // re-shingling the corpus (ngramJaccardPairsFromPostings ≡
+        // ngramJaccardPairs, spec-pinned) — one shingle pass total
         val labels = Dedup.connectedComponents(
-            Dedup.ngramJaccardPairs(oldDocs, "doc_id", "text", 3, 0.5))
+            Dedup.ngramJaccardPairsFromPostings(postings, sizes, 0.5))
           .localCheckpoint(true)
-        val newPairs = Dedup.incrementalCcPairs(postings,
-            Dedup.ngramPostingSizes(postings), docs.filter(isNew),
-            "doc_id", "text", 3, 0.5)
+        val newPairs = Dedup.incrementalCcPairs(postings, sizes,
+            docs.filter(isNew), "doc_id", "text", 3, 0.5)
           .localCheckpoint(true)
         Dedup.incrementalCcLabelUpdates(labels, newPairs,
             docs.filter(isNew).select(col("doc_id").as("id")))
@@ -1230,9 +1233,10 @@ object PipelineQueries {
             "doc_id", "text", 3)
           .localCheckpoint(true)
         var sizes = Dedup.ngramPostingSizes(postings).localCheckpoint(true)
+        // initial labels from the persisted index (one shingle pass —
+        // the q240 rebuild-from-index discipline)
         var labels = Dedup.connectedComponents(
-            Dedup.ngramJaccardPairs(docs.filter(!isNew),
-              "doc_id", "text", 3, 0.5))
+            Dedup.ngramJaccardPairsFromPostings(postings, sizes, 0.5))
           .localCheckpoint(true)
         var postPins = CheckpointGen.pinnedIds(postings)
         var sizePins = CheckpointGen.pinnedIds(sizes)

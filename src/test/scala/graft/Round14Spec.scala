@@ -87,6 +87,23 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardPairsFromPostings == ngramJaccardPairs (the rebuild " +
+      "runs off the persisted index, never re-shingling the corpus)") {
+    val (corpus, _) = split()
+    val postings = Dedup.ngramPostings(corpus, "doc_id", "text", 3)
+      .localCheckpoint(true)
+    val sizes = Dedup.ngramPostingSizes(postings)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val direct = norm(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      3, 0.5))
+    val fromIndex = norm(Dedup.ngramJaccardPairsFromPostings(postings,
+      sizes, 0.5))
+    assert(direct.nonEmpty, "fixture produced no within-corpus pairs")
+    assert(fromIndex.sameElements(direct))
+  }
+
   test("q241: the k-means‖-seeded two-level index at degenerate knobs " +
       "== brute-force cosine top-k (the seeding feeds search bit-exactly)") {
     val result = SparkEntry.queries("q241_kmeans_par_seeded_index")(

@@ -135,4 +135,106 @@ object Graph {
       .groupBy(col("dst"))
       .agg(sum(expr("(r * 17) div (20 * deg)")).as("contrib"))
       .select(col("dst").as("id"), (lit(150000L) + col("contrib")).as("r"))
+
+  /** Coreness (k-core number) of every vertex of an undirected edge list
+    * `(src, dst)` (each edge once; isolated vertices are absent from the
+    * edge list and so from the output). Returns `(id, coreness)` with
+    * coreness BIGINT.
+    *
+    * Computed by neighborhood h-index iteration (Lü et al., "The H-index
+    * of a network node and its relation to degree and coreness", Nature
+    * Communications 7:10168, 2016 — public result): start from
+    * c = degree and repeatedly replace each vertex's value with the
+    * h-index of its neighbors' values (the largest h such that ≥ h
+    * neighbors have value ≥ h); the fixpoint is exactly the coreness.
+    * Unlike the sequential min-degree peel (inherently ordered, the
+    * textbook O(E) algorithm), every h-index step is one relational
+    * pass — join + window + aggregate — so the same plan runs identically
+    * on `local[32]` or a 1000-executor cluster, and the oracle is the
+    * identical integer recursion unrolled as chained CTEs.
+    *
+    * Spark shape per round: the doubled edge list joins the (|V|-row,
+    * broadcast) value table on the NEIGHBOR end — the 2|E| edge table is
+    * never reshuffled for the join — then a window partitioned by the
+    * vertex ranks neighbor values descending and `max(least(rn, cu))`
+    * per vertex is the h-index (the h = max_i min(i, v_i) identity over
+    * the descending sort; ties are safe — permuting rows with equal
+    * values cannot change the max). One shuffle of 2|E| rows on the
+    * vertex key per round (window + groupBy share the exchange). Values
+    * are BIGINT degrees throughout — no floating point anywhere.
+    *
+    * Termination: starting from degree the iteration is pointwise
+    * monotone non-increasing (h-index ≤ neighbor count = degree; the
+    * h-index operator is monotone in its inputs, so decrease propagates
+    * by induction), hence Σc strictly decreases until the fixpoint and
+    * the loop stops when the sum repeats — one |V|-row action per round
+    * on a table the round already materialized. Rounds needed are small
+    * (tight near-dup clusters converge in 1–2; bounded by a diameter-ish
+    * quantity); each round localCheckpoints and releases its predecessor
+    * (CheckpointGen), bounding resident state to one edge copy + two
+    * |V|-row tables. Fails loudly if `maxRounds` is hit without
+    * convergence rather than returning a non-fixpoint.
+    *
+    * @param partitions loop parallelism — |E|-sized, same rule as
+    *   [[pageRank]]: the value table is orders of magnitude smaller than
+    *   the corpus the edges derive from.
+    * @param maxRounds convergence bound; also the spec's lever to PIN a
+    *   convergence depth (calling with the oracle's unroll depth proves
+    *   the unrolled oracle reached the fixpoint).
+    */
+  def coreness(undirectedEdges: DataFrame, partitions: Int = 8,
+               maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"coreness needs maxRounds >= 1 (got $maxRounds)")
+    val caller = undirectedEdges.sparkSession
+    val spark = caller.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val sc = spark.sparkContext
+    def release(ids: Set[Int]): Unit =
+      graft.util.CheckpointGen.release(sc, ids)
+    val result = locally {
+      // materialize the caller-built edges once before doubling (union
+      // branches do not share exchanges — the pageRank lesson)
+      val pairs0 = spark.createDataFrame(
+          undirectedEdges.select(col("src"), col("dst")).rdd,
+          undirectedEdges.select(col("src"), col("dst")).schema)
+        .localCheckpoint(true)
+      val pairs0Ids = graft.util.CheckpointGen.pinnedIds(pairs0)
+      val both = pairs0.unionAll(
+          pairs0.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("src").as("v"), col("dst").as("u"))
+        .localCheckpoint(true)
+      val bothIds = graft.util.CheckpointGen.pinnedIds(both)
+      release(pairs0Ids)
+      var c = both.groupBy("v").agg(count(lit(1)).as("c"))
+        .select(col("v").as("id"), col("c"))
+        .localCheckpoint(true)
+      var cIds = graft.util.CheckpointGen.pinnedIds(c)
+      var prevSum = -1L
+      var sum = c.agg(org.apache.spark.sql.functions.sum(col("c"))).head.getLong(0)
+      var rounds = 0
+      val byV = org.apache.spark.sql.expressions.Window
+        .partitionBy("v").orderBy(col("cu").desc)
+      while (sum != prevSum) {
+        require(rounds < maxRounds,
+          s"coreness did not converge within $maxRounds h-index rounds")
+        val next = both.join(broadcast(c), both("u") === c("id"))
+          .select(col("v"), col("c").as("cu"))
+          .withColumn("rn", row_number().over(byV).cast("long"))
+          .groupBy("v").agg(max(least(col("rn"), col("cu"))).as("c"))
+          .select(col("v").as("id"), col("c"))
+          .localCheckpoint(true)
+        val nextIds = graft.util.CheckpointGen.pinnedIds(next)
+        release(cIds)
+        c = next; cIds = nextIds
+        prevSum = sum
+        sum = c.agg(org.apache.spark.sql.functions.sum(col("c"))).head.getLong(0)
+        rounds += 1
+      }
+      release(bothIds)
+      c
+    }
+    caller.createDataFrame(result.rdd, result.schema)
+      .select(col("id"), col("c").as("coreness"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ext.{Dedup, TextAnalysis => TA}
+import graft.ext.{Dedup, Graph, TextAnalysis => TA}
 import graft.util.OracleSafe._
 
 /** Text analysis + deduplication over the documents table — the training-
@@ -1325,8 +1325,59 @@ object TextQueries {
         |SELECT q.doc_id, q.source, q.q_micro, c.cut_micro
         |FROM q JOIN cuts c USING (source)
         |WHERE q.q_micro >= c.cut_micro
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- k-core decomposition of the near-dup graph ----
+    // Coreness stratifies the duplicate graph the way triangle count
+    // (q160) and CC (q65) cannot: CC says "these documents are related",
+    // coreness says HOW DENSELY — boilerplate families and template farms
+    // sit in high-k cores (every member near-dups many others), while
+    // chains of pairwise-similar revisions stay at k=1. Curation drops or
+    // collapses high-core groups first. Computed by neighborhood h-index
+    // iteration (Lü et al. 2016: iterate c_v ← h-index of neighbors' c
+    // from c = degree; the fixpoint IS the coreness), because the
+    // textbook min-degree peel is inherently sequential while each
+    // h-index round is one join + window + agg over the edge list —
+    // the same plan at any cluster size. All-integer (BIGINT degrees),
+    // so the DuckDB twin is the identical recursion unrolled 8 rounds
+    // (Round14Spec pins fixture convergence within 8 — the operator
+    // itself runs to the detected fixpoint). Edge list is the q160
+    // Jaccard-0.3 graph: orders of magnitude smaller than the corpus,
+    // loop runs at |E|-sized parallelism with the value table broadcast
+    // (the 2|E| edges never reshuffle for the join).
+    QueryDef("q248_kcore_decomposition",
+      (s, dir) => {
+        val e = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+            "doc_id", "text", 3, 0.3)
+          .select(col("i").as("src"), col("j").as("dst"))
+        Graph.coreness(e)
+          .select(col("id").as("doc_id"), col("coreness"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$shingleCte,
+        |e AS (SELECT i, j FROM pairs
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3),
+        |sym AS MATERIALIZED (
+        |  SELECT i AS v, j AS u FROM e UNION ALL SELECT j AS v, i AS u FROM e),
+        |h0 AS (SELECT v, COUNT(*) AS c FROM sym GROUP BY v),
+        |${hIndexRounds(8)}
+        |SELECT v AS doc_id, c AS coreness FROM h8 ORDER BY doc_id""".stripMargin))
   )
+
+  /** Unrolled h-index rounds for the q248 coreness oracle: round k ranks
+    * each vertex's neighbor values descending and takes
+    * max(least(rank, value)) — the h = max_i min(i, v_i) identity.
+    * `sym` is MATERIALIZED above because all `depth` rounds reference it
+    * (DuckDB inlines plain CTEs per reference — the shingle self-join
+    * would recompute `depth`+1 times, the bpeTrainerCtes lesson).
+    */
+  private def hIndexRounds(depth: Int): String =
+    (1 to depth).map { k =>
+      s"""h$k AS (SELECT v, MAX(LEAST(rn, cu)) AS c FROM (
+        |  SELECT s.v AS v, p.c AS cu,
+        |    ROW_NUMBER() OVER (PARTITION BY s.v ORDER BY p.c DESC) AS rn
+        |  FROM sym s JOIN h${k - 1} p ON p.v = s.u) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
 
   /** Merge-round count shared by q218 (trainer) and q219 (encode).
     * `final val` (constant-folded) — it is referenced during the queries

@@ -181,6 +181,40 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("coreness: known graph (4-clique ⟂ tail path ⟂ bridged triangle) " +
+      "gets the textbook k-core numbers") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (coreness 3), path 4-10-11 hanging off it
+    // (coreness 1), triangle {20,21,22} (coreness 2) bridged to the
+    // clique by edge 4-20 (bridge endpoints keep their core numbers —
+    // coreness is about dense substructure, not connectivity)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L), (4L, 20L)
+    ).toDF("src", "dst")
+    val got = graft.ext.Graph.coreness(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 1L, 11L -> 1L, 20L -> 2L, 21L -> 2L, 22L -> 2L)
+    assert(got.sameElements(want), s"got ${got.mkString(", ")}")
+  }
+
+  test("coreness: fixture near-dup graph converges within the oracle's " +
+      "8 unrolled h-index rounds (q248's depth pin)") {
+    val docs = graft.sources.Tables.documents(spark, Dir)
+    val e = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select(col("i").as("src"), col("j").as("dst"))
+    // maxRounds = the oracle's unroll depth: coreness fails loudly if the
+    // fixpoint needs more rounds, so returning at all IS the pin
+    val out = graft.ext.Graph.coreness(e, maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty, "fixture produced no near-dup edges")
+    // cross-check against CC: every vertex has coreness >= 1, and any
+    // component of size >= 3 that is a clique has coreness = size - 1
+    assert(out.forall(_._2 >= 1L))
+  }
+
   test("q245: streamed ANN search == the one-shot batch search (q236) — " +
       "row-local search is batch-boundary independent") {
     def rows(name: String) = SparkEntry.queries(name)(spark, Dir)

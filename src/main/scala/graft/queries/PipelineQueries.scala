@@ -1317,7 +1317,69 @@ object PipelineQueries {
         |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
         |  WHERE d.doc_id % 5 = 0
         |    AND d.doc_id NOT IN (SELECT id FROM comp))
-        |SELECT id, label FROM fin ORDER BY id""".stripMargin))
+        |SELECT id, label FROM fin ORDER BY id""".stripMargin)),
+
+    // ---- deterministic balanced shard layout ----
+    // The tail of the training-data pipeline: distribute the curated
+    // corpus into N output shards so every shard carries ~equal token
+    // mass (data-parallel readers consume one shard each — an unbalanced
+    // layout idles every worker behind the fattest shard). Greedy
+    // bin-packing is inherently sequential; the scalable deterministic
+    // equivalent is size-sorted serpentine striping: rank docs by
+    // (n_tok DESC, doc_id), lay rank r into shard r%N on even passes and
+    // N-1-r%N on odd passes (boustrophedon — each N-row pass hands every
+    // shard exactly one doc, alternating direction so the big-doc end
+    // doesn't always land on shard 0). The global rank is NOT a global
+    // single-partition window (the q229 trap): token counts are small
+    // integers, so rank = census-prefix offset (a window over CENSUS
+    // rows only) + row_number partitioned BY the token count — the q243/
+    // q247 two-pass discipline; every per-value partition is modest and
+    // the census is grid-bounded. All-integer → the oracle is the same
+    // arithmetic verbatim. Round14Spec audits the balance claim (doc
+    // counts exact ±0, token spread ≤ largest doc on the fixture).
+    QueryDef("q249_balanced_shards",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = 8
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        val census = toks.groupBy("n_tok").agg(count(lit(1)).as("c"))
+        val off = census
+          .withColumn("off", sum("c").over(Window.orderBy(col("n_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("c"))
+          .select("n_tok", "off")
+        val ranked = toks.join(broadcast(off), "n_tok")
+          .withColumn("r", col("off")
+            + row_number().over(Window.partitionBy("n_tok")
+                .orderBy("doc_id")).cast("long"))
+        ranked
+          // div, not "/": Column `/` on BIGINT is double division
+          .withColumn("shard", expr(
+            s"CASE WHEN ((r - 1) div $n) % 2 = 0 THEN (r - 1) % $n " +
+              s"ELSE ${n - 1} - (r - 1) % $n END"))
+          .select("doc_id", "n_tok", "r", "shard")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |census AS (SELECT n_tok, COUNT(*) AS c FROM toks GROUP BY n_tok),
+        |off AS (
+        |  SELECT n_tok, CAST(SUM(c) OVER (ORDER BY n_tok DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |    AS BIGINT) AS off
+        |  FROM census),
+        |ranked AS (
+        |  SELECT t.doc_id, t.n_tok,
+        |    o.off + ROW_NUMBER() OVER (PARTITION BY t.n_tok
+        |      ORDER BY t.doc_id) AS r
+        |  FROM toks t JOIN off o USING (n_tok))
+        |SELECT doc_id, n_tok, r,
+        |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+        |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
+        |FROM ranked ORDER BY doc_id""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

@@ -215,6 +215,24 @@ class Round14Spec extends SparkSpec {
     assert(out.forall(_._2 >= 1L))
   }
 
+  test("q249: serpentine shard layout balances the corpus — doc counts " +
+      "within 1, token mass within the largest single doc") {
+    val out = SparkEntry.queries("q249_balanced_shards")(spark, Dir)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("n_tok").as("toks"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(perShard.length == 8, s"expected 8 shards, got ${perShard.length}")
+    val docCounts = perShard.map(_._1)
+    assert(docCounts.max - docCounts.min <= 1L,
+      s"doc spread ${docCounts.mkString(",")}")
+    // each N-row pass hands every shard exactly one doc in alternating
+    // order, so no shard can fall behind by more than one doc's mass
+    val maxDoc = out.agg(max("n_tok")).head.getLong(0)
+    val tokMass = perShard.map(_._2)
+    assert(tokMass.max - tokMass.min <= maxDoc,
+      s"token spread ${tokMass.max - tokMass.min} > largest doc $maxDoc")
+  }
+
   test("q245: streamed ANN search == the one-shot batch search (q236) — " +
       "row-local search is batch-boundary independent") {
     def rows(name: String) = SparkEntry.queries(name)(spark, Dir)

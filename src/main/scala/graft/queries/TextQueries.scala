@@ -1361,7 +1361,82 @@ object TextQueries {
         |  SELECT i AS v, j AS u FROM e UNION ALL SELECT j AS v, i AS u FROM e),
         |h0 AS (SELECT v, COUNT(*) AS c FROM sym GROUP BY v),
         |${hIndexRounds(8)}
-        |SELECT v AS doc_id, c AS coreness FROM h8 ORDER BY doc_id""".stripMargin))
+        |SELECT v AS doc_id, c AS coreness FROM h8 ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus-duplicated span EXCISION (the rewrite q171 measures) ----
+    // Exact-substring scrub (Lee et al. 2021, "Deduplicating Training
+    // Data..."): q171 reports each doc's duplicated-8-gram fraction; this
+    // operator performs the edit — every token position covered by an
+    // 8-gram that appears in >= 2 distinct docs is excised and the text
+    // rebuilt from the surviving positions, preserving order. The heavy
+    // side is the same gram census q171 already pays (8x token explode,
+    // hash-agg); the dup-gram set (boilerplate) is tiny relative to the
+    // corpus, so the covering join prunes to it, and the rebuild is one
+    // (doc_id,p)-keyed anti-join + per-doc sort-agg — token-level but
+    // map-reducible, no corpus-sized window anywhere. Exact string ops
+    // on both engines -> hash-exact oracle; Round14Spec pins coherence
+    // with q171 (n_dup = 0 <=> text unchanged).
+    QueryDef("q250_span_scrub",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val pos = toks
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+        val g = toks.filter(size(col("t")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t)-7), i -> named_struct(" +
+              "'i', i, 'gram', array_join(slice(t, i, 8), ' ')))")).as("sg"))
+          .select(col("doc_id"), col("sg.i").as("i"), col("sg.gram").as("gram"))
+        val dup = g.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("gram")
+        val covered = g.join(dup, "gram")
+          .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
+          .distinct()
+        val rebuilt = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+          .groupBy("doc_id")
+          .agg(concat_ws(" ", expr(
+              "transform(array_sort(collect_list(named_struct(" +
+                "'p', p, 'tok', tok))), x -> x.tok)")).as("clean_text"),
+            count(lit(1)).as("n_kept"))
+        toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i AS p, t[i] AS tok
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.i + d AS p
+        |  FROM g JOIN dup USING (gram),
+        |       LATERAL (SELECT unnest(range(0, 8)) AS d)),
+        |kept AS (
+        |  SELECT p.doc_id, p.p, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = p.doc_id AND c.p = p.p)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+        |         CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(r.clean_text, '') AS clean_text,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  CAST(len(t.t) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_removed
+        |FROM toks t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** Unrolled h-index rounds for the q248 coreness oracle: round k ranks

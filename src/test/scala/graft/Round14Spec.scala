@@ -233,6 +233,28 @@ class Round14Spec extends SparkSpec {
       s"token spread ${tokMass.max - tokMass.min} > largest doc $maxDoc")
   }
 
+  test("q250: span scrub coheres with q171's measurement — a doc is " +
+      "rewritten iff it carries a cross-doc duplicated 8-gram") {
+    val docs = graft.sources.Tables.documents(spark, Dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val meas = SparkEntry.queries("q171_span_dedup")(spark, Dir)
+      .select("doc_id", "n_dup")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scrub = SparkEntry.queries("q250_span_scrub")(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(scrub.length == docs.size, "scrub must emit every doc")
+    assert(scrub.exists(_._3 > 0), "fixture has dup spans; none removed")
+    scrub.foreach { case (id, clean, removed) =>
+      // docs under 8 tokens are absent from q171 and never scrubbed
+      val nDup = meas.getOrElse(id, 0L)
+      assert((nDup > 0) == (removed > 0),
+        s"doc $id: n_dup=$nDup but n_removed=$removed")
+      if (removed == 0)
+        assert(clean == docs(id), s"doc $id rewritten without dup grams")
+    }
+  }
+
   test("q245: streamed ANN search == the one-shot batch search (q236) — " +
       "row-local search is batch-boundary independent") {
     def rows(name: String) = SparkEntry.queries(name)(spark, Dir)

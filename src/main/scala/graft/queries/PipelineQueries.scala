@@ -1285,23 +1285,31 @@ object PipelineQueries {
               val nlp = CheckpointGen.pinnedIds(nextLabels)
               CheckpointGen.release(sc, labelPins -- nlp)
               labels = nextLabels; labelPins = nlp
+              // state handoff is an APPEND, not a rewrite: each epoch
+              // checkpoints only its DELTA-sized postings/sizes and the
+              // state becomes a lazy union of materialized generations —
+              // the in-memory mirror of production's parquet delta-file
+              // append (q223/q246). Checkpointing the union here would
+              // re-materialize the corpus-sized state EVERY epoch, the
+              // exact full-rewrite-per-batch this pipeline exists to
+              // avoid at 100 TB. Per-epoch pinned bytes are delta-sized;
+              // generation count is bounded by compaction cadence in
+              // production (q246) and by the 3 epochs here.
               val bp = Dedup.ngramPostings(b, "doc_id", "text", 3)
                 .localCheckpoint(true)
-              val bpPins = CheckpointGen.pinnedIds(bp)
-              val nextPost = postings.unionByName(bp).localCheckpoint(true)
-              val npp = CheckpointGen.pinnedIds(nextPost)
-              CheckpointGen.release(sc, postPins -- npp)
-              postings = nextPost; postPins = npp
-              val nextSizes = sizes
-                .unionByName(Dedup.ngramPostingSizes(bp))
-                .localCheckpoint(true)
-              val nsp = CheckpointGen.pinnedIds(nextSizes)
-              CheckpointGen.release(sc, (sizePins ++ bpPins ++ bPins) -- nsp)
-              sizes = nextSizes; sizePins = nsp
+              postPins ++= CheckpointGen.pinnedIds(bp)
+              postings = postings.unionByName(bp)
+              val bs = Dedup.ngramPostingSizes(bp).localCheckpoint(true)
+              sizePins ++= CheckpointGen.pinnedIds(bs)
+              sizes = sizes.unionByName(bs)
+              CheckpointGen.release(sc, bPins)
             }
           val q = ingest.writeStream.foreachBatch(step).start()
           try q.processAllAvailable() finally q.stop()
-          labels.orderBy("id").localCheckpoint(true)
+          val out = labels.orderBy("id").localCheckpoint(true)
+          CheckpointGen.release(sc, postPins ++ sizePins ++
+            (labelPins -- CheckpointGen.pinnedIds(out)))
+          out
         } finally {
           scala.util.Using.resource(java.nio.file.Files
               .walk(java.nio.file.Paths.get(root))) { w =>

@@ -324,6 +324,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q249 shard layout: census discipline — the rank join broadcasts " +
+      "and the corpus-side window partitions by the token-count value") {
+    val df = graft.queries.PipelineQueries.defs
+      .find(_.name == "q249_balanced_shards").get.fn(spark, dir)
+    val plan = finalPlanString(df)
+    // the census-offset table is tiny (distinct token counts) — its join
+    // back onto the corpus must broadcast, never sort-merge
+    assert(plan.contains("BroadcastHashJoin"),
+      s"census offsets must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join expected:\n$plan")
+    // at most one single-partition exchange: the census prefix-sum window
+    // (domain-bounded); the final orderBy is a range exchange, not single
+    val sp = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(sp <= 1, s"more than one single-partition stage:\n$plan")
+    // the corpus rank window is PARTITIONED by n_tok (per-value
+    // row_number) — a bare unpartitioned row_number over docs would be
+    // the q229 trap
+    assert("windowspecdefinition\\(n_tok#\\d+L?, doc_id#".r
+        .findFirstIn(plan).isDefined,
+      s"corpus rank window must partition by n_tok:\n$plan")
+  }
+
   test("q208 rank fusion: towers end in bounded top-k, no cartesian blowup") {
     val df = graft.queries.VectorQueries.defs
       .find(_.name == "q208_hybrid_rank_fusion").get.fn(spark, dir)

@@ -130,9 +130,13 @@ object Bench {
         if (runs.exists(!_._2)) (name, -1.0, Seq.empty[Double])
         else {
           val sorted = runs.map(_._1).sorted
-          // evalOnly → min of its (2) reps; pipelines → median of reps
+          // evalOnly → min of its (2) reps; pipelines → median of reps.
+          // The raw rep vector is kept for EVERY query — BENCH_DETAIL
+          // stamps it (rep_s) so any later "regression" shows its own
+          // spread instead of needing a forensic re-run (this box's
+          // documented 5-10x ambient swing, r13 verdict #1).
           if (d.evalOnly) (name, sorted.head, runs.map(_._1))
-          else (name, sorted(sorted.size / 2), Seq.empty[Double])
+          else (name, sorted(sorted.size / 2), runs.map(_._1))
         }
       }
     cal += calibrate()
@@ -176,12 +180,14 @@ object Bench {
     val eval1 = SparkEntry.allDefs.filter(d => d.evalOnly &&
         graft.util.DevSubset.keep(d.name))
       .map(_.name.takeWhile(_ != '_')).sorted
-    val evalRepJson = results
-      .collect { case (n, _, rs) if rs.nonEmpty =>
+    def repJson(keep: String => Boolean) = results
+      .collect { case (n, v, rs) if rs.nonEmpty && v >= 0 && keep(n) =>
         "\"" + n.takeWhile(_ != '_') + "\":" +
           rs.map(r => "%.2f".formatLocal(java.util.Locale.ROOT, r))
             .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    val evalSet = SparkEntry.allDefs.filter(_.evalOnly).map(_.name).toSet
+    val evalRepJson = repJson(evalSet)
     // JIT code-cache health: the round-10 postmortem found JDK 17's default
     // ~240 MB code cache overflowing mid-run across 225 codegen-heavy
     // queries — the compiler shut off and every LATER query silently ran
@@ -211,7 +217,11 @@ object Bench {
       s""","codecache_peak_mb":$ccPeakMb"""
     def line(metric: String, qdict: String, extra: String = "") =
       s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qdict$extra$errJson,"sf":"$sfDir"}"""
-    val detail = line("total_detail", entries.map(_._1).mkString("{", ",", "}"))
+    // the detail line (and BENCH_DETAIL.json) carries EVERY query's raw
+    // rep vector; the stdout-tail "total" line keeps only the eval-class
+    // vectors (the full map would not fit the driver's 2000-char window)
+    val detail = line("total_detail", entries.map(_._1).mkString("{", ",", "}"),
+      s""","rep_s":${repJson(_ => true)}""")
     println(detail)
     // the driver archives only the stdout tail — persist the full
     // per-query map where the judge can read it (repo root, overwritten

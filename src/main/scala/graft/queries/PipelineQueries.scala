@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.ext.Dedup
+import graft.ext.{Dedup, TextAnalysis => TA}
 import graft.util.OracleSafe.{dsum, sqlDsum}
 
 /** Training-data pipeline plumbing beyond dedup/similarity: deterministic
@@ -1385,6 +1385,132 @@ object PipelineQueries {
         |      ORDER BY t.doc_id) AS r
         |  FROM toks t JOIN off o USING (n_tok))
         |SELECT doc_id, n_tok, r,
+        |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+        |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
+        |FROM ranked ORDER BY doc_id""".stripMargin)),
+
+    // ---- the round-14 curation TAIL as one composed pipeline ----
+    // q200/q213's composition discipline applied to this round's
+    // operators: per-source adaptive quality cut (q247) → duplicated-span
+    // excision WITHIN the curated pool (q250 — dup grams are re-censused
+    // over survivors, the correct post-cut semantics) → serpentine shard
+    // striping on the SCRUBBED token mass (q249 on n_kept, not raw
+    // length). Fully-scrubbed docs (n_kept = 0) drop out, as production
+    // would drop empty docs. Each stage keeps its proven scale shape
+    // (census windows, broadcast cut/offset tables, token-level
+    // anti-join); composing them adds no new shuffle class. Only counts
+    // and shard ids ride to the output — all-integer, so the oracle is
+    // the three verified CTE blocks nested verbatim.
+    QueryDef("q251_curation_tail_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        // stage 1: per-source top-quintile cut (q247's exact shape)
+        val scored = docs.select(col("doc_id"), col("source"), col("text"),
+          floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+            .as("q_micro"))
+        val qCensus = scored.groupBy("source", "q_micro")
+          .agg(count(lit(1)).as("c"))
+        val bySrc = Window.partitionBy("source")
+        val cuts = qCensus
+          .withColumn("cum", sum("c").over(bySrc.orderBy(col("q_micro").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("c").over(bySrc))
+          .withColumn("k", expr("(n + 4) div 5"))
+          .groupBy("source")
+          .agg(max(when(col("cum") >= col("k"), col("q_micro")))
+            .as("cut_micro"))
+        val kept = scored.join(broadcast(cuts), "source")
+          .filter(col("q_micro") >= col("cut_micro"))
+        // stage 2: span scrub over the curated pool (q250's shape,
+        // reduced to counts — the layout needs masses, not text)
+        val toks = kept
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        val g = toks.filter(size(col("t")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t)-7), i -> named_struct(" +
+              "'i', i, 'gram', array_join(slice(t, i, 8), ' ')))")).as("sg"))
+          .select(col("doc_id"), col("sg.i").as("i"), col("sg.gram").as("gram"))
+        val dup = g.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("gram")
+        val nCov = g.join(dup, "gram")
+          .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+        val sized = toks
+          .select(col("doc_id"), col("source"),
+            size(col("t")).cast("long").as("n_tok"))
+          .join(nCov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            (col("n_tok") - coalesce(col("n_cov"), lit(0L))).as("n_kept"))
+          .filter(col("n_kept") >= 1)
+        // stage 3: serpentine striping on the scrubbed mass (q249's shape)
+        val mCensus = sized.groupBy("n_kept").agg(count(lit(1)).as("c"))
+        val off = mCensus
+          .withColumn("off", sum("c").over(Window.orderBy(col("n_kept").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("c"))
+          .select("n_kept", "off")
+        sized.join(broadcast(off), "n_kept")
+          .withColumn("r", col("off")
+            + row_number().over(Window.partitionBy("n_kept")
+                .orderBy("doc_id")).cast("long"))
+          .withColumn("shard", expr(
+            "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
+              "ELSE 7 - (r - 1) % 8 END"))
+          .select("doc_id", "source", "n_kept", "r", "shard")
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id, source,
+        |  CAST(floor((0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * least(1.0, (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)) * 1e6 + 0.5) AS BIGINT) AS q_micro
+        |  FROM documents),
+        |qc AS (SELECT source, q_micro, COUNT(*) AS c FROM q GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, q_micro,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY q_micro DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM qc),
+        |cuts AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN cum >= (n + 4) // 5 THEN q_micro END) AS cut_micro
+        |  FROM cum GROUP BY source),
+        |toks AS (
+        |  SELECT d.doc_id, d.source, string_split(d.text, ' ') AS t
+        |  FROM documents d JOIN q USING (doc_id) JOIN cuts c ON q.source = c.source
+        |  WHERE q.q_micro >= c.cut_micro),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.i + d AS p
+        |  FROM g JOIN dup USING (gram),
+        |       LATERAL (SELECT unnest(range(0, 8)) AS d)),
+        |ncov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cov
+        |         FROM cov GROUP BY doc_id),
+        |sized AS (
+        |  SELECT t.doc_id, t.source,
+        |    CAST(len(t.t) AS BIGINT) - COALESCE(n.n_cov, 0) AS n_kept
+        |  FROM toks t LEFT JOIN ncov n USING (doc_id)
+        |  WHERE CAST(len(t.t) AS BIGINT) - COALESCE(n.n_cov, 0) >= 1),
+        |mc AS (SELECT n_kept, COUNT(*) AS c FROM sized GROUP BY n_kept),
+        |off AS (
+        |  SELECT n_kept, CAST(SUM(c) OVER (ORDER BY n_kept DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |    AS BIGINT) AS off
+        |  FROM mc),
+        |ranked AS (
+        |  SELECT s.doc_id, s.source, s.n_kept,
+        |    o.off + ROW_NUMBER() OVER (PARTITION BY s.n_kept
+        |      ORDER BY s.doc_id) AS r
+        |  FROM sized s JOIN off o USING (n_kept))
+        |SELECT doc_id, source, n_kept, r,
         |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
         |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
         |FROM ranked ORDER BY doc_id""".stripMargin))

@@ -181,9 +181,15 @@ object Graph {
     * @param maxRounds convergence bound; also the spec's lever to PIN a
     *   convergence depth (calling with the oracle's unroll depth proves
     *   the unrolled oracle reached the fixpoint).
+    * @param broadcastVertexCeiling largest |V| (measured per round, free
+    *   — it rides the fixpoint aggregate) for which the value table is
+    *   broadcast into the edge join; above it the join degrades to a
+    *   keyed shuffle instead of failing on the broadcast size limit.
+    *   Round14Spec pins path equivalence (ceiling 0 ≡ default).
     */
   def coreness(undirectedEdges: DataFrame, partitions: Int = 8,
-               maxRounds: Int = 64): DataFrame = {
+               maxRounds: Int = 64,
+               broadcastVertexCeiling: Long = 10000000L): DataFrame = {
     require(maxRounds >= 1, s"coreness needs maxRounds >= 1 (got $maxRounds)")
     val caller = undirectedEdges.sparkSession
     val spark = caller.newSession()
@@ -211,14 +217,25 @@ object Graph {
         .localCheckpoint(true)
       var cIds = graft.util.CheckpointGen.pinnedIds(c)
       var prevSum = -1L
-      var sum = c.agg(org.apache.spark.sql.functions.sum(col("c"))).head.getLong(0)
+      // one action per round carries BOTH the fixpoint scalar (Σc) and
+      // |V| — the vertex count picks the join strategy for free: the
+      // value table broadcasts while it fits (the near-dup-graph norm,
+      // |V| ≪ corpus) and degrades to a keyed shuffle join above the
+      // ceiling instead of failing on the broadcast size limit.
+      def sumAndCount(): (Long, Long) = {
+        val r = c.agg(org.apache.spark.sql.functions.sum(col("c")),
+          count(lit(1))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      var (sum, nVerts) = sumAndCount()
       var rounds = 0
       val byV = org.apache.spark.sql.expressions.Window
         .partitionBy("v").orderBy(col("cu").desc)
       while (sum != prevSum) {
         require(rounds < maxRounds,
           s"coreness did not converge within $maxRounds h-index rounds")
-        val next = both.join(broadcast(c), both("u") === c("id"))
+        val cSide = if (nVerts <= broadcastVertexCeiling) broadcast(c) else c
+        val next = both.join(cSide, both("u") === cSide("id"))
           .select(col("v"), col("c").as("cu"))
           .withColumn("rn", row_number().over(byV).cast("long"))
           .groupBy("v").agg(max(least(col("rn"), col("cu"))).as("c"))
@@ -228,7 +245,7 @@ object Graph {
         release(cIds)
         c = next; cIds = nextIds
         prevSum = sum
-        sum = c.agg(org.apache.spark.sql.functions.sum(col("c"))).head.getLong(0)
+        val sc2 = sumAndCount(); sum = sc2._1; nVerts = sc2._2
         rounds += 1
       }
       release(bothIds)

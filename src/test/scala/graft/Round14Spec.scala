@@ -198,6 +198,13 @@ class Round14Spec extends SparkSpec {
     val want = Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       10L -> 1L, 11L -> 1L, 20L -> 2L, 21L -> 2L, 22L -> 2L)
     assert(got.sameElements(want), s"got ${got.mkString(", ")}")
+    // the above-ceiling degradation path (keyed shuffle join instead of
+    // broadcast) must be value-identical — ceiling 0 forces it
+    val shuffled = graft.ext.Graph
+      .coreness(edges, broadcastVertexCeiling = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(shuffled.sameElements(want),
+      s"shuffle-join path diverged: ${shuffled.mkString(", ")}")
   }
 
   test("coreness: fixture near-dup graph converges within the oracle's " +

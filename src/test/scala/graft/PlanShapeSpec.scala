@@ -324,6 +324,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("incremental probe: the settled plan broadcasts the delta-sized " +
+      "sides — the corpus posting state never sort-merges for the probe") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val isBatch = col("doc_id") % 5 === 0
+    val postings = graft.ext.Dedup
+      .ngramPostings(docs.filter(!isBatch), "doc_id", "text", 3)
+      .localCheckpoint(true)
+    val sizes = graft.ext.Dedup.ngramPostingSizes(postings)
+      .localCheckpoint(true)
+    val probe = graft.ext.Dedup.crossCorpusJaccardPairsIndexed(
+      postings, sizes, docs.filter(isBatch), "doc_id", "text", 3, 0.5)
+    val plan = finalPlanString(probe)
+    // AQE must resolve every probe join to broadcast (batch postings into
+    // the sk join, the delta-sized pair set into the sizes/nb joins) —
+    // a SortMergeJoin here means corpus-sized state crossed an exchange
+    // for a delta-sized probe
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus state must not sort-merge against a delta-sized batch:\n$plan")
+  }
+
   test("q249 shard layout: census discipline — the rank join broadcasts " +
       "and the corpus-side window partitions by the token-count value") {
     val df = graft.queries.PipelineQueries.defs

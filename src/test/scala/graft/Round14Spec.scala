@@ -262,6 +262,32 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q251 coherence: survivors are q247's keep set minus fully-" +
+      "scrubbed docs, and the pool-local scrub is monotone vs q250") {
+    val keep247 = SparkEntry.queries("q247_adaptive_quality_cut")(spark, Dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scrub250 = SparkEntry.queries("q250_span_scrub")(spark, Dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val out251 = SparkEntry.queries("q251_curation_tail_pipeline")(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out251.nonEmpty, "fixture pipeline produced no survivors")
+    assert(out251.map(_._1).toSet.subsetOf(keep247),
+      "q251 emitted a doc the quality cut dropped")
+    // shrinking the pool can only shrink the dup-gram set, so the
+    // pool-local scrub keeps AT LEAST as many tokens per doc as the
+    // corpus-wide one
+    out251.foreach { case (id, nk) =>
+      assert(nk >= scrub250(id),
+        s"doc $id: pool-local kept $nk < corpus-wide ${scrub250(id)}")
+    }
+    // a doc the cut kept but q251 dropped was fully scrubbed in-pool —
+    // possible only if the corpus-wide scrub also left it nothing
+    (keep247 -- out251.map(_._1).toSet).foreach { id =>
+      assert(scrub250(id) == 0L,
+        s"doc $id dropped by q251 but corpus-wide scrub kept ${scrub250(id)}")
+    }
+  }
+
   test("q245: streamed ANN search == the one-shot batch search (q236) — " +
       "row-local search is batch-boundary independent") {
     def rows(name: String) = SparkEntry.queries(name)(spark, Dir)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Graph}
+
+/** Coreness (k-core) scale bench on the salted stress corpora.
+  *
+  * Two timed phases, split where production splits them:
+  *   1. edge_s — building the Jaccard-0.3 near-dup edge list (the dedup
+  *      ladder's posting self-join; q248 pays exactly this), and
+  *   2. core_s — the h-index fixpoint itself ([[Graph.coreness]]):
+  *      per round one broadcast join + per-vertex window over 2·|E|.
+  *
+  * The salted corpora (textsalt replicas, ids offset by k·10⁹, replicas
+  * share no shingles) repeat the 1× corpus's local structure k times, so
+  * two invariants double as cross-scale correctness checks, printed in
+  * the JSON: the coreness HISTOGRAM must scale exactly linearly in k
+  * (same buckets, k× the counts), and max_core must be scale-invariant
+  * (coreness is structure-local — a bigger corpus of the same material
+  * must not deepen any core). The interesting law is core_s vs |E|:
+  * the fixpoint is edge-bound, not corpus-bound.
+  */
+object CorenessBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+
+    val (edgeS, edges) = time {
+      val e = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+        .select(col("i").as("src"), col("j").as("dst"))
+        .localCheckpoint(true)
+      e.count()
+      e
+    }
+    val nEdges = edges.count()
+
+    val (coreS, core) = time {
+      val c = Graph.coreness(edges).localCheckpoint(true)
+      c.count()
+      c
+    }
+    val agg = core.agg(count(lit(1)), max(col("coreness")),
+      sum(col("id") % 1000003L * col("coreness"))).head()
+    val (nv, maxCore, chk) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val hist = core.groupBy("coreness").agg(count(lit(1)).as("n"))
+      .orderBy("coreness").collect()
+      .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
+
+    def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"coreness_scale","docs":$nDocs,"edges":$nEdges,""" +
+      s""""edge_s":${f(edgeS)},"core_s":${f(coreS)},"nv":$nv,""" +
+      s""""max_core":$maxCore,"hist":$hist,"checksum":$chk,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -50,4 +50,11 @@ runm iC_10x   IncCcBench /tmp/sf10salt        3600
 runm iCs_100x IncCcBench /tmp/sf100x          7200 48g 250
 runm iC_100x  IncCcBench /tmp/sf100x          7200 48g
 
+# coreness scale law (SCALING.md graph section): fixpoint flat vs 100x
+# edge growth; histogram linearity + max_core invariance are the
+# cross-scale correctness checks
+runm core_1x   CorenessBench /root/testdata/sf0.1 1800
+runm core_10x  CorenessBench /tmp/sf10salt        3600
+runm core_100x CorenessBench /tmp/sf100x          7200 48g
+
 echo "=== r14 sweep done ==="

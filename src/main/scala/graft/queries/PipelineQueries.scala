@@ -1220,9 +1220,13 @@ object PipelineQueries {
     // unlabeled endpoint), so the final label table equals the full
     // rebuild regardless of how the ingest splits — which makes it
     // SQL-oracle-able: full-closure components ∪ self-labels for
-    // streamed docs that never pair. State generations are released as
-    // their successors materialize (CheckpointGen — a stream must not
-    // grow block-manager pins per epoch).
+    // streamed docs that never pair. Lifecycle: the LABEL table (small,
+    // pair-endpoint-sized) is re-checkpointed per epoch with its
+    // predecessor released; the POSTING/SIZE state is an append of
+    // delta-sized generations (pins grow by one delta per epoch — the
+    // parquet-delta-file analogue, bounded by compaction cadence in
+    // production), all released when the stream's final labels
+    // materialize (CheckpointGen throughout).
     QueryDef("q242_stream_cc_maintenance",
       (s, dir) => {
         val docs = Tables.documents(s, dir)

@@ -15,8 +15,25 @@ object Bench {
     // timed query (~4s of the old q01 number was warmup, not work)
     locally {
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1))).collect()
+      // warm UNTIL STABLE, not a fixed count: a single execution leaves
+      // the aggregate path C1/interpreted and the FIRST calibration
+      // station then reads ~40% hot on residual JIT (measured: cal_s[0]
+      // 0.21-0.27 vs 0.13-0.20 at midpoint/end across r13/r14 runs),
+      // poisoning cal_spread as a load signal. C2 compiles on background
+      // threads, so convergence needs executions AND elapsed time — loop
+      // until two consecutive runs sit within 10% of the best, cap 25.
+      var best = Double.MaxValue
+      var stable = 0
+      var it = 0
+      while (stable < 2 && it < 25) {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1))).collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t <= best * 1.1) stable += 1 else stable = 0
+        best = math.min(best, t)
+        it += 1
+      }
       // text/dedup path warmup: the alphabetically-first dedup query
       // otherwise pays the one-time codegen/JIT of the shingle extraction,
       // posting self-join, and pair-aggregation stack (measured ~1-2 s of

@@ -222,9 +222,13 @@ object Graph {
       // value table broadcasts while it fits (the near-dup-graph norm,
       // |V| ≪ corpus) and degrades to a keyed shuffle join above the
       // ceiling instead of failing on the broadcast size limit.
+      // coalesce the Σc to 0: on an EMPTY edge list (a corpus with no
+      // near-dup pairs above threshold) sum() aggregates to null and a
+      // bare getLong would NPE — the degenerate graph must yield the
+      // empty (id, coreness) frame, not a crash.
       def sumAndCount(): (Long, Long) = {
-        val r = c.agg(org.apache.spark.sql.functions.sum(col("c")),
-          count(lit(1))).head
+        val r = c.agg(coalesce(org.apache.spark.sql.functions.sum(col("c")),
+          lit(0L)), count(lit(1))).head
         (r.getLong(0), r.getLong(1))
       }
       var (sum, nVerts) = sumAndCount()

@@ -671,9 +671,11 @@ object Similarity {
     * file-open storm (the measured r14 lesson: the bucketed posting
     * probe's per-file overhead exceeded its pruning savings at ~25 KB
     * files — file COUNT is a first-class scale variable). Compaction is
-    * one distributed rewrite: coalesce to target-size files, rows
-    * clustered by their primary cell (`cells[0]`) so parquet row-group
-    * stats give cell locality to a probed read. Row-preserving by
+    * one distributed rewrite: range-partition to target-size files keyed
+    * by the primary cell (`cells[0]`), rows sorted within each, so a
+    * probed read prunes at BOTH levels — file (a cell's rows land in one
+    * range partition) and row-group (parquet min/max stats on the sorted
+    * column). Row-preserving by
     * construction (a repartition + intra-partition sort changes layout,
     * never content) — q246 hash-checks search-after-compaction against
     * the full search oracle, and Round14Spec pins the file-count drop.
@@ -682,7 +684,13 @@ object Similarity {
     */
   def compactIndex(fragmented: DataFrame, nFiles: Int): DataFrame = {
     require(nFiles > 0, s"compactIndex needs nFiles > 0 (got $nFiles)")
-    fragmented.repartition(nFiles)
+    // range-partition BY primary cell (not round-robin): a round-robin
+    // repartition scatters each cell across all nFiles outputs, so a
+    // probed read still opens every file — range partitioning keeps a
+    // cell's rows in ONE file (modulo range boundaries), giving
+    // file-level pruning on top of the within-file row-group locality
+    // the intra-partition sort provides.
+    fragmented.repartitionByRange(nFiles, element_at(col("cells"), 1))
       .sortWithinPartitions(element_at(col("cells"), 1))
   }
 

@@ -71,6 +71,12 @@ case class DotProduct(left: Expression, right: Expression)
   * Case-class equality is reference equality on the matrix — fine for
   * the per-round fresh instances the init builds; do not memoize plans
   * across distinct matrices.
+  *
+  * Non-finite inputs are OUT OF CONTRACT here (a NaN-laced vector
+  * returns (Double.MaxValue, 0), not a propagated NaN) — the k-means
+  * callers feed finite embeddings only. [[NearestInSetDot]], whose
+  * contract is bit-exactness with the crossJoin min(struct), does
+  * propagate non-finites faithfully.
   */
 case class NearestInSet(child: Expression, cands: Array[Double], dim: Int)
     extends UnaryExpression with PqArrayInput {
@@ -148,7 +154,12 @@ case class NearestInSet(child: Expression, cands: Array[Double], dim: Int)
   * 20k vectors). Same tie rule as the min(struct) it replaces: strict <
   * over candidates in index order ≡ lowest cid when the caller feeds the
   * matrix cid-sorted. Σc² per candidate is precomputed once
-  * (deterministic — recomputed after deserialization).
+  * (deterministic — recomputed after deserialization). Non-finite
+  * inputs stay in contract too: the argmin loop seeds with candidate 0
+  * and replaces on NaN-greatest strictly-smaller — exactly the
+  * min(struct) ordering — so a NaN-laced vector (every d2 NaN) returns
+  * (NaN, cid 0) and an all-+Inf sweep returns (Inf, cid 0), never a
+  * fabricated finite distance.
   */
 case class NearestInSetDot(child: Expression, cands: Array[Double], dim: Int)
     extends UnaryExpression with PqArrayInput {
@@ -185,7 +196,14 @@ case class NearestInSetDot(child: Expression, cands: Array[Double], dim: Int)
     var xx = 0.0
     var d = 0
     while (d < dim) { val t = x(d); xx += t * t; d += 1 }
-    var best = Double.MaxValue
+    // seed with candidate 0, then replace on "strictly smaller under
+    // Spark's NaN-greatest ordering" (d2 < best, or best is NaN and d2
+    // isn't) — the exact min(struct(d2, cid)) semantics, so non-finite
+    // inputs stay in contract: an all-NaN sweep returns (NaN, cid 0),
+    // all-+Inf returns (Inf, cid 0), never a fabricated MaxValue. A
+    // MaxValue-init strict-< loop would silently return
+    // (Double.MaxValue, 0) on a NaN-laced vector.
+    var best = 0.0
     var bestC = 0
     var c = 0
     while (c < nCands) {
@@ -194,7 +212,9 @@ case class NearestInSetDot(child: Expression, cands: Array[Double], dim: Int)
       d = 0
       while (d < dim) { xc += x(d) * cands(base + d); d += 1 }
       val d2 = (xx - 2.0 * xc) + ccs(c)
-      if (d2 < best) { best = d2; bestC = c }
+      if (c == 0 || d2 < best || (best != best && d2 == d2)) {
+        best = d2; bestC = c
+      }
       c += 1
     }
     new GenericInternalRow(Array[Any](best, bestC))
@@ -218,7 +238,10 @@ case class NearestInSetDot(child: Expression, cands: Array[Double], dim: Int)
          |  double $t = ${genGet(arr, d)};
          |  $xx += $t * $t;
          |}
-         |double $best = Double.MAX_VALUE; int $bestC = 0;
+         |// seed with candidate 0, replace on NaN-greatest strictly-smaller —
+         |// the exact min(struct) ordering; all-NaN input propagates
+         |// (NaN, cid 0), never a fabricated MAX_VALUE distance
+         |double $best = 0.0; int $bestC = 0;
          |for (int $c = 0; $c < $nCands; $c++) {
          |  int $base = $c * $dim;
          |  double $xc = 0.0;
@@ -226,7 +249,9 @@ case class NearestInSetDot(child: Expression, cands: Array[Double], dim: Int)
          |    $xc += ${genGet(arr, d)} * $cm[$base + $d];
          |  }
          |  double $d2 = ($xx - 2.0 * $xc) + $cc[$c];
-         |  if ($d2 < $best) { $best = $d2; $bestC = $c; }
+         |  if ($c == 0 || $d2 < $best || ($best != $best && $d2 == $d2)) {
+         |    $best = $d2; $bestC = $c;
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |  new Object[]{$best, $bestC});

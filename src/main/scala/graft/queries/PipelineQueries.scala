@@ -69,6 +69,35 @@ object PipelineQueries {
 
   private val ccOracleCte = ccCtesFor("", "TRUE")
 
+  /** Stage the q242/q252 streamed ingest: the "new" docs (doc_id % 5 = 0)
+    * split into 3 epoch files (doc_id % 15 = e·5), ONE parquet file each
+    * under `$root/in`, so maxFilesPerTrigger=1 delivers exactly 3
+    * micro-batches in a deterministic order. Shared by the in-memory
+    * (q242) and disk-state restartable (q252) maintenance loops so their
+    * batch boundaries cannot drift apart. Returns the ingest schema.
+    */
+  private def stageCcIngest(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, root: String)
+      : org.apache.spark.sql.types.StructType = {
+    val isNew = col("doc_id") % 5 === 0
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/in"))
+    for (e <- 0 until 3) {
+      val scratch = s"$root/scratch$e"
+      docs.filter(isNew && col("doc_id") % 15 === e * 5)
+        .select("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(scratch)
+      scala.util.Using.resource(java.nio.file.Files
+          .list(java.nio.file.Paths.get(scratch))) { w =>
+        val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
+      }
+    }
+    s.read.parquet(s"$root/in/e0.parquet").schema
+  }
+
   /** The DSIR importance scores (doc_id, source, score_raw) shared by the
     * global-quota (q229) and per-source-quota (q243) selections — one
     * definition so the two selection policies cannot drift apart in
@@ -1248,24 +1277,7 @@ object PipelineQueries {
         val root = java.nio.file.Files
           .createTempDirectory("graft_stream_cc").toString
         try {
-          // stage the ingest as one file per epoch (flat dir, so
-          // maxFilesPerTrigger=1 delivers exactly 3 micro-batches)
-          java.nio.file.Files
-            .createDirectories(java.nio.file.Paths.get(s"$root/in"))
-          for (e <- 0 until 3) {
-            val scratch = s"$root/scratch$e"
-            docs.filter(isNew && col("doc_id") % 15 === e * 5)
-              .select("doc_id", "text").coalesce(1)
-              .write.mode("overwrite").parquet(scratch)
-            scala.util.Using.resource(java.nio.file.Files
-                .list(java.nio.file.Paths.get(scratch))) { w =>
-              val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
-                .findFirst().get()
-              java.nio.file.Files.move(part,
-                java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
-            }
-          }
-          val schema = s.read.parquet(s"$root/in/e0.parquet").schema
+          val schema = stageCcIngest(s, docs, root)
           val ingest = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(s"$root/in/*")
@@ -1314,6 +1326,72 @@ object PipelineQueries {
           CheckpointGen.release(sc, postPins ++ sizePins ++
             (labelPins -- CheckpointGen.pinnedIds(out)))
           out
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH RECURSIVE $ccOracleCte,
+        |fin AS (
+        |  SELECT id, label FROM comp
+        |  UNION ALL
+        |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
+        |  WHERE d.doc_id % 5 = 0
+        |    AND d.doc_id NOT IN (SELECT id FROM comp))
+        |SELECT id, label FROM fin ORDER BY id""".stripMargin)),
+
+    // ---- RESTART-RESUME for the streaming maintenance loop (r14 #1) ----
+    // q242 proved the streamed loop batch-boundary independent, but its
+    // state lived in driver vars — one JVM, no restart story, and at
+    // 100 TB the ingest WILL restart. Here every piece of state is ON
+    // DISK (Streams.ccMaintenanceInit/DiskStep: epoch-keyed posting/size/
+    // label generations + the per-epoch update deltas) and the ingest
+    // runs with a REAL checkpointLocation. The query kills its own stream
+    // mid-epoch-1 — after the label generation commits but BEFORE the
+    // posting/size generations do, the nastiest partial-commit point —
+    // then restarts from the checkpoint: the file source re-delivers the
+    // failed epoch (same batch id, same file), the step recomputes from
+    // strictly-prior generations only, every write is an epoch-keyed
+    // overwrite, so the re-run converges to the uninterrupted answer.
+    // Round15Spec pins killed+restarted ≡ uninterrupted ≡ q242; the
+    // oracle is q242's (full closure ∪ batch-singleton self-labels).
+    QueryDef("q252_stream_cc_restart_resume",
+      (s, dir) => {
+        import graft.streaming.Streams
+        val docs = Tables.documents(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_cc_restart").toString
+        try {
+          val schema = stageCcIngest(s, docs, root)
+          Streams.ccMaintenanceInit(
+            docs.filter(col("doc_id") % 5 =!= 0), s"$root/state")
+          val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+          def start(kill: Boolean) = {
+            val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+              Streams.ccMaintenanceDiskStep(s"$root/state", 3, 0.5,
+                if (kill) Some((1L, armed)) else None)
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+              .writeStream.option("checkpointLocation", s"$root/ckpt")
+              .foreachBatch(step).start()
+          }
+          val q1 = start(kill = true)
+          val died =
+            try { q1.processAllAvailable(); false }
+            catch { case _: Throwable => true }
+            finally q1.stop()
+          // the restart leg must be REAL — a silently-surviving first run
+          // would turn this into a plain uninterrupted test
+          require(died && !armed.get,
+            "the injected epoch-1 kill did not fire")
+          val q2 = start(kill = false)
+          try q2.processAllAvailable() finally q2.stop()
+          // materialize before the temp state dir is deleted
+          Streams.ccMaintenanceLabels(s, s"$root/state")
+            .orderBy("id").localCheckpoint(true)
         } finally {
           scala.util.Using.resource(java.nio.file.Files
               .walk(java.nio.file.Paths.get(root))) { w =>

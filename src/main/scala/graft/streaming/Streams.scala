@@ -565,4 +565,128 @@ object Streams {
       .foreach(del)
     s.read.parquet(outRoot).drop("batch")
   }
+
+  // ---- Restartable (disk-state) incremental-CC maintenance ----
+  // q242 proved the streamed maintenance loop batch-boundary independent,
+  // but its state lived in driver vars — one JVM, no restart story. These
+  // three seams put EVERY piece of state on disk as epoch-keyed
+  // generations, so a killed ingest resumes from the stream checkpoint +
+  // persisted state and converges to the uninterrupted answer (q252
+  // drives a real kill + restart; Round15Spec pins killed ≡ uninterrupted
+  // ≡ q242). The recovery argument is structural, not lucky timing: a
+  // step derives ONLY from strictly-prior generations (epoch < E scans;
+  // max-gen-BELOW-E label lookup), so re-delivery of a failed epoch —
+  // whatever partial writes it left — recomputes byte-identical artifacts,
+  // and every write is an idempotent overwrite keyed by its epoch. At
+  // 100 TB this is the parquet-delta-file discipline verbatim: per-epoch
+  // delta dirs accumulate under a partition column (the epoch < E filter
+  // prunes AT THE SCAN), bounded by compaction cadence (q246).
+
+  /** Initialize the on-disk dedup state at generation -1: corpus postings,
+    * posting sizes, and the initial label table REBUILT FROM the persisted
+    * postings (the q240 one-shingle-pass discipline — labels derive from
+    * the read-back index, never a corpus re-shingle). Idempotent: skipped
+    * when the root already carries generations, so a restarting driver
+    * cannot clobber live state.
+    */
+  def ccMaintenanceInit(corpus: DataFrame, stateRoot: String,
+      k: Int = 3, threshold: Double = 0.5): Unit = {
+    val s = corpus.sparkSession
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$stateRoot/gens/labels"))) return
+    val sc = s.sparkContext
+    val postings = graft.ext.Dedup
+      .ngramPostings(corpus, "doc_id", "text", k).localCheckpoint(true)
+    val pins = graft.util.CheckpointGen.pinnedIds(postings)
+    postings.write.mode("overwrite")
+      .parquet(s"$stateRoot/gens/postings/epoch=-1")
+    graft.ext.Dedup.ngramPostingSizes(postings).write.mode("overwrite")
+      .parquet(s"$stateRoot/gens/sizes/epoch=-1")
+    graft.util.CheckpointGen.release(sc, pins)
+    // labels from the WRITTEN state (materialized on disk — the
+    // pass-postings-materialized contract of the self-join)
+    val p = s.read.parquet(s"$stateRoot/gens/postings/epoch=-1")
+    val z = s.read.parquet(s"$stateRoot/gens/sizes/epoch=-1")
+    graft.ext.Dedup.connectedComponents(
+        graft.ext.Dedup.ngramJaccardPairsFromPostings(p, z, threshold))
+      .write.mode("overwrite").parquet(s"$stateRoot/gens/labels/epoch=-1")
+  }
+
+  /** Largest persisted generation strictly below `bound` (driver-side dir
+    * listing — generation counts are compaction-bounded, never corpus-
+    * sized). Generation -1 (init) always exists once the state is built.
+    */
+  private def latestGenBelow(dir: String, bound: Long): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    val gens = scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala
+        .flatMap(_.getFileName.toString.stripPrefix("epoch=").toLongOption)
+        .filter(_ < bound).toSeq
+    }
+    require(gens.nonEmpty, s"no generation below $bound under $dir — " +
+      "ccMaintenanceInit must run before the stream starts")
+    gens.max
+  }
+
+  /** One maintenance epoch against the DISK state — the foreachBatch body.
+    * Reads postings/sizes generations `epoch < E` (partition-pruned at the
+    * scan) and the latest label generation below E; computes the delta
+    * pairs → label-update set; persists the update delta
+    * (`updates/batch=E`, the production artifact — the state upsert reads
+    * the WRITTEN delta back, so the write IS the handoff), the next label
+    * generation, and the batch's posting/size deltas — every write an
+    * overwrite keyed by E. `killOnceAt = (E, armed)` injects a one-shot
+    * crash at the nastiest partial-commit point (label generation E
+    * committed, posting/size generations NOT) to prove recovery.
+    */
+  def ccMaintenanceDiskStep(stateRoot: String, k: Int = 3,
+      threshold: Double = 0.5,
+      killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)] =
+        None)(batch: DataFrame, epoch: Long): Unit = {
+    val s = batch.sparkSession
+    val sc = s.sparkContext
+    import graft.ext.Dedup
+    import graft.util.CheckpointGen
+    val gens = s"$stateRoot/gens"
+    val postings = s.read.parquet(s"$gens/postings")
+      .filter(col("epoch") < epoch).drop("epoch")
+    val sizes = s.read.parquet(s"$gens/sizes")
+      .filter(col("epoch") < epoch).drop("epoch")
+    val labelGen = latestGenBelow(s"$gens/labels", epoch)
+    val labels = s.read.parquet(s"$gens/labels/epoch=$labelGen")
+    val b = batch.localCheckpoint(true)
+    val bPins = CheckpointGen.pinnedIds(b)
+    val newPairs = Dedup.incrementalCcPairs(postings, sizes, b,
+        "doc_id", "text", k, threshold)
+      .localCheckpoint(true)
+    val pairPins = CheckpointGen.pinnedIds(newPairs)
+    val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
+      b.select(col("doc_id").as("id")))
+    updates.write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
+    CheckpointGen.release(sc, pairPins ++ CheckpointGen.pinnedIds(updates))
+    val persisted = s.read.parquet(s"$stateRoot/updates/batch=$epoch")
+    Dedup.applyCcLabelUpdates(labels, persisted)
+      .write.mode("overwrite").parquet(s"$gens/labels/epoch=$epoch")
+    killOnceAt.foreach { case (at, armed) =>
+      if (epoch == at && armed.compareAndSet(true, false)) {
+        CheckpointGen.release(sc, bPins)
+        throw new IllegalStateException(
+          s"injected kill: epoch $epoch died after its label write, " +
+            "before its posting/size writes")
+      }
+    }
+    val bp = Dedup.ngramPostings(b, "doc_id", "text", k).localCheckpoint(true)
+    val bpPins = CheckpointGen.pinnedIds(bp)
+    bp.write.mode("overwrite").parquet(s"$gens/postings/epoch=$epoch")
+    Dedup.ngramPostingSizes(bp).write.mode("overwrite")
+      .parquet(s"$gens/sizes/epoch=$epoch")
+    CheckpointGen.release(sc, bPins ++ bpPins)
+  }
+
+  /** The current label table: the latest persisted generation. */
+  def ccMaintenanceLabels(s: SparkSession, stateRoot: String): DataFrame = {
+    val g = latestGenBelow(s"$stateRoot/gens/labels", Long.MaxValue)
+    s.read.parquet(s"$stateRoot/gens/labels/epoch=$g")
+  }
 }

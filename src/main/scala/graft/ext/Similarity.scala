@@ -694,6 +694,98 @@ object Similarity {
       .sortWithinPartitions(element_at(col("cells"), 1))
   }
 
+  // ---- On-disk index store with a COMPACTION POLICY ----
+  // [[compactIndex]] is the operator; these seams make it a POLICY (r14
+  // verdict #3): an append stream lands per-epoch deltas, and when the
+  // CURRENT VIEW's data-file count crosses a threshold the store folds
+  // itself into a new generation mid-stream — the automated consumer of
+  // the measured file-count law (SCALING.md: per-file open overhead
+  // exceeded pruning savings at ~25 KB files; nFiles follows bytes /
+  // target block size in production, a file count here where the fixture
+  // files are uniformly tiny). Layout under `storeRoot`:
+  //   gens/g=<E>    — generation folded through delta epoch E (base −1);
+  //                   current = the LARGEST E whose write completed
+  //                   (_SUCCESS marker — a crashed compaction is invisible)
+  //   deltas/epoch=<E> — per-epoch append deltas (idempotent overwrites)
+  // The view = current generation ∪ deltas with epoch > its fold point.
+  // Folded deltas and old generations are never deleted here (GC cadence
+  // is a deployment policy); they simply leave the view, so compaction is
+  // crash-safe the same way the q252 generations are: readers key on the
+  // last COMPLETE generation and every write is epoch-keyed.
+
+  private def listEpochDirs(dir: String, prefix: String,
+      requireSuccess: Boolean): Seq[Long] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala
+        .filter(d => !requireSuccess || java.nio.file.Files
+          .exists(d.resolve("_SUCCESS")))
+        .flatMap(_.getFileName.toString.stripPrefix(prefix).toLongOption)
+        .toSeq
+    }
+  }
+
+  private def currentGen(storeRoot: String): Long = {
+    val gens = listEpochDirs(s"$storeRoot/gens", "g=", requireSuccess = true)
+    require(gens.nonEmpty, s"no complete generation under $storeRoot/gens — " +
+      "write the base index as gens/g=-1 before streaming deltas")
+    gens.max
+  }
+
+  /** The store's current contents: the latest complete generation ∪ the
+    * delta epochs past its fold point. Lazy — callers compose it into
+    * search/probe plans; the delta scan is partition-pruned to
+    * `epoch > fold` at the source.
+    */
+  def indexStoreView(s: org.apache.spark.sql.SparkSession,
+      storeRoot: String): DataFrame = {
+    val g = currentGen(storeRoot)
+    val gen = s.read.parquet(s"$storeRoot/gens/g=$g")
+    if (listEpochDirs(s"$storeRoot/deltas", "epoch=",
+        requireSuccess = false).forall(_ <= g)) gen
+    else gen.unionByName(s.read.parquet(s"$storeRoot/deltas")
+      .filter(col("epoch") > g).drop("epoch"))
+  }
+
+  /** Data-file count of the CURRENT VIEW (not the whole root — folded
+    * deltas and superseded generations are out of the read path and must
+    * not retrigger compaction). Driver-side walk; generation counts are
+    * policy-bounded.
+    */
+  def storeViewFileCount(storeRoot: String): Long = {
+    val g = currentGen(storeRoot)
+    def files(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        w.filter(_.getFileName.toString.endsWith(".parquet")).count()
+      }
+    }
+    files(s"$storeRoot/gens/g=$g") +
+      listEpochDirs(s"$storeRoot/deltas", "epoch=", requireSuccess = false)
+        .filter(_ > g).map(e => files(s"$storeRoot/deltas/epoch=$e")).sum
+  }
+
+  /** The policy: fold the view into generation `epoch` when its file
+    * count exceeds `maxFiles`. Returns (filesBefore, filesAfter) when it
+    * fired. Row-preserving ([[compactIndex]]), so search over the view is
+    * invariant across the trigger — q253 drives this mid-stream against
+    * q235's oracle; Round15Spec pins the count drop + content identity.
+    */
+  def compactStoreIfNeeded(s: org.apache.spark.sql.SparkSession,
+      storeRoot: String, maxFiles: Long, targetFiles: Int,
+      epoch: Long): Option[(Long, Long)] = {
+    val before = storeViewFileCount(storeRoot)
+    if (before <= maxFiles) None
+    else {
+      compactIndex(indexStoreView(s, storeRoot), targetFiles)
+        .write.mode("overwrite").parquet(s"$storeRoot/gens/g=$epoch")
+      Some((before, storeViewFileCount(storeRoot)))
+    }
+  }
+
   /** [[buildIvfPqIndex]] with the two-level (coarse-quantized) assignment —
     * the composition the autoscale law needs: with cells ∝ n (constant
     * cell occupancy, the production knob for corpus-sized workloads), the

@@ -2043,30 +2043,7 @@ object VectorQueries {
           }
         }
       },
-      Some(s"""WITH ${ivfPqSearchCtesWith(
-          s"""$twoLevelAsgpCtes,
-            |sicorp AS (
-            |  SELECT vec_id, cell FROM asgp
-            |  WHERE NOT (vec_id >= (SELECT cells FROM k) AND vec_id % 5 = 0)),
-            |siing AS (
-            |  SELECT vec_id, cell FROM asgp
-            |  WHERE vec_id >= (SELECT cells FROM k) AND vec_id % 5 = 0),
-            |sidup AS (
-            |  SELECT DISTINCT i.vec_id AS dup_id
-            |  FROM siing i JOIN sicorp c ON i.cell = c.cell
-            |  JOIN e ei ON i.vec_id = ei.vec_id
-            |  JOIN e ec ON c.vec_id = ec.vec_id
-            |  WHERE list_dot_product(ei.v, ec.v)
-            |      / (sqrt(list_dot_product(ei.v, ei.v))
-            |        * sqrt(list_dot_product(ec.v, ec.v))) >= $SemDedupTau)""".stripMargin,
-          """asg AS (
-            |  SELECT vec_id, cell FROM asgp WHERE rn = 1
-            |    AND vec_id NOT IN (SELECT dup_id FROM sidup))""".stripMargin,
-          """qprobe AS (
-            |  SELECT vec_id AS qid, cell FROM asgp WHERE vec_id % 49 = 0
-            |    AND vec_id NOT IN (SELECT dup_id FROM sidup))""".stripMargin)}
-        |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin)),
+      Some(streamIngestAppendOracleSql)),
 
     // ---- ANN search with EXTERNAL queries (the production search path) --
     // Every prior search draws its queries FROM the index (vec_id % k) —
@@ -2453,8 +2430,157 @@ object VectorQueries {
       },
       Some(s"""WITH $ivfPqCtes
         |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin))
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- COMPACTION AS A POLICY (threshold-triggered, mid-stream) ------
+    // q246 compacts ON DEMAND; this is the automated consumer of the
+    // measured file-count law (r14 verdict #3): q235's screen→append
+    // pipeline with the store ON DISK (Similarity.indexStoreView layout:
+    // base generation + per-epoch deltas), where after every append the
+    // policy (Similarity.compactStoreIfNeeded) counts the view's data
+    // files and folds the store into a new generation once they cross the
+    // threshold. The staging makes the trigger fire MID-stream
+    // deterministically at every SF (base fragmented to 12 files >
+    // threshold 10, so the FIRST append folds base+delta to 2 files
+    // regardless of how many files the delta writer emits, and the later
+    // epochs' deltas land ON the compacted generation) — the query
+    // require()s that shape loudly, so a silently-never-firing
+    // policy can't pass as green. Search invariance across the trigger
+    // boundary: compaction is row-preserving and the screen scores
+    // against the STATIC corpus, so the final search over the view equals
+    // q235's one-shot chain — the oracle IS q235's, shared by
+    // construction. Round15Spec pins the policy mechanics (fires over
+    // threshold, idles under it, count drops, content identical).
+    QueryDef("q253_compaction_policy_stream",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val isNew = col("vec_id") >= cells && col("vec_id") % 5 === 0
+        val old = emb.filter(!isNew)
+        val coarse = Similarity.ivfCoarseCentroids(old, nCoarse)
+          .localCheckpoint(true)
+        val froute = Similarity
+          .routeFineCentroids(Similarity.ivfCentroids(old, cells), coarse)
+          .localCheckpoint(true)
+        val index0 = Similarity.buildIvfPqIndexTwoLevel(old, cells,
+            SemDedupProbes, nCoarse, 2)
+          .persist()
+        val sc = s.sparkContext
+        import graft.util.CheckpointGen
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_compact_policy").toString
+        try {
+          // base generation, deliberately fragmented — the store starts
+          // where a naive wide writer leaves it
+          index0.repartition(12).write.mode("overwrite")
+            .parquet(s"$root/store/gens/g=-1")
+          // stage the ingest as 3 single-file epochs (q245's discipline)
+          java.nio.file.Files
+            .createDirectories(java.nio.file.Paths.get(s"$root/in"))
+          for (e <- 0 until 3) {
+            val scratch = s"$root/scratch$e"
+            emb.filter(isNew && pmod(col("vec_id"), lit(3)) === e)
+              .coalesce(1).write.mode("overwrite").parquet(scratch)
+            scala.util.Using.resource(java.nio.file.Files
+                .list(java.nio.file.Paths.get(scratch))) { w =>
+              val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
+                .findFirst().get()
+              java.nio.file.Files.move(part,
+                java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
+            }
+          }
+          val corpProbes = index0.select(col("vec_id").as("nid"),
+            explode(col("cells")).as("cell"), col("v").as("nv"))
+          val schema = s.read.parquet(s"$root/in/e0.parquet").schema
+          val ingest = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+          val events =
+            new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+          val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, epoch) => {
+              val b = batch.localCheckpoint(true)
+              val bPins = CheckpointGen.pinnedIds(b)
+              try {
+                val asg = Similarity.assignProbesTwoLevelWith(
+                  b.select(col("vec_id"),
+                    Similarity.asDouble(col("embedding")).as("v")),
+                  coarse, froute, SemDedupProbes, 2)
+                val dupIds = Similarity
+                  .cellLocalScreen(asg, corpProbes, SemDedupTau)
+                  .select(col("vec_id").as("dup_id")).distinct()
+                val survivors = b.join(dupIds,
+                  col("vec_id") === col("dup_id"), "left_anti")
+                Similarity.appendToIvfPqIndexTwoLevel(index0.limit(0),
+                    coarse, froute, survivors, SemDedupProbes, 2)
+                  .repartition(3)
+                  .write.mode("overwrite")
+                  .parquet(s"$root/store/deltas/epoch=$epoch")
+                Similarity.compactStoreIfNeeded(s, s"$root/store",
+                    maxFiles = 10L, targetFiles = 2, epoch)
+                  .foreach { case (bf, af) => events.add((epoch, bf, af)); () }
+              } finally CheckpointGen.release(sc, bPins)
+            }
+          val q = ingest.writeStream.foreachBatch(step).start()
+          try q.processAllAvailable() finally q.stop()
+          import scala.jdk.CollectionConverters._
+          val ev = events.asScala.toSeq.sortBy(_._1)
+          // the policy must have fired MID-stream (a delta landed after
+          // the fold) and actually shrunk the view — otherwise this query
+          // is just q246 wearing a stream
+          require(ev.nonEmpty && ev.head._1 < 2,
+            s"compaction policy did not fire mid-stream (events: $ev)")
+          require(ev.forall { case (_, bf, af) => af < bf },
+            s"compaction did not shrink the view (events: $ev)")
+          val merged = Similarity.indexStoreView(s, s"$root/store").persist()
+          try Similarity.ivfPqSearchIndexed(merged, 5,
+              col("vec_id") % 49 === 0, IvfPqRerank)
+            .orderBy("qid", "rn").localCheckpoint(true)
+          finally merged.unpersist(blocking = false)
+        } finally {
+          index0.unpersist(blocking = false)
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(streamIngestAppendOracleSql))
   )
+
+  /** q235's screen→append→search oracle — ALSO q253's: the dedup screen
+    * scores every ingest row against the STATIC corpus (batch-
+    * independent), appends are row-local, and compaction (q253's policy
+    * trigger) is row-preserving, so the final search over the store view
+    * equals the one-shot chain regardless of batch boundaries or how many
+    * times the store folded. One definition so they cannot drift.
+    */
+  private lazy val streamIngestAppendOracleSql: String =
+    s"""WITH ${ivfPqSearchCtesWith(
+        s"""$twoLevelAsgpCtes,
+          |sicorp AS (
+          |  SELECT vec_id, cell FROM asgp
+          |  WHERE NOT (vec_id >= (SELECT cells FROM k) AND vec_id % 5 = 0)),
+          |siing AS (
+          |  SELECT vec_id, cell FROM asgp
+          |  WHERE vec_id >= (SELECT cells FROM k) AND vec_id % 5 = 0),
+          |sidup AS (
+          |  SELECT DISTINCT i.vec_id AS dup_id
+          |  FROM siing i JOIN sicorp c ON i.cell = c.cell
+          |  JOIN e ei ON i.vec_id = ei.vec_id
+          |  JOIN e ec ON c.vec_id = ec.vec_id
+          |  WHERE list_dot_product(ei.v, ec.v)
+          |      / (sqrt(list_dot_product(ei.v, ei.v))
+          |        * sqrt(list_dot_product(ec.v, ec.v))) >= $SemDedupTau)""".stripMargin,
+        """asg AS (
+          |  SELECT vec_id, cell FROM asgp WHERE rn = 1
+          |    AND vec_id NOT IN (SELECT dup_id FROM sidup))""".stripMargin,
+        """qprobe AS (
+          |  SELECT vec_id AS qid, cell FROM asgp WHERE vec_id % 49 = 0
+          |    AND vec_id NOT IN (SELECT dup_id FROM sidup))""".stripMargin)}
+      |SELECT qid, rn, nid, cos FROM final WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
 
   /** q236's external-query search oracle — ALSO q245's: the streamed
     * search is row-local against a static index, so union-over-epochs ≡

@@ -74,4 +74,44 @@ class Round15Spec extends SparkSpec {
     assert(resumed.nonEmpty, "fixture produced no labels")
     assert(resumed.sameElements(uninterrupted))
   }
+
+  test("compaction policy: idles under the file threshold, fires over it, " +
+      "shrinks the view, preserves content, and post-fold deltas rejoin " +
+      "the view (the q253 store mechanics)") {
+    import graft.ext.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, Dir)
+    val base = Similarity.buildIvfPqIndex(emb, 8, 4)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_policy_spec").toString
+    val store = s"$root/store"
+    def contents() = Similarity.indexStoreView(spark, store)
+      .select(col("vec_id"), col("pq_code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    try {
+      base.repartition(4).write.mode("overwrite").parquet(s"$store/gens/g=-1")
+      base.filter(col("vec_id") % 2 === 0).repartition(3)
+        .write.mode("overwrite").parquet(s"$store/deltas/epoch=0")
+      val before = contents()
+      // 7 files ≤ 8 → the policy must NOT fire
+      assert(Similarity.storeViewFileCount(store) == 7L)
+      assert(Similarity.compactStoreIfNeeded(spark, store, 8L, 2, 0L).isEmpty)
+      // second delta crosses the threshold → fold into generation 1
+      base.filter(col("vec_id") % 2 === 1).repartition(3)
+        .write.mode("overwrite").parquet(s"$store/deltas/epoch=1")
+      val all = contents()
+      val fired = Similarity.compactStoreIfNeeded(spark, store, 8L, 2, 1L)
+      assert(fired.contains((10L, 2L)), s"got $fired")
+      assert(contents().sameElements(all)) // row-preserving fold
+      // a post-fold delta rejoins the view; the folded ones do not double
+      base.limit(0).write.mode("overwrite").parquet(s"$store/deltas/epoch=2")
+      assert(contents().sameElements(all))
+      assert(before.nonEmpty && all.length > before.length)
+    } finally {
+      scala.util.Using.resource(java.nio.file.Files
+          .walk(java.nio.file.Paths.get(root))) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
 }

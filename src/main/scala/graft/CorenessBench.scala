@@ -63,9 +63,25 @@ object CorenessBench {
       .orderBy("coreness").collect()
       .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
 
+    // the ABOVE-CEILING degradation path at bench scale (r14 verdict #5):
+    // ceiling 0 forces the value-table join through the keyed shuffle —
+    // the path a >10M-vertex production graph takes — on the same edges.
+    // The checksum must match the broadcast path's exactly (Round14Spec
+    // pins the 12-edge fixture; this pins it on every measured graph).
+    val (coreShufS, chkShuf) = time {
+      val c = Graph.coreness(edges, broadcastVertexCeiling = 0L)
+      val a = c.agg(count(lit(1)),
+        sum(col("id") % 1000003L * col("coreness"))).head()
+      (a.getLong(0), a.getLong(1))
+    }
+    require(chkShuf == ((nv, chk)),
+      s"shuffle-path coreness diverged: broadcast=($nv, $chk) " +
+        s"shuffle=$chkShuf")
+
     def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"coreness_scale","docs":$nDocs,"edges":$nEdges,""" +
-      s""""edge_s":${f(edgeS)},"core_s":${f(coreS)},"nv":$nv,""" +
+      s""""edge_s":${f(edgeS)},"core_s":${f(coreS)},""" +
+      s""""core_shuffle_s":${f(coreShufS)},"nv":$nv,""" +
       s""""max_core":$maxCore,"hist":$hist,"checksum":$chk,"sf":"$sfDir"}""")
     spark.stop()
   }

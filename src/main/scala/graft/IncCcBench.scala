@@ -51,6 +51,20 @@ import graft.ext.Dedup
   * decomposes the twin into layout tax vs pruning benefit — see the
   * in-code comment. All three steps must produce identical updates
   * (checked in-run). Prints ONE JSON line.
+  *
+  * Round 15 adds the WIN-REGIME leg (r14 verdict #4): every r14-measured
+  * leg had the compact scan winning because the whole posting state was
+  * ~11M (i, sk) rows — under a second of scan — while the crossover
+  * arithmetic (SCALING.md) says pruning wins once the state outgrows a
+  * single scan. SPARK_GRAFT_POSTING_INFLATE=R appends R synthetic rows
+  * per real posting with REHASHED keys (xxhash64(sk, r) — sharing no key
+  * with any batch shingle, so the update set is provably unchanged; the
+  * in-run checksum equality would fail loudly on the ~2⁻⁶⁴-probability
+  * collision), persisted in BOTH layouts. Row count is the right
+  * inflation axis — a fat payload column would be column-pruned away by
+  * parquet and tax neither scan. The batch then probes a state whose
+  * full scan costs real time while the pruned probe still reads only
+  * its hit buckets.
   */
 object IncCcBench {
   def main(args: Array[String]): Unit = {
@@ -80,17 +94,32 @@ object IncCcBench {
     val corpusDocs = corpus.count()
     val batchDocs = docs.filter(isBatch).count()
 
-    val (prepS, nBuckets) = time {
+    val inflate = sys.env.getOrElse("SPARK_GRAFT_POSTING_INFLATE", "0").toLong
+
+    val (prepS, (nBuckets, nPostRows)) = time {
       Dedup.ngramPostings(corpus, "doc_id", "text", 3)
-        .write.mode("overwrite").parquet(s"$state/postings")
-      Dedup.ngramPostingSizes(spark.read.parquet(s"$state/postings"))
+        .write.mode("overwrite").parquet(s"$state/postings_real")
+      // win-regime inflation: R synthetic rows per real posting, keys
+      // rehashed per replica — they join nothing (no batch key overlap),
+      // they just make the state's PROBED columns big enough that a full
+      // scan costs real time. 0 → the state IS the real postings.
+      locally {
+        val real = spark.read.parquet(s"$state/postings_real")
+        val full = if (inflate <= 0) real else real.unionByName(
+          real.crossJoin(spark.range(1, inflate + 1).toDF("r"))
+            .select(col("i"), xxhash64(col("sk"), col("r")).as("sk")))
+        full.write.mode("overwrite").parquet(s"$state/postings")
+      }
+      // sizes/labels derive from the REAL postings only (synthetic rows
+      // are key-disjoint filler, not documents)
+      Dedup.ngramPostingSizes(spark.read.parquet(s"$state/postings_real"))
         .write.mode("overwrite").parquet(s"$state/sizes")
       // labels rebuild from the just-persisted index, not by re-shingling
       // the corpus (ngramJaccardPairsFromPostings ≡ ngramJaccardPairs,
       // Round14Spec) — prep pays ONE shingle pass over the corpus text
       Dedup.connectedComponents(
           Dedup.ngramJaccardPairsFromPostings(
-            spark.read.parquet(s"$state/postings"),
+            spark.read.parquet(s"$state/postings_real"),
             spark.read.parquet(s"$state/sizes"), 0.5))
         .write.mode("overwrite").parquet(s"$state/labels")
       docs.filter(isBatch)
@@ -102,11 +131,12 @@ object IncCcBench {
       val nPost = spark.read.parquet(s"$state/postings").count()
       val b = sys.env.get("SPARK_GRAFT_POSTING_BUCKETS").map(_.toInt)
         .getOrElse(math.min(16384L, math.max(64L, nPost / 3000L)).toInt)
-      Dedup.ngramPostingsBucketed(corpus, "doc_id", "text", 3, b)
+      spark.read.parquet(s"$state/postings")
+        .withColumn("bucket", Dedup.postingBucket(col("sk"), b))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$state/postings_bucketed")
-      b
+      (b, nPost)
     }
 
     spark.catalog.clearCache()
@@ -185,6 +215,7 @@ object IncCcBench {
       s""""step_pruned_s":${f(stepPrunedS)},""" +
       s""""step_bucketed_s":${f(stepBucketedS)},"n_buckets":$nBuckets,""" +
       s""""buckets_hit":$bucketsHit,""" +
+      s""""inflate":$inflate,"posting_rows":$nPostRows,""" +
       s""""corpus_docs":$corpusDocs,"batch_docs":$batchDocs,""" +
       s""""n_new_pairs":${out._3},"n_label_updates":${out._1},""" +
       s""""chk":${out._2},"sf":"$sfDir"}""")

@@ -98,6 +98,59 @@ object PipelineQueries {
     s.read.parquet(s"$root/in/e0.parquet").schema
   }
 
+  /** The q249 serpentine balanced-shard layout (doc_id, n_tok, r, shard)
+    * — rank by (n_tok DESC, doc_id) via census-prefix offset + per-value
+    * row_number (NEVER a corpus-wide single-partition window; plan-pinned
+    * in PlanShapeSpec), then boustrophedon-stripe rank r into shard r%N /
+    * N-1-r%N on alternating passes. Shared by q249 (the layout) and q254
+    * (the layout written to disk) so they cannot drift.
+    */
+  private def serpentineShards(s: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+    val census = toks.groupBy("n_tok").agg(count(lit(1)).as("c"))
+    val off = census
+      .withColumn("off", sum("c").over(Window.orderBy(col("n_tok").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("c"))
+      .select("n_tok", "off")
+    val ranked = toks.join(broadcast(off), "n_tok")
+      .withColumn("r", col("off")
+        + row_number().over(Window.partitionBy("n_tok")
+            .orderBy("doc_id")).cast("long"))
+    ranked
+      // div, not "/": Column `/` on BIGINT is double division
+      .withColumn("shard", expr(
+        s"CASE WHEN ((r - 1) div $n) % 2 = 0 THEN (r - 1) % $n " +
+          s"ELSE ${n - 1} - (r - 1) % $n END"))
+      .select("doc_id", "n_tok", "r", "shard")
+  }
+
+  /** The DuckDB twin of [[serpentineShards]] at n = 8 — q249's and
+    * q254's shared oracle (the disk round trip is content-preserving).
+    */
+  private val serpentineOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |census AS (SELECT n_tok, COUNT(*) AS c FROM toks GROUP BY n_tok),
+      |off AS (
+      |  SELECT n_tok, CAST(SUM(c) OVER (ORDER BY n_tok DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      |    AS BIGINT) AS off
+      |  FROM census),
+      |ranked AS (
+      |  SELECT t.doc_id, t.n_tok,
+      |    o.off + ROW_NUMBER() OVER (PARTITION BY t.n_tok
+      |      ORDER BY t.doc_id) AS r
+      |  FROM toks t JOIN off o USING (n_tok))
+      |SELECT doc_id, n_tok, r,
+      |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+      |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   /** The DSIR importance scores (doc_id, source, score_raw) shared by the
     * global-quota (q229) and per-source-quota (q243) selections — one
     * definition so the two selection policies cannot drift apart in
@@ -1428,48 +1481,44 @@ object PipelineQueries {
     // arithmetic verbatim. Round14Spec audits the balance claim (doc
     // counts exact ±0, token spread ≤ largest doc on the fixture).
     QueryDef("q249_balanced_shards",
+      (s, dir) => serpentineShards(s, dir, 8).orderBy("doc_id"),
+      Some(serpentineOracleSql)),
+
+    // ---- the shard layout LANDED ON DISK (r14 verdict #6) -------------
+    // q249 computes shard ids; this writes them as the physical layout
+    // they exist for — `partitionBy("shard")` parquet, one file per shard
+    // dir (repartition on the partition column), so N data-parallel
+    // readers each consume exactly one directory and a shard-filtered
+    // read prunes to its dir at the scan (the q82 lever; Round15Spec
+    // asserts the pruning via the scan's numFiles metric and re-audits
+    // the balance claim on the READ-BACK). The registry result is the
+    // full read-back — the disk round trip must be content-preserving, so
+    // the oracle IS q249's. The partition column comes back
+    // directory-inferred (INT) and last; the select restores q249's
+    // column order and BIGINT type.
+    QueryDef("q254_balanced_shards_written",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val n = 8
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
-        val census = toks.groupBy("n_tok").agg(count(lit(1)).as("c"))
-        val off = census
-          .withColumn("off", sum("c").over(Window.orderBy(col("n_tok").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            - col("c"))
-          .select("n_tok", "off")
-        val ranked = toks.join(broadcast(off), "n_tok")
-          .withColumn("r", col("off")
-            + row_number().over(Window.partitionBy("n_tok")
-                .orderBy("doc_id")).cast("long"))
-        ranked
-          // div, not "/": Column `/` on BIGINT is double division
-          .withColumn("shard", expr(
-            s"CASE WHEN ((r - 1) div $n) % 2 = 0 THEN (r - 1) % $n " +
-              s"ELSE ${n - 1} - (r - 1) % $n END"))
-          .select("doc_id", "n_tok", "r", "shard")
-          .orderBy("doc_id")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_shards_disk").toString
+        try {
+          serpentineShards(s, dir, 8)
+            .repartition(col("shard"))
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$root/shards")
+          s.read.parquet(s"$root/shards")
+            .select(col("doc_id"), col("n_tok"), col("r"),
+              col("shard").cast("long").as("shard"))
+            .orderBy("doc_id")
+            .localCheckpoint(true) // materialize before the dir is deleted
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
       },
-      Some("""WITH toks AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |census AS (SELECT n_tok, COUNT(*) AS c FROM toks GROUP BY n_tok),
-        |off AS (
-        |  SELECT n_tok, CAST(SUM(c) OVER (ORDER BY n_tok DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
-        |    AS BIGINT) AS off
-        |  FROM census),
-        |ranked AS (
-        |  SELECT t.doc_id, t.n_tok,
-        |    o.off + ROW_NUMBER() OVER (PARTITION BY t.n_tok
-        |      ORDER BY t.doc_id) AS r
-        |  FROM toks t JOIN off o USING (n_tok))
-        |SELECT doc_id, n_tok, r,
-        |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
-        |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
-        |FROM ranked ORDER BY doc_id""".stripMargin)),
+      Some(serpentineOracleSql)),
 
     // ---- the round-14 curation TAIL as one composed pipeline ----
     // q200/q213's composition discipline applied to this round's

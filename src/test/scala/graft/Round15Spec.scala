@@ -114,4 +114,68 @@ class Round15Spec extends SparkSpec {
       }
     }
   }
+
+  test("q254: shards land one dir + one file per shard, a shard-filtered " +
+      "read prunes to its dir at the scan, and read-back balance holds " +
+      "(docs within 1, token spread <= largest doc)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the q249 registry output IS the layout — write it exactly as q254
+    // does and audit the disk side q254's oracle can't see
+    val layout = SparkEntry.queries("q249_balanced_shards")(spark, Dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shards_spec").toString
+    try {
+      layout.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$root/shards")
+      val dirs = scala.util.Using.resource(java.nio.file.Files
+          .list(java.nio.file.Paths.get(s"$root/shards"))) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("shard=")).toSeq.sorted
+      }
+      assert(dirs == (0 until 8).map(i => s"shard=$i"),
+        s"expected 8 shard dirs, got $dirs")
+      for (d <- dirs) {
+        val files = scala.util.Using.resource(java.nio.file.Files
+            .list(java.nio.file.Paths.get(s"$root/shards/$d"))) { w =>
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+        }
+        assert(files == 1, s"$d carries $files data files, want 1 " +
+          "(one reader, one file)")
+      }
+      val back = spark.read.parquet(s"$root/shards")
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        plan.collectLeaves()
+          .collect { case f: FileSourceScanExec => f }
+          .map(_.metrics("numFiles").value).sum
+      }
+      assert(filesRead(back.filter(col("shard") === 3)) == 1L,
+        "a one-shard read must open exactly its own dir's file")
+      // the q249 balance audit, re-run on the READ-BACK
+      val per = back.groupBy("shard")
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("toks"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val maxDoc = back.agg(max("n_tok")).head().getLong(0)
+      assert(per.length == 8)
+      assert(per.map(_._1).max - per.map(_._1).min <= 1L,
+        s"doc counts unbalanced: ${per.map(_._1).toSeq}")
+      assert(per.map(_._2).max - per.map(_._2).min <= maxDoc,
+        s"token spread ${per.map(_._2).max - per.map(_._2).min} exceeds " +
+          s"the largest doc ($maxDoc)")
+    } finally {
+      scala.util.Using.resource(java.nio.file.Files
+          .walk(java.nio.file.Paths.get(root))) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
 }

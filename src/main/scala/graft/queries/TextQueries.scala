@@ -1446,7 +1446,7 @@ object TextQueries {
     * (DuckDB inlines plain CTEs per reference — the shingle self-join
     * would recompute `depth`+1 times, the bpeTrainerCtes lesson).
     */
-  private def hIndexRounds(depth: Int): String =
+  private[queries] def hIndexRounds(depth: Int): String =
     (1 to depth).map { k =>
       s"""h$k AS (SELECT v, MAX(LEAST(rn, cu)) AS c FROM (
         |  SELECT s.v AS v, p.c AS cu,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ext.{Multimodal, Similarity}
+import graft.ext.{Dedup, Graph, Multimodal, Similarity}
 import graft.util.OracleSafe._
 
 /** Embedding similarity search + vector statistics + multimodal plumbing
@@ -2546,7 +2546,103 @@ object VectorQueries {
           }
         }
       },
-      Some(streamIngestAppendOracleSql))
+      Some(streamIngestAppendOracleSql)),
+
+    // ---- multimodal: shared-segment graph → k-core over MEDIA ---------
+    // The r14 parity gap: the media family had plumbing + chunk dedup but
+    // never fed the graph machinery. Here the q143 frame segmentation
+    // becomes the media analogue of the shingle posting index — distinct
+    // (media_id, frame-hash) postings (16-byte frames, so shared segments
+    // recur across media the way shingles recur across text) — and the
+    // EXISTING dedup/graph seams run unchanged on it:
+    // ngramPostingSizes / ngramJaccardPairsFromPostings (the posting
+    // self-join is modality-blind — it only sees (i, sk)) build the
+    // shared-segment graph, and Graph.coreness stratifies it (which media
+    // sit in densely re-used segment families — the clip-farm detector).
+    // maxRounds = the oracle's 8 unrolled h-index rounds, so a deeper
+    // fixpoint fails loudly instead of hash-mismatching (the q248 pin).
+    // Scale shape inherited wholesale: inverted-index equi-join pairs,
+    // |E|-sized fixpoint, no new shuffle class.
+    QueryDef("q255_media_graph_coreness",
+      (s, dir) => {
+        val fr = Multimodal.frames(
+            Multimodal.asMedia(Tables.documents(s, dir)), frameBytes = 16)
+          .select(col("media_id").as("i"),
+            xxhash64(col("frame_md5")).as("sk"))
+          .distinct().localCheckpoint(true)
+        val sizes = Dedup.ngramPostingSizes(fr)
+        val edges = Dedup.ngramJaccardPairsFromPostings(fr, sizes, 0.3)
+          .select(col("i").as("src"), col("j").as("dst"))
+        Graph.coreness(edges, maxRounds = 8)
+          .select(col("id").as("media_id"), col("coreness"))
+          .orderBy("media_id")
+      },
+      // frame-set jaccard joins on the md5 text (≡ Spark's xxhash64 of it
+      // — both only feed equality over the same distinct sets)
+      Some(s"""WITH f AS (
+        |  SELECT DISTINCT doc_id AS i,
+        |    md5(substr(text, frame_idx * 16 + 1, 16)) AS sk
+        |  FROM (SELECT doc_id, text,
+        |          CAST(unnest(range(0, (length(text) + 15) // 16))
+        |            AS INTEGER) AS frame_idx
+        |        FROM documents WHERE length(text) > 0)),
+        |sz AS (SELECT i, COUNT(*) AS na FROM f GROUP BY i),
+        |cand AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS inter
+        |  FROM f a JOIN f b ON a.sk = b.sk AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT c.i, c.j FROM cand c
+        |  JOIN sz x ON c.i = x.i JOIN sz y ON c.j = y.i
+        |  WHERE CAST(inter AS DOUBLE) / (x.na + y.na - inter) >= 0.3),
+        |sym AS MATERIALIZED (
+        |  SELECT i AS v, j AS u FROM e UNION ALL SELECT j AS v, i AS u FROM e),
+        |h0 AS (SELECT v, COUNT(*) AS c FROM sym GROUP BY v),
+        |${TextQueries.hIndexRounds(8)}
+        |SELECT v AS media_id, c AS coreness FROM h8
+        |ORDER BY media_id""".stripMargin)),
+
+    // ---- multimodal: cross-modal retrieval (embeddings ⋈ media) -------
+    // The production retrieval composite the two modalities exist FOR:
+    // search the VECTOR modality, deliver the MEDIA modality — nearest
+    // neighbors by embedding cosine, hydrated with the media record's
+    // payload metadata (content hash, byte length) via the cross-modal id
+    // join. The corpus is the intersection that has both modalities (the
+    // id semi-join); the hydration joins the corpus-sized media table to
+    // the BROADCAST hit set (|queries|·k rows), so media payloads never
+    // shuffle — at 100 TB the media table streams map-side exactly like
+    // the label table in the CC upsert.
+    QueryDef("q256_crossmodal_retrieval",
+      (s, dir) => {
+        val media = Multimodal.asMedia(Tables.documents(s, dir)).toDF()
+          .select(col("media_id"), md5(col("payload")).as("payload_md5"),
+            octet_length(col("payload")).as("n_bytes"))
+        val corpus = Tables.embeddings(s, dir)
+          .join(media.select(col("media_id").as("vec_id")), "vec_id")
+        val hits = Similarity.bruteForceTopK(
+          corpus.filter(col("vec_id") % 49 === 0), corpus, 5)
+        media.join(broadcast(hits), col("nid") === col("media_id"))
+          .select(col("qid"), col("rn"), col("nid"), col("cos"),
+            col("payload_md5"), col("n_bytes"))
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS payload_md5,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |  FROM documents),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE vec_id IN (SELECT media_id FROM m)),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosSql AS cos
+        |  FROM e a JOIN e b ON a.vec_id % 49 = 0 AND b.vec_id <> a.vec_id),
+        |ranked AS (SELECT qid, nid, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT r.qid, r.rn, r.nid, r.cos, m.payload_md5, m.n_bytes
+        |FROM ranked r JOIN m ON r.nid = m.media_id
+        |WHERE r.rn <= 5
+        |ORDER BY qid, rn""".stripMargin))
   )
 
   /** q235's screen→append→search oracle — ALSO q253's: the dedup screen

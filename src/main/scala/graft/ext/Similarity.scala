@@ -694,6 +694,45 @@ object Similarity {
       .sortWithinPartitions(element_at(col("cells"), 1))
   }
 
+  /** Filtered ANN search with the STRATEGY CHOSEN BY THE COST RULE the
+    * q238 eval measured, instead of a caller knob (r14 verdict #9). The
+    * crossover sits where the shared unfiltered overfetch is expected to
+    * cover k after filtering: survivors ≈ s·overfetch (s = the
+    * predicate's selectivity over the indexed corpus), so
+    *   post-filter iff |allowed|·overfetch ≥ k·|corpus|
+    * (integer-exact — no fp selectivity), else pre-filter. Above the tie
+    * point post-filter matches pre-filter recall at lower cost (ONE
+    * unfiltered search serves every predicate); below it only ~s·overfetch
+    * of the overfetched rows survive the filter and recall collapses
+    * (q238 measured: en-scale predicates tie, zh-scale post drops to
+    * 0.20-0.28 while pre holds ≥ 0.53), so the rule routes to the
+    * allowed-only index. The two stat lookups are one distinct-count
+    * aggregate each — the cardinalities a production planner reads from
+    * table stats. Returns (strategy, per-query top-k).
+    */
+  def filteredAnnSearchAuto(index: DataFrame, xq: DataFrame,
+      qcells: DataFrame, allowedIds: DataFrame, k: Int, overfetch: Int,
+      rerank: Int): (String, DataFrame) = {
+    require(overfetch >= k, s"overfetch ($overfetch) must be >= k ($k)")
+    val ids = index.select("vec_id").distinct()
+    val allowed = allowedIds.select(col(allowedIds.columns.head).as("vec_id"))
+    val nCorpus = ids.count()
+    val nAllowed = ids.join(allowed, Seq("vec_id"), "left_semi").count()
+    if (nAllowed * overfetch >= k.toLong * nCorpus) {
+      val over = ivfPqSearchQueries(index, xq, qcells, overfetch, rerank)
+      val post = over.join(allowed, over("nid") === allowed("vec_id"),
+          "left_semi")
+        .withColumn("rn2", row_number().over(org.apache.spark.sql
+          .expressions.Window.partitionBy("qid").orderBy(col("rn").asc)))
+        .filter(col("rn2") <= k)
+        .select(col("qid"), col("rn2").as("rn"), col("nid"), col("cos"))
+      ("post", post)
+    } else {
+      val fIndex = index.join(allowed, Seq("vec_id"), "left_semi")
+      ("pre", ivfPqSearchQueries(fIndex, xq, qcells, k, rerank))
+    }
+  }
+
   // ---- On-disk index store with a COMPACTION POLICY ----
   // [[compactIndex]] is the operator; these seams make it a POLICY (r14
   // verdict #3): an append stream lands per-epoch deltas, and when the

@@ -2642,7 +2642,89 @@ object VectorQueries {
         |SELECT r.qid, r.rn, r.nid, r.cos, m.payload_md5, m.n_bytes
         |FROM ranked r JOIN m ON r.nid = m.media_id
         |WHERE r.rn <= 5
-        |ORDER BY qid, rn""".stripMargin))
+        |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- filtered ANN: the strategy as a COST RULE (r14 verdict #9) ----
+    // q237 exposes pre-filter, q238 MEASURED the pre/post crossover
+    // (post-filter survivors ≈ s·overfetch; it ties pre above the point
+    // where that covers k and collapses below it). This retires the
+    // caller knob: Similarity.filteredAnnSearchAuto picks the strategy
+    // from the predicate's measured selectivity with the integer-exact
+    // rule |allowed|·overfetch ≥ k·|corpus| → post, else pre. Two
+    // embeddings-native predicates straddle the tie point (vec_id % 2:
+    // s = 50%, 12.5 expected survivors ≥ 5 → post; vec_id % 20: s = 5%,
+    // 1.25 < 5 → pre) and the query require()s both branches actually
+    // taken, so a rule stuck on one side fails loudly. The oracle
+    // re-derives the SAME rule in SQL (counts, not hard-coded labels)
+    // and routes each tag through the matching verified chain — the
+    // post leg over the shared unfiltered overfetch (ufinal), the pre
+    // leg over the allowed-only assignment.
+    QueryDef("q257_filtered_ann_cost_rule",
+      (s, dir) => {
+        val (xq, index, qc4, _, _) = externalAnnSetup(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        try {
+          val legs = Seq(
+            ("w", col("vec_id") % 2 === 0),
+            ("s", col("vec_id") % 20 === 0)).map { case (tag, p) =>
+            val allowed = emb.filter(p).select("vec_id").localCheckpoint(true)
+            val (strategy, res) = Similarity.filteredAnnSearchAuto(
+              index, xq, qc4, allowed, 5, PostOverfetch, IvfPqRerank)
+            (tag, strategy,
+              res.select(lit(tag).as("tag"), lit(strategy).as("strategy"),
+                col("qid"), col("rn"), col("nid"), col("cos")))
+          }
+          // the fixture must exercise BOTH sides of the crossover
+          require(legs.map(_._2).sorted == Seq("post", "pre"),
+            s"cost rule did not straddle the tie point: " +
+              legs.map(l => s"${l._1}->${l._2}").mkString(", "))
+          legs.map(_._3).reduce(_ unionAll _)
+            .orderBy("tag", "qid", "rn").localCheckpoint(true)
+        } finally index.unpersist(blocking = false)
+      },
+      Some(s"""WITH $externalQueryRoutedCtes,
+        |qvec AS (SELECT qid, qv AS v FROM xq),
+        |$pqCodesCtes,
+        |asgu AS (SELECT vec_id, cell FROM asgp WHERE rn = 1),
+        |${adcChainCtes("u", "asgu", "xqasgp", "qvec")},
+        |alw_w AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0),
+        |alw_s AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+        |nall AS (SELECT COUNT(*) AS c FROM embeddings),
+        |st_w AS (SELECT CASE WHEN (SELECT COUNT(*) FROM alw_w) * $PostOverfetch
+        |    >= 5 * (SELECT c FROM nall) THEN 'post' ELSE 'pre' END AS st),
+        |st_s AS (SELECT CASE WHEN (SELECT COUNT(*) FROM alw_s) * $PostOverfetch
+        |    >= 5 * (SELECT c FROM nall) THEN 'post' ELSE 'pre' END AS st),
+        |asg_w AS (SELECT a.vec_id, a.cell FROM asgu a
+        |          JOIN alw_w d USING (vec_id)),
+        |asg_s AS (SELECT a.vec_id, a.cell FROM asgu a
+        |          JOIN alw_s d USING (vec_id)),
+        |${adcChainCtes("pw", "asg_w", "xqasgp", "qvec")},
+        |${adcChainCtes("ps", "asg_s", "xqasgp", "qvec")},
+        |post_w AS (SELECT qid, CAST(rn2 AS INTEGER) AS rn, nid, cos FROM (
+        |  SELECT f.qid, f.nid, f.cos, ROW_NUMBER() OVER (
+        |    PARTITION BY f.qid ORDER BY f.rn ASC) AS rn2
+        |  FROM ufinal f JOIN alw_w d ON f.nid = d.vec_id
+        |  WHERE f.rn <= $PostOverfetch) WHERE rn2 <= 5),
+        |post_s AS (SELECT qid, CAST(rn2 AS INTEGER) AS rn, nid, cos FROM (
+        |  SELECT f.qid, f.nid, f.cos, ROW_NUMBER() OVER (
+        |    PARTITION BY f.qid ORDER BY f.rn ASC) AS rn2
+        |  FROM ufinal f JOIN alw_s d ON f.nid = d.vec_id
+        |  WHERE f.rn <= $PostOverfetch) WHERE rn2 <= 5),
+        |pre_w AS (SELECT qid, rn, nid, cos FROM pwfinal WHERE rn <= 5),
+        |pre_s AS (SELECT qid, rn, nid, cos FROM psfinal WHERE rn <= 5),
+        |leg_w AS (
+        |  SELECT 'w' AS tag, (SELECT st FROM st_w) AS strategy, * FROM (
+        |    SELECT * FROM post_w WHERE (SELECT st FROM st_w) = 'post'
+        |    UNION ALL
+        |    SELECT * FROM pre_w WHERE (SELECT st FROM st_w) = 'pre')),
+        |leg_s AS (
+        |  SELECT 's' AS tag, (SELECT st FROM st_s) AS strategy, * FROM (
+        |    SELECT * FROM post_s WHERE (SELECT st FROM st_s) = 'post'
+        |    UNION ALL
+        |    SELECT * FROM pre_s WHERE (SELECT st FROM st_s) = 'pre'))
+        |SELECT tag, strategy, qid, rn, nid, cos
+        |FROM (SELECT * FROM leg_w UNION ALL SELECT * FROM leg_s)
+        |ORDER BY tag, qid, rn""".stripMargin))
   )
 
   /** q235's screen→append→search oracle — ALSO q253's: the dedup screen

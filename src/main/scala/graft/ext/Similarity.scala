@@ -825,6 +825,39 @@ object Similarity {
     }
   }
 
+  /** Store GC — the lifecycle step that keeps the layout bounded: delete
+    * every generation superseded by the current one and every delta at or
+    * below its fold point (they left the read path when the fold
+    * committed; [[indexStoreView]] never reads them). Runs AFTER a fold,
+    * never concurrently with one — the deployment cadence knob. Returns
+    * the number of directories removed. Crash-safe against its own
+    * interruption for the same reason the fold is: a half-deleted
+    * superseded dir was already out of the view.
+    */
+  def gcStore(storeRoot: String): Int = {
+    val g = currentGen(storeRoot)
+    def rm(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      }
+    }
+    // garbage = superseded generations (< current), CRASHED generation
+    // stubs (_SUCCESS-less at ANY epoch — under the run-after-a-fold
+    // contract no fold is in flight, so an incomplete dir is a crash
+    // leftover), and folded deltas (≤ the current fold point)
+    val complete = listEpochDirs(s"$storeRoot/gens", "g=",
+      requireSuccess = true).toSet
+    val oldGens = listEpochDirs(s"$storeRoot/gens", "g=",
+      requireSuccess = false).filter(e => e < g || !complete(e))
+    val foldedDeltas = listEpochDirs(s"$storeRoot/deltas", "epoch=",
+      requireSuccess = false).filter(_ <= g)
+    oldGens.foreach(e => rm(s"$storeRoot/gens/g=$e"))
+    foldedDeltas.foreach(e => rm(s"$storeRoot/deltas/epoch=$e"))
+    oldGens.size + foldedDeltas.size
+  }
+
   /** [[buildIvfPqIndex]] with the two-level (coarse-quantized) assignment —
     * the composition the autoscale law needs: with cells ∝ n (constant
     * cell occupancy, the production knob for corpus-sized workloads), the

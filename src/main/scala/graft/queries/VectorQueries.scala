@@ -2445,12 +2445,17 @@ object VectorQueries {
     // regardless of how many files the delta writer emits, and the later
     // epochs' deltas land ON the compacted generation) — the query
     // require()s that shape loudly, so a silently-never-firing
-    // policy can't pass as green. Search invariance across the trigger
-    // boundary: compaction is row-preserving and the screen scores
-    // against the STATIC corpus, so the final search over the view equals
-    // q235's one-shot chain — the oracle IS q235's, shared by
-    // construction. Round15Spec pins the policy mechanics (fires over
-    // threshold, idles under it, count drops, content identical).
+    // policy can't pass as green. After the stream the store is GC'd
+    // (Similarity.gcStore: superseded generations + folded deltas leave
+    // the disk — they left the READ PATH when their fold committed), so
+    // the oracle proves search invariance across BOTH lifecycle edges:
+    // the mid-stream fold and the post-stream GC. Compaction is
+    // row-preserving and the screen scores against the STATIC corpus, so
+    // the final search over the view equals q235's one-shot chain — the
+    // oracle IS q235's, shared by construction. Round15Spec pins the
+    // policy mechanics (fires over threshold, idles under it, count
+    // drops, content identical, a crashed fold's _SUCCESS-less dir is
+    // invisible, GC removes exactly the out-of-view dirs).
     QueryDef("q253_compaction_policy_stream",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -2532,6 +2537,10 @@ object VectorQueries {
             s"compaction policy did not fire mid-stream (events: $ev)")
           require(ev.forall { case (_, bf, af) => af < bf },
             s"compaction did not shrink the view (events: $ev)")
+          // GC the folded-away dirs; the search below proves the view
+          // (and thus the result) is invariant across the deletion
+          val gced = Similarity.gcStore(s"$root/store")
+          require(gced > 0, "gc removed nothing after a committed fold")
           val merged = Similarity.indexStoreView(s, s"$root/store").persist()
           try Similarity.ivfPqSearchIndexed(merged, 5,
               col("vec_id") % 49 === 0, IvfPqRerank)

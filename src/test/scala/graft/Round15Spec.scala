@@ -106,6 +106,27 @@ class Round15Spec extends SparkSpec {
       base.limit(0).write.mode("overwrite").parquet(s"$store/deltas/epoch=2")
       assert(contents().sameElements(all))
       assert(before.nonEmpty && all.length > before.length)
+      // a CRASHED fold is invisible: a generation dir without _SUCCESS
+      // (the partial write a killed compaction leaves) must not become
+      // current — the view stays on g=1
+      base.limit(3).write.mode("overwrite").parquet(s"$store/gens/g=7")
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$store/gens/g=7/_SUCCESS"))
+      assert(contents().sameElements(all),
+        "a _SUCCESS-less generation leaked into the view")
+      // GC removes exactly the out-of-view dirs: superseded g=-1, the
+      // crashed g=7 stub, folded deltas 0 and 1; the post-fold epoch=2
+      // delta stays in the view
+      val removed = Similarity.gcStore(store)
+      assert(removed == 4, s"gc removed $removed dirs, want 4 " +
+        "(g=-1, crashed g=7, deltas 0 and 1)")
+      assert(contents().sameElements(all), "gc changed the view")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$store/gens/g=-1")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$store/gens/g=7")))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$store/deltas/epoch=2")))
     } finally {
       scala.util.Using.resource(java.nio.file.Files
           .walk(java.nio.file.Paths.get(root))) { w =>

@@ -1354,14 +1354,69 @@ object TextQueries {
           .select(col("id").as("doc_id"), col("coreness"))
           .orderBy("doc_id")
       },
-      Some(s"""$shingleCte,
-        |e AS (SELECT i, j FROM pairs
-        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3),
-        |sym AS MATERIALIZED (
-        |  SELECT i AS v, j AS u FROM e UNION ALL SELECT j AS v, i AS u FROM e),
-        |h0 AS (SELECT v, COUNT(*) AS c FROM sym GROUP BY v),
-        |${hIndexRounds(8)}
-        |SELECT v AS doc_id, c AS coreness FROM h8 ORDER BY doc_id""".stripMargin)),
+      Some(fullCorenessOracleSql)),
+
+    // ---- INCREMENTAL coreness maintenance (bounded recompute scope) ----
+    // The maintenance-step counterpart of q248, composing the incremental
+    // dedup machinery with the graph depth: an ingest batch lands, the
+    // delta pair set arrives via the persisted posting index
+    // (Dedup.incrementalCcPairs — within-batch ∪ cross, the same
+    // inverted-index equi-joins as CC maintenance), and coreness is
+    // recomputed ONLY on the components the delta touches. The soundness
+    // argument is structural: coreness is COMPONENT-LOCAL (the h-index
+    // fixpoint of a vertex depends only on its component's edges), new
+    // pairs can only change components they touch, so every vertex in an
+    // untouched component keeps its STORED coreness verbatim — the
+    // recompute scope is touched-components ∪ batch, typically
+    // delta-sized, never the graph. The query require()s the scope was
+    // actually bounded (a non-empty untouched remainder), so a fixture
+    // where everything is touched fails loudly instead of demonstrating
+    // nothing. The oracle is q248's FULL-graph recompute verbatim —
+    // incremental must equal from-scratch exactly.
+    QueryDef("q258_incremental_coreness",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 5 === 0
+        // persisted graph state a deployment carries: the corpus edge
+        // list, its coreness table, and the CC labels (component ids)
+        val oldEdges = Dedup.ngramJaccardPairs(docs.filter(!isNew),
+            "doc_id", "text", 3, 0.3)
+          .select("i", "j").localCheckpoint(true)
+        val oldCore = Graph.coreness(oldEdges
+            .select(col("i").as("src"), col("j").as("dst")))
+          .localCheckpoint(true)
+        val labels = Dedup.connectedComponents(oldEdges).localCheckpoint(true)
+        val postings = Dedup.ngramPostings(docs.filter(!isNew),
+          "doc_id", "text", 3).localCheckpoint(true)
+        val sizes = Dedup.ngramPostingSizes(postings).localCheckpoint(true)
+        val newPairs = Dedup.incrementalCcPairs(postings, sizes,
+            docs.filter(isNew), "doc_id", "text", 3, 0.3)
+          .localCheckpoint(true)
+        // affected scope: components touched by any delta endpoint — the
+        // delta-sized endpoint set broadcasts, labels stream map-side
+        val ends = newPairs.select(col("i").as("id"))
+          .unionAll(newPairs.select(col("j").as("id"))).distinct()
+        val touched = labels.join(broadcast(ends), Seq("id"), "left_semi")
+          .select("label").distinct()
+        val affected = labels.join(broadcast(touched), "label").select("id")
+          .localCheckpoint(true)
+        // a component-closed subgraph: an edge is in a touched component
+        // iff EITHER endpoint is (both are), so one semi-join suffices
+        val affEdges = oldEdges
+          .join(affected.select(col("id").as("i")), Seq("i"), "left_semi")
+          .unionByName(newPairs)
+        val recomputed = Graph.coreness(
+          affEdges.select(col("i").as("src"), col("j").as("dst")))
+        val untouched = oldCore.join(affected, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        require(untouched.count() > 0,
+          "the delta touched every component — the bounded-scope " +
+            "demonstration is vacuous on this fixture")
+        untouched.unionByName(recomputed)
+          .select(col("id").as("doc_id"), col("coreness"))
+          .orderBy("doc_id")
+      },
+      Some(fullCorenessOracleSql)),
 
     // ---- corpus-duplicated span EXCISION (the rewrite q171 measures) ----
     // Exact-substring scrub (Lee et al. 2021, "Deduplicating Training
@@ -1438,6 +1493,23 @@ object TextQueries {
         |FROM toks t LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin))
   )
+
+  /** The full-graph coreness recompute (Jaccard-0.3 edges over ALL
+    * documents → 8 unrolled h-index rounds) — q248's oracle, and ALSO
+    * q258's: corpus edges ∪ the incremental pair delta ≡ the full pair
+    * set (a pair's Jaccard depends only on its two docs), so the
+    * incremental maintenance must reproduce this exactly. Depth 8 ≥ the
+    * fixture's fixpoint; extra rounds are no-ops past convergence.
+    */
+  private lazy val fullCorenessOracleSql: String =
+    s"""$shingleCte,
+      |e AS (SELECT i, j FROM pairs
+      |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3),
+      |sym AS MATERIALIZED (
+      |  SELECT i AS v, j AS u FROM e UNION ALL SELECT j AS v, i AS u FROM e),
+      |h0 AS (SELECT v, COUNT(*) AS c FROM sym GROUP BY v),
+      |${hIndexRounds(8)}
+      |SELECT v AS doc_id, c AS coreness FROM h8 ORDER BY doc_id""".stripMargin
 
   /** Unrolled h-index rounds for the q248 coreness oracle: round k ranks
     * each vertex's neighbor values descending and takes

@@ -2480,24 +2480,9 @@ object VectorQueries {
           // where a naive wide writer leaves it
           index0.repartition(12).write.mode("overwrite")
             .parquet(s"$root/store/gens/g=-1")
-          // stage the ingest as 3 single-file epochs (q245's discipline)
-          java.nio.file.Files
-            .createDirectories(java.nio.file.Paths.get(s"$root/in"))
-          for (e <- 0 until 3) {
-            val scratch = s"$root/scratch$e"
-            emb.filter(isNew && pmod(col("vec_id"), lit(3)) === e)
-              .coalesce(1).write.mode("overwrite").parquet(scratch)
-            scala.util.Using.resource(java.nio.file.Files
-                .list(java.nio.file.Paths.get(scratch))) { w =>
-              val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
-                .findFirst().get()
-              java.nio.file.Files.move(part,
-                java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
-            }
-          }
+          val schema = stageVecIngest(s, emb.filter(isNew), root)
           val corpProbes = index0.select(col("vec_id").as("nid"),
             explode(col("cells")).as("cell"), col("v").as("nv"))
-          val schema = s.read.parquet(s"$root/in/e0.parquet").schema
           val ingest = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
           val events =
@@ -2733,8 +2718,132 @@ object VectorQueries {
         |    SELECT * FROM pre_s WHERE (SELECT st FROM st_s) = 'pre'))
         |SELECT tag, strategy, qid, rn, nid, cos
         |FROM (SELECT * FROM leg_w UNION ALL SELECT * FROM leg_s)
-        |ORDER BY tag, qid, rn""".stripMargin))
+        |ORDER BY tag, qid, rn""".stripMargin)),
+
+    // ---- RESTART-RESUME for the vector-store append stream ------------
+    // q252 proved restart-resume for the CC maintenance loop; this proves
+    // it for the VECTOR store — the q253 pipeline run with a real
+    // checkpointLocation and killed mid-epoch-1 at ITS nastiest
+    // partial-commit point (the epoch's delta written, the fold policy
+    // not yet run), then restarted: the file source re-delivers the
+    // failed epoch, the delta write is an idempotent overwrite keyed by
+    // epoch, the fold is _SUCCESS-gated (a crashed fold is invisible,
+    // Round15Spec), so the restarted stream converges to the
+    // uninterrupted store. Disk-faithful screen: the dedup screen reads
+    // the PERSISTED base generation, not an in-memory handle — a
+    // restarted driver has nothing else (the coarse/fine routing tables
+    // would likewise reload from their persisted copies). Search over
+    // the recovered view is hash-exact vs q235/q253's shared oracle.
+    QueryDef("q259_store_restart_resume",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = math.max(8L, emb.count() / 100L).toInt
+        val nCoarse = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val isNew = col("vec_id") >= cells && col("vec_id") % 5 === 0
+        val old = emb.filter(!isNew)
+        val coarse = Similarity.ivfCoarseCentroids(old, nCoarse)
+          .localCheckpoint(true)
+        val froute = Similarity
+          .routeFineCentroids(Similarity.ivfCentroids(old, cells), coarse)
+          .localCheckpoint(true)
+        val index0 = Similarity.buildIvfPqIndexTwoLevel(old, cells,
+            SemDedupProbes, nCoarse, 2)
+          .persist()
+        val sc = s.sparkContext
+        import graft.util.CheckpointGen
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_store_restart").toString
+        try {
+          index0.repartition(12).write.mode("overwrite")
+            .parquet(s"$root/store/gens/g=-1")
+          val schema = stageVecIngest(s, emb.filter(isNew), root)
+          val baseGen = s.read.parquet(s"$root/store/gens/g=-1")
+          val corpProbes = baseGen.select(col("vec_id").as("nid"),
+            explode(col("cells")).as("cell"), col("v").as("nv"))
+          val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+          def step(kill: Boolean)
+              : (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, epoch) => {
+              val b = batch.localCheckpoint(true)
+              val bPins = CheckpointGen.pinnedIds(b)
+              try {
+                val asg = Similarity.assignProbesTwoLevelWith(
+                  b.select(col("vec_id"),
+                    Similarity.asDouble(col("embedding")).as("v")),
+                  coarse, froute, SemDedupProbes, 2)
+                val dupIds = Similarity
+                  .cellLocalScreen(asg, corpProbes, SemDedupTau)
+                  .select(col("vec_id").as("dup_id")).distinct()
+                val survivors = b.join(dupIds,
+                  col("vec_id") === col("dup_id"), "left_anti")
+                Similarity.appendToIvfPqIndexTwoLevel(index0.limit(0),
+                    coarse, froute, survivors, SemDedupProbes, 2)
+                  .repartition(3)
+                  .write.mode("overwrite")
+                  .parquet(s"$root/store/deltas/epoch=$epoch")
+                if (kill && epoch == 1L && armed.compareAndSet(true, false))
+                  throw new IllegalStateException("injected kill: epoch 1 " +
+                    "died after its delta write, before the fold policy ran")
+                Similarity.compactStoreIfNeeded(s, s"$root/store",
+                  maxFiles = 10L, targetFiles = 2, epoch)
+                ()
+              } finally CheckpointGen.release(sc, bPins)
+            }
+          def start(kill: Boolean) = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+            .writeStream.option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch(step(kill)).start()
+          val q1 = start(kill = true)
+          val died =
+            try { q1.processAllAvailable(); false }
+            catch { case _: Throwable => true }
+            finally q1.stop()
+          require(died && !armed.get,
+            "the injected epoch-1 kill did not fire")
+          val q2 = start(kill = false)
+          try q2.processAllAvailable() finally q2.stop()
+          val merged = Similarity.indexStoreView(s, s"$root/store").persist()
+          try Similarity.ivfPqSearchIndexed(merged, 5,
+              col("vec_id") % 49 === 0, IvfPqRerank)
+            .orderBy("qid", "rn").localCheckpoint(true)
+          finally merged.unpersist(blocking = false)
+        } finally {
+          index0.unpersist(blocking = false)
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(streamIngestAppendOracleSql))
   )
+
+  /** Stage the q253/q259 vector ingest: the streamed embeddings split
+    * into 3 single-file epochs (pmod(vec_id, 3)) under `$root/in`, so
+    * maxFilesPerTrigger=1 delivers exactly 3 micro-batches (q245's
+    * discipline). Shared so the two store-lifecycle queries' batch
+    * boundaries cannot drift. Returns the ingest schema.
+    */
+  private def stageVecIngest(s: org.apache.spark.sql.SparkSession,
+      ingestRows: org.apache.spark.sql.DataFrame, root: String)
+      : org.apache.spark.sql.types.StructType = {
+    java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    for (e <- 0 until 3) {
+      val scratch = s"$root/scratch$e"
+      ingestRows.filter(pmod(col("vec_id"), lit(3)) === e)
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      scala.util.Using.resource(java.nio.file.Files
+          .list(java.nio.file.Paths.get(scratch))) { w =>
+        val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
+      }
+    }
+    s.read.parquet(s"$root/in/e0.parquet").schema
+  }
 
   /** q235's screen→append→search oracle — ALSO q253's: the dedup screen
     * scores every ingest row against the STATIC corpus (batch-

@@ -1462,6 +1462,68 @@ object PipelineQueries {
         |    AND d.doc_id NOT IN (SELECT id FROM comp))
         |SELECT id, label FROM fin ORDER BY id""".stripMargin)),
 
+    // ---- the PRODUCTION-SHAPED maintenance loop: restartable AND
+    // delta-read-sized ----
+    // q252 proved restart-resume over the FLAT posting state; the r15
+    // win-regime measurement (SCALING.md: bucket-pruned 3.72 s vs compact
+    // 60.4 s once the state outgrows a single scan) says the 100 TB state
+    // must be BUCKETED. This composes both: the posting generations land
+    // hive-partitioned as epoch=E/bucket=pmod(sk,B), every epoch's probe
+    // prunes to (epoch < E ∧ bucket ∈ batch's set) AT THE SCAN — the
+    // q244 invariance argument per generation — and the same mid-epoch-1
+    // kill + checkpoint restart runs on top. Result must equal q242/q252
+    // exactly (pruned buckets hold no batch key; the bucket dimension is
+    // invisible to the pairs), so the oracle is theirs, shared.
+    QueryDef("q260_stream_cc_bucketed_restart",
+      (s, dir) => {
+        import graft.streaming.Streams
+        val docs = Tables.documents(s, dir)
+        val nBuckets = 64
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_cc_bucketed").toString
+        try {
+          val schema = stageCcIngest(s, docs, root)
+          Streams.ccMaintenanceInit(
+            docs.filter(col("doc_id") % 5 =!= 0), s"$root/state",
+            nBuckets = nBuckets)
+          val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+          def start(kill: Boolean) = {
+            val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+              Streams.ccMaintenanceDiskStep(s"$root/state", 3, 0.5,
+                if (kill) Some((1L, armed)) else None, nBuckets = nBuckets)
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+              .writeStream.option("checkpointLocation", s"$root/ckpt")
+              .foreachBatch(step).start()
+          }
+          val q1 = start(kill = true)
+          val died =
+            try { q1.processAllAvailable(); false }
+            catch { case _: Throwable => true }
+            finally q1.stop()
+          require(died && !armed.get,
+            "the injected epoch-1 kill did not fire")
+          val q2 = start(kill = false)
+          try q2.processAllAvailable() finally q2.stop()
+          Streams.ccMaintenanceLabels(s, s"$root/state")
+            .orderBy("id").localCheckpoint(true)
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH RECURSIVE $ccOracleCte,
+        |fin AS (
+        |  SELECT id, label FROM comp
+        |  UNION ALL
+        |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
+        |  WHERE d.doc_id % 5 = 0
+        |    AND d.doc_id NOT IN (SELECT id FROM comp))
+        |SELECT id, label FROM fin ORDER BY id""".stripMargin)),
+
     // ---- deterministic balanced shard layout ----
     // The tail of the training-data pipeline: distribute the curated
     // corpus into N output shards so every shard carries ~equal token

@@ -589,8 +589,23 @@ object Streams {
     * when the root already carries generations, so a restarting driver
     * cannot clobber live state.
     */
+  /** Write a posting generation: flat when nBuckets = 0, hive-bucketed by
+    * pmod(sk, nBuckets) otherwise — the win-regime layout
+    * (SCALING.md r15: the pruned probe beats the compact scan 16× once
+    * the state outgrows a single scan), giving the maintenance step
+    * partition pruning on BOTH dims (epoch < E ∧ bucket ∈ batch's set).
+    */
+  private def writePostingGen(postings: DataFrame, dir: String,
+      nBuckets: Int): Unit =
+    if (nBuckets <= 0) postings.write.mode("overwrite").parquet(dir)
+    else postings
+      .withColumn("bucket",
+        graft.ext.Dedup.postingBucket(col("sk"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
   def ccMaintenanceInit(corpus: DataFrame, stateRoot: String,
-      k: Int = 3, threshold: Double = 0.5): Unit = {
+      k: Int = 3, threshold: Double = 0.5, nBuckets: Int = 0): Unit = {
     val s = corpus.sparkSession
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$stateRoot/gens/labels"))) return
@@ -598,14 +613,14 @@ object Streams {
     val postings = graft.ext.Dedup
       .ngramPostings(corpus, "doc_id", "text", k).localCheckpoint(true)
     val pins = graft.util.CheckpointGen.pinnedIds(postings)
-    postings.write.mode("overwrite")
-      .parquet(s"$stateRoot/gens/postings/epoch=-1")
+    writePostingGen(postings, s"$stateRoot/gens/postings/epoch=-1", nBuckets)
     graft.ext.Dedup.ngramPostingSizes(postings).write.mode("overwrite")
       .parquet(s"$stateRoot/gens/sizes/epoch=-1")
     graft.util.CheckpointGen.release(sc, pins)
     // labels from the WRITTEN state (materialized on disk — the
     // pass-postings-materialized contract of the self-join)
     val p = s.read.parquet(s"$stateRoot/gens/postings/epoch=-1")
+      .select("i", "sk") // drop a bucket partition col if present
     val z = s.read.parquet(s"$stateRoot/gens/sizes/epoch=-1")
     graft.ext.Dedup.connectedComponents(
         graft.ext.Dedup.ngramJaccardPairsFromPostings(p, z, threshold))
@@ -643,20 +658,31 @@ object Streams {
   def ccMaintenanceDiskStep(stateRoot: String, k: Int = 3,
       threshold: Double = 0.5,
       killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)] =
-        None)(batch: DataFrame, epoch: Long): Unit = {
+        None, nBuckets: Int = 0)(batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
     val sc = s.sparkContext
     import graft.ext.Dedup
     import graft.util.CheckpointGen
     val gens = s"$stateRoot/gens"
-    val postings = s.read.parquet(s"$gens/postings")
+    val b = batch.localCheckpoint(true)
+    val bPins = CheckpointGen.pinnedIds(b)
+    // the batch's own postings: the state-append delta AND (bucketed
+    // mode) the prune key set — shingled once, used twice
+    val bp = Dedup.ngramPostings(b, "doc_id", "text", k).localCheckpoint(true)
+    val bpPins = CheckpointGen.pinnedIds(bp)
+    val postingsAll = s.read.parquet(s"$gens/postings")
       .filter(col("epoch") < epoch).drop("epoch")
+    // bucketed mode: prune the probe to the batch's bucket set — with the
+    // hive layout epoch=E/bucket=B the scan skips non-hit bucket dirs in
+    // EVERY prior generation (the q244 invariance argument: a pruned
+    // bucket holds no batch key, so it can never equi-join the batch)
+    val postings =
+      if (nBuckets <= 0) postingsAll
+      else Dedup.pruneToBatchBuckets(postingsAll, bp, nBuckets)
     val sizes = s.read.parquet(s"$gens/sizes")
       .filter(col("epoch") < epoch).drop("epoch")
     val labelGen = latestGenBelow(s"$gens/labels", epoch)
     val labels = s.read.parquet(s"$gens/labels/epoch=$labelGen")
-    val b = batch.localCheckpoint(true)
-    val bPins = CheckpointGen.pinnedIds(b)
     val newPairs = Dedup.incrementalCcPairs(postings, sizes, b,
         "doc_id", "text", k, threshold)
       .localCheckpoint(true)
@@ -670,15 +696,13 @@ object Streams {
       .write.mode("overwrite").parquet(s"$gens/labels/epoch=$epoch")
     killOnceAt.foreach { case (at, armed) =>
       if (epoch == at && armed.compareAndSet(true, false)) {
-        CheckpointGen.release(sc, bPins)
+        CheckpointGen.release(sc, bPins ++ bpPins)
         throw new IllegalStateException(
           s"injected kill: epoch $epoch died after its label write, " +
             "before its posting/size writes")
       }
     }
-    val bp = Dedup.ngramPostings(b, "doc_id", "text", k).localCheckpoint(true)
-    val bpPins = CheckpointGen.pinnedIds(bp)
-    bp.write.mode("overwrite").parquet(s"$gens/postings/epoch=$epoch")
+    writePostingGen(bp, s"$gens/postings/epoch=$epoch", nBuckets)
     Dedup.ngramPostingSizes(bp).write.mode("overwrite")
       .parquet(s"$gens/sizes/epoch=$epoch")
     CheckpointGen.release(sc, bPins ++ bpPins)

@@ -198,8 +198,12 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
-        try d.fn(spark, sfDir).count() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        // a retry that THROWS must not record its (short) elapsed time —
+        // a fast fail would read as exoneration evidence for a suspect
+        // query that never actually re-ran the workload (r15 ADVICE #3).
+        // -1.0 is the same failure sentinel the headline medians use.
+        try { d.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
       (name.takeWhile(_ != '_'), rs)
     }

@@ -782,10 +782,17 @@ object Similarity {
       storeRoot: String): DataFrame = {
     val g = currentGen(storeRoot)
     val gen = s.read.parquet(s"$storeRoot/gens/g=$g")
-    if (listEpochDirs(s"$storeRoot/deltas", "epoch=",
-        requireSuccess = false).forall(_ <= g)) gen
+    // delta epochs are _SUCCESS-gated like generations (r15 ADVICE #4): a
+    // crashed delta write leaves a partial epoch dir, and a STANDALONE
+    // reader between the crash and the stream restart must not serve its
+    // partial rows. The restarted stream re-delivers that epoch and its
+    // idempotent overwrite re-marks it, at which point it re-enters the
+    // view complete.
+    val live = listEpochDirs(s"$storeRoot/deltas", "epoch=",
+      requireSuccess = true).filter(_ > g)
+    if (live.isEmpty) gen
     else gen.unionByName(s.read.parquet(s"$storeRoot/deltas")
-      .filter(col("epoch") > g).drop("epoch"))
+      .filter(col("epoch").isin(live: _*)).drop("epoch"))
   }
 
   /** Data-file count of the CURRENT VIEW (not the whole root — folded
@@ -803,7 +810,7 @@ object Similarity {
       }
     }
     files(s"$storeRoot/gens/g=$g") +
-      listEpochDirs(s"$storeRoot/deltas", "epoch=", requireSuccess = false)
+      listEpochDirs(s"$storeRoot/deltas", "epoch=", requireSuccess = true)
         .filter(_ > g).map(e => files(s"$storeRoot/deltas/epoch=$e")).sum
   }
 
@@ -816,12 +823,26 @@ object Similarity {
   def compactStoreIfNeeded(s: org.apache.spark.sql.SparkSession,
       storeRoot: String, maxFiles: Long, targetFiles: Int,
       epoch: Long): Option[(Long, Long)] = {
+    // epoch <= currentGen means THIS epoch's fold already committed (a
+    // re-delivered epoch after a crash-before-checkpoint) — folding again
+    // would read gens/g=<epoch> through the view while overwriting the
+    // same path (self-overwrite), and a fold below current could never
+    // become current, re-firing forever. Skipping reproduces exactly the
+    // post-fold state the uninterrupted run reaches (r15 ADVICE #2).
+    if (epoch <= currentGen(storeRoot)) return None
     val before = storeViewFileCount(storeRoot)
     if (before <= maxFiles) None
     else {
       compactIndex(indexStoreView(s, storeRoot), targetFiles)
         .write.mode("overwrite").parquet(s"$storeRoot/gens/g=$epoch")
-      Some((before, storeViewFileCount(storeRoot)))
+      val after = storeViewFileCount(storeRoot)
+      // a policy that fires without shrinking the view (targetFiles set
+      // at or above the live count) would re-fire every epoch — fail
+      // loudly instead of looping.
+      require(after < before, s"compactStoreIfNeeded did not shrink the " +
+        s"view ($before -> $after files) — raise maxFiles or lower " +
+        s"targetFiles ($targetFiles)")
+      Some((before, after))
     }
   }
 

@@ -607,8 +607,15 @@ object Streams {
   def ccMaintenanceInit(corpus: DataFrame, stateRoot: String,
       k: Int = 3, threshold: Double = 0.5, nBuckets: Int = 0): Unit = {
     val s = corpus.sparkSession
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$stateRoot/gens/labels"))) return
+    // idempotency gate keyed on the _SUCCESS marker, not bare existence:
+    // a driver crash DURING the init label write leaves a torn
+    // labels/epoch=-1 whose directory already exists — skipping on
+    // existence would silently maintain labels on top of a partial table.
+    // Requiring the commit marker makes a torn init re-run (every init
+    // write is an idempotent overwrite), matching the discipline every
+    // other generation reader here uses (r15 ADVICE #1).
+    if (java.nio.file.Files.exists(java.nio.file.Paths
+        .get(s"$stateRoot/gens/labels/epoch=-1/_SUCCESS"))) return
     val sc = s.sparkContext
     val postings = graft.ext.Dedup
       .ngramPostings(corpus, "doc_id", "text", k).localCheckpoint(true)
@@ -627,20 +634,26 @@ object Streams {
       .write.mode("overwrite").parquet(s"$stateRoot/gens/labels/epoch=-1")
   }
 
-  /** Largest persisted generation strictly below `bound` (driver-side dir
-    * listing — generation counts are compaction-bounded, never corpus-
-    * sized). Generation -1 (init) always exists once the state is built.
+  /** Largest COMPLETE (_SUCCESS-marked) generation strictly below `bound`
+    * (driver-side dir listing — generation counts are compaction-bounded,
+    * never corpus-sized). Generation -1 (init) always exists once the
+    * state is built. The marker gate means a torn write — a crash between
+    * directory creation and commit — is invisible: under the in-order
+    * file-source contract the only torn generation can be the epoch being
+    * retried, and the retry reads the previous complete generation,
+    * exactly what an un-crashed first attempt would have read.
     */
   private def latestGenBelow(dir: String, bound: Long): Long = {
     val p = java.nio.file.Paths.get(dir)
     val gens = scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
       import scala.jdk.CollectionConverters._
       w.iterator().asScala
+        .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
         .flatMap(_.getFileName.toString.stripPrefix("epoch=").toLongOption)
         .filter(_ < bound).toSeq
     }
-    require(gens.nonEmpty, s"no generation below $bound under $dir — " +
-      "ccMaintenanceInit must run before the stream starts")
+    require(gens.nonEmpty, s"no complete generation below $bound under " +
+      s"$dir — ccMaintenanceInit must run before the stream starts")
     gens.max
   }
 

@@ -180,13 +180,53 @@ object Bench {
     // idle while they ran. Retries are capped at 12: beyond that the
     // whole suite was contended (cal_spread already says so) and
     // re-running everything would just double exposure.
-    val idleBaseline: Map[String, Double] =
+    def parseBaseline(path: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench/idle_baseline.json")), "UTF-8")
+          java.nio.file.Paths.get(path)), "UTF-8")
         """"(q\d+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap.filter(_._2 > 0)
       } catch { case _: Throwable => Map.empty }
+    // provisional entries (auto-appended below for queries the committed
+    // baseline has never seen) backstop the shield until the next real
+    // idle refresh; the committed file always wins on conflict
+    val idleBaseline: Map[String, Double] =
+      parseBaseline("bench/idle_baseline_provisional.json") ++
+        parseBaseline("bench/idle_baseline.json")
+    // FAIL-LOUD coverage (r15 verdict #5): the retry shield silently
+    // no-opped for any query missing from the baseline — a grown registry
+    // quietly shrank the shield. Now every registered query with no idle
+    // reference is (a) named in the artifact (`baseline_missing`), (b)
+    // shouted to stderr, and (c) auto-appended to the PROVISIONAL
+    // baseline file with this run's median (flagged provisional: true —
+    // a possibly-loaded measurement, replaced by the next committed idle
+    // refresh), so the gap lasts at most one run instead of forever.
+    val baselineMissing = results.collect { case (n, v, _)
+        if v >= 0 && !idleBaseline.contains(n.takeWhile(_ != '_')) =>
+      (n.takeWhile(_ != '_'), v) }
+    if (baselineMissing.nonEmpty) {
+      System.err.println("BENCH WARNING: no idle-baseline entry for " +
+        baselineMissing.map(_._1).mkString(", ") +
+        " — retry shield blind there; appending provisional entries")
+      if (!graft.util.DevSubset.active) {
+        val merged = parseBaseline("bench/idle_baseline_provisional.json") ++
+          baselineMissing.toMap
+        val body = merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" +
+            "%.3f".formatLocal(java.util.Locale.ROOT, v) }
+          .mkString(",")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("bench"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench/idle_baseline_provisional.json"),
+          (s"""{"note":"PROVISIONAL retry baselines auto-appended by """ +
+            s"""Bench for queries absent from idle_baseline.json — """ +
+            s"""measured mid-suite, possibly loaded; fold into the """ +
+            s"""committed file at the next idle refresh",""" +
+            s""""provisional":true,"queries":{$body}}""")
+            .getBytes("UTF-8"))
+      }
+    }
     val suspects = results.collect { case (n, v, _)
         if v > 0 && idleBaseline.get(n.takeWhile(_ != '_'))
           .exists(b => v > 2 * b && v > b + 0.5) => n }
@@ -293,7 +333,9 @@ object Bench {
       s""","cal_s":${cal.map(c => "%.3f".formatLocal(java.util.Locale.ROOT, c))
         .mkString("[", ",", "]")}""" +
       s""","cal_spread":${"%.2f".formatLocal(java.util.Locale.ROOT, calSpread)}""" +
-      s""","codecache_peak_mb":$ccPeakMb""" + retryJson
+      s""","codecache_peak_mb":$ccPeakMb""" +
+      s""","baseline_missing":${baselineMissing.map("\"" + _._1 + "\"")
+        .mkString("[", ",", "]")}""" + retryJson
     def line(metric: String, qdict: String, extra: String = "") =
       s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qdict$extra$errJson,"sf":"$sfDir"}"""
     // the detail line (and BENCH_DETAIL.json) carries EVERY query's raw

@@ -76,8 +76,16 @@ object CorenessBench {
     }
     val nEdges = edges.count()
 
+    // size the fixpoint's shuffle width to the box (r15's legs held the
+    // knob at 8 "for comparability" — at 8M synthetic vertices that left
+    // 3/4 of the cores idle in every post-exchange stage; SCALING.md r15
+    // already named `partitions` as the production lever). Override with
+    // SPARK_GRAFT_CORE_PARTS=8 for a like-for-like rerun of the r15 rows.
+    val coreParts = sys.env.get("SPARK_GRAFT_CORE_PARTS").map(_.toInt)
+      .getOrElse(cpus.toInt)
     val (coreS, core) = time {
-      val c = Graph.coreness(edges).localCheckpoint(true)
+      val c = Graph.coreness(edges, partitions = coreParts)
+        .localCheckpoint(true)
       c.count()
       c
     }
@@ -94,7 +102,8 @@ object CorenessBench {
     // The checksum must match the broadcast path's exactly (Round14Spec
     // pins the 12-edge fixture; this pins it on every measured graph).
     val (coreShufS, chkShuf) = time {
-      val c = Graph.coreness(edges, broadcastVertexCeiling = 0L)
+      val c = Graph.coreness(edges, partitions = coreParts,
+        broadcastVertexCeiling = 0L)
       val a = c.agg(count(lit(1)),
         sum(col("id") % 1000003L * col("coreness"))).head()
       (a.getLong(0), a.getLong(1))
@@ -113,7 +122,7 @@ object CorenessBench {
     println(s"""{"metric":"coreness_scale","docs":$nDocs,"edges":$nEdges,""" +
       s""""edge_s":${f(edgeS)},"core_s":${f(coreS)},""" +
       s""""core_shuffle_s":${f(coreShufS)},"nv":$nv,""" +
-      s""""max_core":$maxCore,"hist":$hist,"checksum":$chk,"sf":"$sfDir"}""")
+      s""""max_core":$maxCore,"hist":$hist,"checksum":$chk,"parts":$coreParts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

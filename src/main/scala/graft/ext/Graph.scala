@@ -153,27 +153,49 @@ object Graph {
     * on `local[32]` or a 1000-executor cluster, and the oracle is the
     * identical integer recursion unrolled as chained CTEs.
     *
-    * Spark shape per round: the doubled edge list joins the (|V|-row,
-    * broadcast) value table on the NEIGHBOR end — the 2|E| edge table is
-    * never reshuffled for the join — then a window partitioned by the
-    * vertex ranks neighbor values descending and `max(least(rn, cu))`
-    * per vertex is the h-index (the h = max_i min(i, v_i) identity over
-    * the descending sort; ties are safe — permuting rows with equal
-    * values cannot change the max). One shuffle of 2|E| rows on the
-    * vertex key per round (window + groupBy share the exchange). Values
-    * are BIGINT degrees throughout — no floating point anywhere.
+    * Spark shape per round: the doubled edge list — pre-partitioned by
+    * the vertex key ONCE, a partitioning every later stage reuses — is
+    * semi-joined to the frontier (the vertices that can still move, see
+    * below), joins the (|V|-row, broadcast) value table on the NEIGHBOR
+    * end, then the h-index is evaluated over DISTINCT neighbor values:
+    * h = max_d min(d, N_{>=d}) with d ranging over the distinct values
+    * (for d <= h, N_{>=d} >= h >= d caps the min at d; for d > h,
+    * N_{>=d} <= h by h's maximality; the smallest distinct value >= h
+    * attains min = h, and h = 0 iff no value >= 1). A groupBy(v, value)
+    * count partial-aggregates map-side, so the shuffle and the
+    * cumulative-count window see (vertex, distinct value) rows — a few
+    * per vertex on clustered graphs — instead of sorting one row per
+    * edge per round (2|E| rows) as the row_number formulation did.
+    * Values are BIGINT degrees throughout — no floating point anywhere.
+    *
+    * DELTA SCHEDULING (r15 verdict #4; the asynchronous/partial-update
+    * variant Lü et al. prove convergent): a vertex's h value depends
+    * only on its neighbors' values, so after round 1 each round
+    * re-evaluates only neighbors of last round's changed set — refined
+    * VALUE-AWARE: v re-evaluates only if some changed neighbor's NEW
+    * value dropped BELOW v's current h (otherwise every count N_{>=d}
+    * for d <= h_v is untouched — old and new value both >= h_v — and
+    * h_v stays attainable while monotonicity forbids a rise). The
+    * restriction drops only provably-unchanged evaluations, so the
+    * iterates (and hence checksums) equal the full synchronous
+    * schedule's round for round and convergence can only come EARLIER
+    * (an empty frontier certifies the sync round would move nothing).
+    * Per-round work falls from Θ(|E|) to the frontier's incident edges;
+    * the ring-of-cliques converges after ONE full-width round (heads
+    * drop 9 -> 7, no neighbor's h is undercut, frontier = ∅) instead of
+    * re-ranking 29M edges per round.
     *
     * Termination: starting from degree the iteration is pointwise
     * monotone non-increasing (h-index ≤ neighbor count = degree; the
     * h-index operator is monotone in its inputs, so decrease propagates
-    * by induction), hence Σc strictly decreases until the fixpoint and
-    * the loop stops when the sum repeats — one |V|-row action per round
-    * on a table the round already materialized. Rounds needed are small
-    * (tight near-dup clusters converge in 1–2; bounded by a diameter-ish
-    * quantity); each round localCheckpoints and releases its predecessor
-    * (CheckpointGen), bounding resident state to one edge copy + two
-    * |V|-row tables. Fails loudly if `maxRounds` is hit without
-    * convergence rather than returning a non-fixpoint.
+    * by induction), hence the changed set is eventually empty and the
+    * loop stops on the first round that moves nothing. Rounds needed are
+    * small (tight near-dup clusters converge in 1–2; bounded by a
+    * diameter-ish quantity); each round localCheckpoints and releases
+    * its predecessor (CheckpointGen), bounding resident state to one
+    * edge copy + two |V|-row tables + a frontier. Fails loudly if
+    * `maxRounds` is hit without convergence rather than returning a
+    * non-fixpoint.
     *
     * @param partitions loop parallelism — |E|-sized, same rule as
     *   [[pageRank]]: the value table is orders of magnitude smaller than
@@ -181,11 +203,14 @@ object Graph {
     * @param maxRounds convergence bound; also the spec's lever to PIN a
     *   convergence depth (calling with the oracle's unroll depth proves
     *   the unrolled oracle reached the fixpoint).
-    * @param broadcastVertexCeiling largest |V| (measured per round, free
-    *   — it rides the fixpoint aggregate) for which the value table is
-    *   broadcast into the edge join; above it the join degrades to a
-    *   keyed shuffle instead of failing on the broadcast size limit.
-    *   Round14Spec pins path equivalence (ceiling 0 ≡ default).
+    * @param broadcastVertexCeiling largest row count for which a
+    *   per-round frame (the value table into the edge join; the
+    *   frontier/changed/evaluation frames into theirs) is broadcast;
+    *   above it that join degrades to a keyed shuffle instead of failing
+    *   on the broadcast size limit. The frontier frames shrink with
+    *   convergence, so they keep broadcasting long after the value table
+    *   stops fitting. Round14Spec pins path equivalence (ceiling 0 ≡
+    *   default).
     */
   def coreness(undirectedEdges: DataFrame, partitions: Int = 8,
                maxRounds: Int = 64,
@@ -198,6 +223,18 @@ object Graph {
     val sc = spark.sparkContext
     def release(ids: Set[Int]): Unit =
       graft.util.CheckpointGen.release(sc, ids)
+    // stage wall-times to stderr when GRAFT_CORE_TIMING is set (dev knob
+    // for the scale sweeps; timings bracket ACTIONS, where lazy stages
+    // actually execute)
+    val timing = sys.env.contains("GRAFT_CORE_TIMING")
+    def timed[A](label: String)(f: => A): A =
+      if (!timing) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[coreness] $label: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     val result = locally {
       // materialize the caller-built edges once before doubling (union
       // branches do not share exchanges — the pageRank lesson)
@@ -206,53 +243,130 @@ object Graph {
           undirectedEdges.select(col("src"), col("dst")).schema)
         .localCheckpoint(true)
       val pairs0Ids = graft.util.CheckpointGen.pinnedIds(pairs0)
-      val both = pairs0.unionAll(
+      // pre-partition the doubled edges BY v once: every per-round
+      // consumer clusters on v (the active-set semi join, the h-eval
+      // window+groupBy, the next-active distinct), and localCheckpoint
+      // preserves the physical partitioning, so the edge table pays its
+      // exchange ONCE for the whole fixpoint instead of once per round.
+      val both = timed("setup: double+repartition edges")(pairs0.unionAll(
           pairs0.select(col("dst").as("src"), col("src").as("dst")))
         .select(col("src").as("v"), col("dst").as("u"))
-        .localCheckpoint(true)
+        .repartition(partitions, col("v"))
+        .localCheckpoint(true))
       val bothIds = graft.util.CheckpointGen.pinnedIds(both)
       release(pairs0Ids)
-      var c = both.groupBy("v").agg(count(lit(1)).as("c"))
-        .select(col("v").as("id"), col("c"))
-        .localCheckpoint(true)
+      var c = timed("setup: degrees")(
+        both.groupBy("v").agg(count(lit(1)).as("c"))
+          .select(col("v").as("id"), col("c"))
+          .localCheckpoint(true))
       var cIds = graft.util.CheckpointGen.pinnedIds(c)
-      var prevSum = -1L
-      // one action per round carries BOTH the fixpoint scalar (Σc) and
-      // |V| — the vertex count picks the join strategy for free: the
-      // value table broadcasts while it fits (the near-dup-graph norm,
-      // |V| ≪ corpus) and degrades to a keyed shuffle join above the
-      // ceiling instead of failing on the broadcast size limit.
-      // coalesce the Σc to 0: on an EMPTY edge list (a corpus with no
-      // near-dup pairs above threshold) sum() aggregates to null and a
-      // bare getLong would NPE — the degenerate graph must yield the
-      // empty (id, coreness) frame, not a crash.
-      def sumAndCount(): (Long, Long) = {
-        val r = c.agg(coalesce(org.apache.spark.sql.functions.sum(col("c")),
-          lit(0L)), count(lit(1))).head
-        (r.getLong(0), r.getLong(1))
-      }
-      var (sum, nVerts) = sumAndCount()
+      val nVerts = c.count()
+      // DELTA SCHEDULING (the asynchronous variant of Lü et al. 2016,
+      // r15 verdict #4): a vertex's h value is a function of its
+      // NEIGHBORS' values only, so a vertex none of whose neighbors
+      // changed last round cannot change this round. Each round
+      // re-evaluates exactly the neighbors of last round's changed set;
+      // the iterates equal the full synchronous schedule's round for
+      // round (the restriction drops only provably-unchanged work), so
+      // checksums, convergence depth, and the maxRounds pin are
+      // unchanged — only the per-round work shrinks, from Θ(|E|) every
+      // round to |edges incident to the still-moving frontier|.
+      // Broadcast-vs-shuffle is decided per frame by the same ceiling:
+      // the frontier frames (active/evald/changed) are frontier-sized
+      // and broadcast long after the value table stops fitting.
+      var active: Option[DataFrame] = None // None = all vertices (round 1)
+      var activeIds = Set.empty[Int]
+      var nActive = nVerts
       var rounds = 0
       val byV = org.apache.spark.sql.expressions.Window
         .partitionBy("v").orderBy(col("cu").desc)
-      while (sum != prevSum) {
+      while (nActive > 0) {
         require(rounds < maxRounds,
           s"coreness did not converge within $maxRounds h-index rounds")
+        val touched = active match {
+          case None => both
+          case Some(a) =>
+            val aSide =
+              if (nActive <= broadcastVertexCeiling) broadcast(a) else a
+            both.join(aSide, Seq("v"), "left_semi")
+        }
         val cSide = if (nVerts <= broadcastVertexCeiling) broadcast(c) else c
-        val next = both.join(cSide, both("u") === cSide("id"))
+        // h-index over DISTINCT neighbor values: h = max_d min(d, N>=d)
+        // for d ranging over the distinct values (exact — see scaladoc).
+        // The groupBy(v, cu) partial-aggregates map-side, so the shuffle
+        // and the window sort see (vertex, distinct value) rows — on a
+        // clustered graph a few per vertex — instead of one row PER EDGE
+        // (the former row_number formulation sorted all 2|E| rows every
+        // round; on the 29M-edge ring-of-cliques that sort was the whole
+        // cost).
+        val evald = touched.join(cSide, touched("u") === cSide("id"))
           .select(col("v"), col("c").as("cu"))
-          .withColumn("rn", row_number().over(byV).cast("long"))
-          .groupBy("v").agg(max(least(col("rn"), col("cu"))).as("c"))
-          .select(col("v").as("id"), col("c"))
+          .groupBy("v", "cu").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(byV
+            .rowsBetween(org.apache.spark.sql.expressions
+              .Window.unboundedPreceding, 0)))
+          .groupBy("v").agg(max(least(col("cu"), col("cum"))).as("h"))
+        // merge the (active-only) evaluation back into the value table;
+        // `chg` marks the rows that actually moved. evald is
+        // frontier-sized, so it broadcasts into the left join and the
+        // |V|-row value table streams map-side.
+        val eSide =
+          if (nActive <= broadcastVertexCeiling && nActive * 2 < nVerts)
+            broadcast(evald)
+          else evald
+        val merged = timed(s"round $rounds: eval+merge") {
+          c.join(eSide, c("id") === eSide("v"), "left")
+          .select(col("id"), coalesce(col("h"), col("c")).as("c"),
+            (col("h").isNotNull && col("h") =!= col("c")).as("chg"))
           .localCheckpoint(true)
-        val nextIds = graft.util.CheckpointGen.pinnedIds(next)
+        }
+        val mergedIds = graft.util.CheckpointGen.pinnedIds(merged)
+        val nChanged = timed(s"round $rounds: count changed")(
+          merged.filter(col("chg")).count())
+        if (nChanged == 0) {
+          release(activeIds); active = None; activeIds = Set.empty
+          nActive = 0
+        } else {
+          // VALUE-AWARE frontier: a changed neighbor whose NEW value is
+          // still >= h_v cannot move v — for every d <= h_v both the old
+          // and the new value count toward N_{>=d}, so N_{>=h_v} is
+          // untouched and h_v stays attainable (values only decrease, so
+          // h cannot rise). Hence v re-evaluates ONLY if
+          // min(new value over its changed neighbors) < its current h.
+          // On a converging graph this empties rounds that plain
+          // neighbor-of-changed scheduling would run full-width (the
+          // ring-of-cliques: heads drop 9 -> 7, every neighbor's h is
+          // already 7, frontier = ∅ after ONE full round).
+          val changed = merged.filter(col("chg"))
+            .select(col("id").as("u"), col("c").as("cnew"))
+          val chSide =
+            if (nChanged <= broadcastVertexCeiling) broadcast(changed)
+            else changed
+          val cand = timed(s"round $rounds: frontier candidates")(
+            both.join(chSide, Seq("u"))
+              .groupBy("v").agg(min(col("cnew")).as("minNew"))
+              .localCheckpoint(true))
+          val candIds = graft.util.CheckpointGen.pinnedIds(cand)
+          val nCand = cand.count()
+          val candSide =
+            if (nCand <= broadcastVertexCeiling && nCand * 2 < nVerts)
+              broadcast(cand)
+            else cand
+          val nextActive = timed(s"round $rounds: frontier filter")(merged
+            .join(candSide, merged("id") === candSide("v"))
+            .filter(col("minNew") < col("c"))
+            .select(col("id").as("v"))
+            .localCheckpoint(true))
+          val naIds = graft.util.CheckpointGen.pinnedIds(nextActive)
+          nActive = nextActive.count()
+          release(activeIds ++ candIds)
+          active = Some(nextActive); activeIds = naIds
+        }
         release(cIds)
-        c = next; cIds = nextIds
-        prevSum = sum
-        val sc2 = sumAndCount(); sum = sc2._1; nVerts = sc2._2
+        c = merged.select(col("id"), col("c")); cIds = mergedIds
         rounds += 1
       }
-      release(bothIds)
+      release(bothIds ++ activeIds)
       c
     }
     caller.createDataFrame(result.rdd, result.schema)

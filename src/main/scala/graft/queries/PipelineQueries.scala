@@ -98,6 +98,66 @@ object PipelineQueries {
     s.read.parquet(s"$root/in/e0.parquet").schema
   }
 
+  /** The full v2-store maintenance run over a `(doc_id, text)` corpus —
+    * shared by q261 (text 3-gram) and q262 (media frame tokens, k=1), so
+    * the modality-blind claim is BY CONSTRUCTION: the media loop runs the
+    * byte-identical code path, only the corpus prep differs. Stages the
+    * 3-epoch ingest, inits the v2 store, runs the stream with the
+    * mid-epoch-1 kill, restarts on a FRESH SESSION (r15 verdict #3),
+    * requires both mid-stream folds fired (labels at epoch 2 via
+    * maxLabelDeltas=1; postings every epoch via maxPostingGens=0 — so
+    * epoch 2's probe reads across a fold boundary), GCs, and serves the
+    * merge-on-read labels. The oracle hash over the returned labels
+    * therefore also pins fold- and GC-view-invariance.
+    */
+  private def ccStoreLoopRun(s: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, k: Int,
+      nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    import graft.streaming.Streams
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cc_store").toString
+    try {
+      val schema = stageCcIngest(s, corpus, root)
+      Streams.ccStoreInit(corpus.filter(col("doc_id") % 5 =!= 0),
+        s"$root/state", k = k, nBuckets = nBuckets)
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def start(sess: org.apache.spark.sql.SparkSession, kill: Boolean) = {
+        val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          Streams.ccStoreStep(s"$root/state", k, 0.5, nBuckets,
+            maxLabelDeltas = 1, maxPostingGens = 0,
+            killOnceAt = if (kill) Some((1L, armed)) else None)
+        sess.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+          .writeStream.option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch(step).start()
+      }
+      val q1 = start(s, kill = true)
+      val died =
+        try { q1.processAllAvailable(); false }
+        catch { case _: Throwable => true }
+        finally q1.stop()
+      require(died && !armed.get, "the injected epoch-1 kill did not fire")
+      val q2 = start(s.newSession(), kill = false)
+      try q2.processAllAvailable() finally q2.stop()
+      def committed(p: String) = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/state/$p/_SUCCESS"))
+      require(committed("gens/label_base/g=1"),
+        "the label fold did not fire mid-stream")
+      require(committed("gens/posting_base/g=1"),
+        "the posting fold did not fire mid-stream")
+      require(Streams.ccStoreGc(s"$root/state") > 0,
+        "GC found nothing superseded after two folds")
+      Streams.ccStoreLabels(s, s"$root/state")
+        .orderBy("id").localCheckpoint(true)
+    } finally {
+      scala.util.Using.resource(java.nio.file.Files
+          .walk(java.nio.file.Paths.get(root))) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** The q249 serpentine balanced-shard layout (doc_id, n_tok, r, shard)
     * — rank by (n_tok DESC, doc_id) via census-prefix offset + per-value
     * row_number (NEVER a corpus-wide single-partition window; plan-pinned
@@ -1354,16 +1414,22 @@ object PipelineQueries {
               val nlp = CheckpointGen.pinnedIds(nextLabels)
               CheckpointGen.release(sc, labelPins -- nlp)
               labels = nextLabels; labelPins = nlp
-              // state handoff is an APPEND, not a rewrite: each epoch
-              // checkpoints only its DELTA-sized postings/sizes and the
-              // state becomes a lazy union of materialized generations —
-              // the in-memory mirror of production's parquet delta-file
-              // append (q223/q246). Checkpointing the union here would
-              // re-materialize the corpus-sized state EVERY epoch, the
-              // exact full-rewrite-per-batch this pipeline exists to
-              // avoid at 100 TB. Per-epoch pinned bytes are delta-sized;
-              // generation count is bounded by compaction cadence in
-              // production (q246) and by the 3 epochs here.
+              // the POSTING/SIZE handoff is an APPEND, not a rewrite:
+              // each epoch checkpoints only its DELTA-sized postings/
+              // sizes and the state becomes a lazy union of materialized
+              // generations — the in-memory mirror of production's
+              // parquet delta-file append (q223/q246). Checkpointing the
+              // union here would re-materialize the corpus-sized state
+              // EVERY epoch, the exact full-rewrite-per-batch this
+              // pipeline exists to avoid at 100 TB. The LABEL handoff in
+              // this loop (and in q252/q260's disk twin) is NOT delta-
+              // sized — nextLabels above materializes the full table per
+              // epoch; the delta-sized label path is the v2 store loop
+              // (q261, Streams.ccStoreStep: merge-on-read label view +
+              // threshold fold). Per-epoch pinned bytes here are delta-
+              // sized for postings/sizes; generation count is bounded by
+              // compaction cadence in production (q246) and by the 3
+              // epochs here.
               val bp = Dedup.ngramPostings(b, "doc_id", "text", 3)
                 .localCheckpoint(true)
               postPins ++= CheckpointGen.pinnedIds(bp)
@@ -1521,6 +1587,95 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
         |  WHERE d.doc_id % 5 = 0
+        |    AND d.doc_id NOT IN (SELECT id FROM comp))
+        |SELECT id, label FROM fin ORDER BY id""".stripMargin)),
+
+    // ---- the maintenance loop with EVERY state table delta-sized ----
+    // q260 closed restart + bucketed pruning but still rewrote the FULL
+    // label table every epoch (the r15 verdict's #1 scale gap: a
+    // ~TB-class write per micro-batch at 100B docs). This runs the v2
+    // store loop (Streams.ccStoreStep): the ONLY per-epoch label write is
+    // the delta-sized update set; labels are served MERGE-ON-READ (base
+    // generation ∪ update deltas, latest-epoch-wins — provably the
+    // sequential applyCcLabelUpdates fold); threshold-triggered folds
+    // materialize new bases MID-STREAM (maxPostingGens=0 folds postings
+    // at every epoch, so epoch 2's probe reads ACROSS a fold boundary;
+    // maxLabelDeltas=1 folds labels once, at epoch 2); ccStoreGc then
+    // deletes everything that left the read path BEFORE the registry
+    // result is read — so the oracle hash also pins GC's view-invariance.
+    // The same mid-epoch-1 kill runs on top, and the restart leg starts
+    // on a FRESH SESSION (s.newSession() — r15 verdict #3): recovery
+    // provably depends on the disk state + checkpoint only, nothing
+    // session-held. (Round16Spec adds the separate-PROCESS restart.)
+    // Labels are bitwise the q242/q252/q260 answer — the oracle is
+    // theirs, shared.
+    QueryDef("q261_stream_cc_store_fold_gc",
+      (s, dir) => ccStoreLoopRun(s, Tables.documents(s, dir),
+        k = 3, nBuckets = 64),
+      Some(s"""WITH RECURSIVE $ccOracleCte,
+        |fin AS (
+        |  SELECT id, label FROM comp
+        |  UNION ALL
+        |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
+        |  WHERE d.doc_id % 5 = 0
+        |    AND d.doc_id NOT IN (SELECT id FROM comp))
+        |SELECT id, label FROM fin ORDER BY id""".stripMargin)),
+
+    // ---- MODALITY-BLIND maintenance: the media ingest runs the SAME
+    // v2 store loop (r15 verdict #7) ----
+    // Media dedup evidence is the frame-segment set (q143/q190/q255:
+    // 16-byte payload frames, content-addressed by md5). Re-expressing a
+    // media object as a "document" whose text is its sorted distinct
+    // frame digests makes the k=1 word-shingle set EXACTLY the frame set
+    // — so the streaming screen→postings→CC maintenance loop, with
+    // bucketed generations, delta labels, folds, GC, kill and
+    // fresh-session restart, is the byte-identical ccStoreLoopRun code
+    // path as q261; only the corpus prep differs. No codecs needed: the
+    // frame segmentation is the real Spark plumbing (the decode stays a
+    // stub per the sandbox contract, q40). Docs with no frames (empty
+    // payload) carry no dedup evidence and are out of the screen's scope
+    // on BOTH sides (the "" token would otherwise alias all of them into
+    // one fake component).
+    QueryDef("q262_stream_media_cc_maintenance",
+      (s, dir) => {
+        import graft.ext.Multimodal
+        val ftext = Multimodal.frames(
+            Multimodal.asMedia(Tables.documents(s, dir)), frameBytes = 16)
+          .groupBy("media_id")
+          .agg(concat_ws(" ", sort_array(collect_set(col("frame_md5"))))
+            .as("text"))
+          .select(col("media_id").as("doc_id"), col("text"))
+        ccStoreLoopRun(s, ftext, k = 1, nBuckets = 16)
+      },
+      Some("""WITH RECURSIVE f AS (
+        |  SELECT DISTINCT doc_id AS i,
+        |    md5(substr(text, frame_idx * 16 + 1, 16)) AS sk
+        |  FROM (SELECT doc_id, text,
+        |          CAST(unnest(range(0, (length(text) + 15) // 16))
+        |            AS INTEGER) AS frame_idx
+        |        FROM documents WHERE length(text) > 0)),
+        |sz AS (SELECT i, COUNT(*) AS na FROM f GROUP BY i),
+        |cand AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS inter
+        |  FROM f a JOIN f b ON a.sk = b.sk AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT c.i, c.j FROM cand c
+        |  JOIN sz x ON c.i = x.i JOIN sz y ON c.j = y.i
+        |  WHERE CAST(inter AS DOUBLE) / (x.na + y.na - inter) >= 0.5),
+        |edges AS (SELECT i AS src, j AS dst FROM jp
+        |  UNION ALL SELECT j, i FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e
+        |    ON reach.r = e.src),
+        |comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |fin AS (
+        |  SELECT id, label FROM comp
+        |  UNION ALL
+        |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
+        |  WHERE d.doc_id % 5 = 0 AND length(d.text) > 0
         |    AND d.doc_id NOT IN (SELECT id FROM comp))
         |SELECT id, label FROM fin ORDER BY id""".stripMargin)),
 

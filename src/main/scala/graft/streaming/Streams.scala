@@ -664,7 +664,10 @@ object Streams {
     * (`updates/batch=E`, the production artifact — the state upsert reads
     * the WRITTEN delta back, so the write IS the handoff), the next label
     * generation, and the batch's posting/size deltas — every write an
-    * overwrite keyed by E. `killOnceAt = (E, armed)` injects a one-shot
+    * overwrite keyed by E. NOTE the label generation here is a FULL-TABLE
+    * rewrite per epoch (corpus-sized at scale); [[ccStoreStep]] is the v2
+    * that drops it — labels served merge-on-read from the update deltas
+    * with a threshold fold (q261). `killOnceAt = (E, armed)` injects a one-shot
     * crash at the nastiest partial-commit point (label generation E
     * committed, posting/size generations NOT) to prove recovery.
     */
@@ -725,5 +728,291 @@ object Streams {
   def ccMaintenanceLabels(s: SparkSession, stateRoot: String): DataFrame = {
     val g = latestGenBelow(s"$stateRoot/gens/labels", Long.MaxValue)
     s.read.parquet(s"$stateRoot/gens/labels/epoch=$g")
+  }
+
+  // ---- CC maintenance v2: EVERY state table delta-sized + folded ----
+  // [[ccMaintenanceDiskStep]]'s one remaining corpus-sized write is the
+  // label table: it persists the delta-sized update set and then STILL
+  // materializes the full `applyCcLabelUpdates` result as a complete
+  // label generation every epoch — a ~TB-class rewrite per micro-batch at
+  // 100B docs (r15 verdict #1). This v2 applies the q253 store discipline
+  // to all three state tables. Layout under `stateRoot`:
+  //   gens/label_base/g=F    — folded label base (init −1; _SUCCESS-gated)
+  //   updates/batch=E        — per-epoch label-update deltas (THE only
+  //                            per-epoch label write — delta-sized)
+  //   gens/posting_base/g=F  — folded postings (bucket-partitioned in
+  //                            nBuckets mode); gens/postings/epoch=E deltas
+  //   gens/size_base/g=F     — folded posting sizes; gens/sizes/epoch=E
+  // Serving is MERGE-ON-READ: a view = latest complete base ∪ the deltas
+  // past its fold point (labels latest-epoch-wins per id — exactly the
+  // sequential `applyCcLabelUpdates` fold, since the final label of an id
+  // is its row in the LARGEST epoch that touched it). A threshold-
+  // triggered fold materializes the view into a new base mid-stream (the
+  // [[graft.ext.Similarity.compactStoreIfNeeded]] shape) and
+  // [[ccStoreGc]] deletes what left the read path.
+  //
+  // RECOVERY inherits q252's structural argument with one extra rule:
+  // a fold at epoch E covers epochs <= E-1 ONLY (named g = E-1). Inside
+  // foreachBatch at E every epoch < E is checkpoint-committed (in-order
+  // single-stream file source), so nothing at or below the fold point can
+  // ever re-deliver — a re-delivered E reads the base g=E-1, which is
+  // content-identical to the pre-fold view it read on the first attempt,
+  // and recomputes byte-identical artifacts. That rule is also what makes
+  // GC safe mid-stream: only state no future (re-)delivery can read is
+  // deleted.
+
+  private def latestCompleteBase(dir: String, bound: Long): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    require(java.nio.file.Files.exists(p),
+      s"$dir missing — ccStoreInit must run before the stream starts")
+    val gens = scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala
+        .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+        .flatMap(_.getFileName.toString.stripPrefix("g=").toLongOption)
+        .filter(_ < bound).toSeq
+    }
+    require(gens.nonEmpty, s"no complete base below $bound under $dir — " +
+      "ccStoreInit must run before the stream starts")
+    gens.max
+  }
+
+  /** Complete (_SUCCESS-marked) delta epochs of `dir` in (lo, hi). */
+  private def completeDeltaEpochs(dir: String, prefix: String, lo: Long,
+      hi: Long): Seq[Long] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala
+        .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+        .flatMap(_.getFileName.toString.stripPrefix(prefix).toLongOption)
+        .filter(e => e > lo && e < hi).toSeq.sorted
+    }
+  }
+
+  /** Initialize the v2 store: postings/sizes/labels each land as base
+    * generation −1 (labels rebuilt from the WRITTEN postings — the q240
+    * one-shingle-pass discipline). Idempotent on the label base's
+    * _SUCCESS marker (torn init re-runs; every write overwrites).
+    */
+  def ccStoreInit(corpus: DataFrame, stateRoot: String, k: Int = 3,
+      threshold: Double = 0.5, nBuckets: Int = 0): Unit = {
+    val s = corpus.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths
+        .get(s"$stateRoot/gens/label_base/g=-1/_SUCCESS"))) return
+    val sc = s.sparkContext
+    val postings = graft.ext.Dedup
+      .ngramPostings(corpus, "doc_id", "text", k).localCheckpoint(true)
+    val pins = graft.util.CheckpointGen.pinnedIds(postings)
+    writePostingGen(postings, s"$stateRoot/gens/posting_base/g=-1", nBuckets)
+    graft.ext.Dedup.ngramPostingSizes(postings).write.mode("overwrite")
+      .parquet(s"$stateRoot/gens/size_base/g=-1")
+    graft.util.CheckpointGen.release(sc, pins)
+    val p = s.read.parquet(s"$stateRoot/gens/posting_base/g=-1")
+      .select("i", "sk")
+    val z = s.read.parquet(s"$stateRoot/gens/size_base/g=-1")
+    graft.ext.Dedup.connectedComponents(
+        graft.ext.Dedup.ngramJaccardPairsFromPostings(p, z, threshold))
+      .write.mode("overwrite").parquet(s"$stateRoot/gens/label_base/g=-1")
+  }
+
+  /** Posting state visible to epoch `bound`: latest complete base below
+    * `bound` ∪ complete delta epochs past its fold point. Keeps the
+    * bucket partition column in nBuckets mode so the caller's bucket
+    * prune reaches BOTH scans. Append-only content — no per-id
+    * reconciliation needed.
+    */
+  def ccStorePostingsView(s: SparkSession, stateRoot: String,
+      bound: Long): DataFrame = {
+    val g = latestCompleteBase(s"$stateRoot/gens/posting_base", bound)
+    val base = s.read.parquet(s"$stateRoot/gens/posting_base/g=$g")
+    val live = completeDeltaEpochs(s"$stateRoot/gens/postings", "epoch=",
+      g, bound)
+    if (live.isEmpty) base
+    else base.unionByName(s.read.parquet(s"$stateRoot/gens/postings")
+      .filter(col("epoch").isin(live: _*)).drop("epoch"))
+  }
+
+  /** Posting-size state visible to epoch `bound` — same shape as
+    * [[ccStorePostingsView]], flat layout.
+    */
+  def ccStoreSizesView(s: SparkSession, stateRoot: String,
+      bound: Long): DataFrame = {
+    val g = latestCompleteBase(s"$stateRoot/gens/size_base", bound)
+    val base = s.read.parquet(s"$stateRoot/gens/size_base/g=$g")
+    val live = completeDeltaEpochs(s"$stateRoot/gens/sizes", "epoch=",
+      g, bound)
+    if (live.isEmpty) base
+    else base.unionByName(s.read.parquet(s"$stateRoot/gens/sizes")
+      .filter(col("epoch").isin(live: _*)).drop("epoch"))
+  }
+
+  /** Label state visible to epoch `bound`, MERGE-ON-READ: latest complete
+    * base ∪ update deltas past its fold point, latest-epoch-wins per id —
+    * provably the sequential [[graft.ext.Dedup.applyCcLabelUpdates]]
+    * fold, because that fold's final label for an id is its row in the
+    * largest epoch whose update set touched it (each apply = anti-join ∪
+    * union). The delta union is fold-threshold-bounded and delta-sized,
+    * so its ids BROADCAST into the base anti-join — the corpus-sized base
+    * streams map-side, nothing corpus-sized shuffles, and the per-epoch
+    * label write this view replaces is gone entirely.
+    */
+  def ccStoreLabelsView(s: SparkSession, stateRoot: String,
+      bound: Long): DataFrame = {
+    val g = latestCompleteBase(s"$stateRoot/gens/label_base", bound)
+    val base = s.read.parquet(s"$stateRoot/gens/label_base/g=$g")
+    val live = completeDeltaEpochs(s"$stateRoot/updates", "batch=", g, bound)
+    if (live.isEmpty) base
+    else {
+      val deltas = s.read.parquet(s"$stateRoot/updates")
+        .filter(col("batch").isin(live: _*))
+      val latest = deltas
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy("id").orderBy(col("batch").desc)))
+        .filter(col("rn") === 1).select("id", "label")
+      base.join(broadcast(latest.select("id")), Seq("id"), "left_anti")
+        .unionByName(latest)
+    }
+  }
+
+  /** The current label table (post-stream serving read). */
+  def ccStoreLabels(s: SparkSession, stateRoot: String): DataFrame =
+    ccStoreLabelsView(s, stateRoot, Long.MaxValue)
+
+  /** Threshold fold: when more than `maxDeltas` unfolded delta epochs sit
+    * past a store's fold point, materialize its view at `bound = epoch`
+    * into base g = epoch−1 (covering epochs <= epoch−1 ONLY — see the
+    * recovery rule above). Skipped when a complete base at or past the
+    * fold point exists (the re-delivered-epoch guard). Returns the stores
+    * folded this call, for the caller's logs/specs.
+    */
+  def ccStoreFoldIfNeeded(s: SparkSession, stateRoot: String, epoch: Long,
+      nBuckets: Int, maxLabelDeltas: Int,
+      maxPostingGens: Int): Seq[String] = {
+    val foldPoint = epoch - 1
+    val folded = scala.collection.mutable.ArrayBuffer.empty[String]
+    def due(baseDir: String, deltaDir: String, prefix: String,
+        maxDeltas: Int): Boolean = {
+      val g = latestCompleteBase(s"$stateRoot/$baseDir", Long.MaxValue)
+      g < foldPoint && completeDeltaEpochs(s"$stateRoot/$deltaDir", prefix,
+        g, epoch).size > maxDeltas
+    }
+    if (due("gens/label_base", "updates", "batch=", maxLabelDeltas)) {
+      ccStoreLabelsView(s, stateRoot, epoch).write.mode("overwrite")
+        .parquet(s"$stateRoot/gens/label_base/g=$foldPoint")
+      folded += "labels"
+    }
+    if (due("gens/posting_base", "gens/postings", "epoch=", maxPostingGens)) {
+      val v = ccStorePostingsView(s, stateRoot, epoch)
+      if (nBuckets <= 0) v.write.mode("overwrite")
+        .parquet(s"$stateRoot/gens/posting_base/g=$foldPoint")
+      else v.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(s"$stateRoot/gens/posting_base/g=$foldPoint")
+      folded += "postings"
+    }
+    if (due("gens/size_base", "gens/sizes", "epoch=", maxPostingGens)) {
+      ccStoreSizesView(s, stateRoot, epoch).write.mode("overwrite")
+        .parquet(s"$stateRoot/gens/size_base/g=$foldPoint")
+      folded += "sizes"
+    }
+    folded.toSeq
+  }
+
+  /** One v2 maintenance epoch — the foreachBatch body. Identical pair /
+    * update computation to [[ccMaintenanceDiskStep]], but the label write
+    * is ONLY the delta (`updates/batch=E`) — the full-table label
+    * generation is gone — and the step ends with the threshold fold.
+    * `killOnceAt` dies after the update delta commits and before the
+    * posting/size deltas do (the v1 nastiest-partial-commit point
+    * transposed to the delta-label layout).
+    */
+  def ccStoreStep(stateRoot: String, k: Int = 3, threshold: Double = 0.5,
+      nBuckets: Int = 0, maxLabelDeltas: Int = 4, maxPostingGens: Int = 4,
+      killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)] =
+        None)(batch: DataFrame, epoch: Long): Unit = {
+    val s = batch.sparkSession
+    val sc = s.sparkContext
+    import graft.ext.Dedup
+    import graft.util.CheckpointGen
+    val b = batch.localCheckpoint(true)
+    val bPins = CheckpointGen.pinnedIds(b)
+    val bp = Dedup.ngramPostings(b, "doc_id", "text", k).localCheckpoint(true)
+    val bpPins = CheckpointGen.pinnedIds(bp)
+    val postingsAll = ccStorePostingsView(s, stateRoot, epoch)
+    val postings =
+      if (nBuckets <= 0) postingsAll
+      else Dedup.pruneToBatchBuckets(postingsAll, bp, nBuckets)
+    val sizes = ccStoreSizesView(s, stateRoot, epoch)
+    val labels = ccStoreLabelsView(s, stateRoot, epoch)
+    val newPairs = Dedup.incrementalCcPairs(postings, sizes, b,
+        "doc_id", "text", k, threshold)
+      .localCheckpoint(true)
+    val pairPins = CheckpointGen.pinnedIds(newPairs)
+    val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
+      b.select(col("doc_id").as("id")))
+    updates.write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
+    CheckpointGen.release(sc, pairPins ++ CheckpointGen.pinnedIds(updates))
+    killOnceAt.foreach { case (at, armed) =>
+      if (epoch == at && armed.compareAndSet(true, false)) {
+        CheckpointGen.release(sc, bPins ++ bpPins)
+        throw new IllegalStateException(
+          s"injected kill: epoch $epoch died after its update-delta " +
+            "write, before its posting/size writes")
+      }
+    }
+    writePostingGen(bp, s"$stateRoot/gens/postings/epoch=$epoch", nBuckets)
+    Dedup.ngramPostingSizes(bp).write.mode("overwrite")
+      .parquet(s"$stateRoot/gens/sizes/epoch=$epoch")
+    CheckpointGen.release(sc, bPins ++ bpPins)
+    ccStoreFoldIfNeeded(s, stateRoot, epoch, nBuckets, maxLabelDeltas,
+      maxPostingGens)
+    ()
+  }
+
+  /** v2 store GC — deletes exactly what left every read path: superseded
+    * bases (g < each store's current complete base), _SUCCESS-less base
+    * stubs (crash leftovers — no fold is in flight under the
+    * run-from-the-step contract), and deltas at or below each store's
+    * fold point (no future (re-)delivery can read them — the fold-lag
+    * rule). Returns directories removed.
+    */
+  def ccStoreGc(stateRoot: String): Int = {
+    def rm(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+    }
+    def listAll(dir: String, prefix: String): Seq[Long] = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala
+          .flatMap(_.getFileName.toString.stripPrefix(prefix).toLongOption)
+          .toSeq
+      }
+    }
+    var removed = 0
+    def sweep(baseDir: String, deltaDir: String, prefix: String): Unit = {
+      val g = latestCompleteBase(s"$stateRoot/$baseDir", Long.MaxValue)
+      val complete = completeDeltaEpochs(s"$stateRoot/$baseDir", "g=",
+        Long.MinValue, Long.MaxValue).toSet
+      listAll(s"$stateRoot/$baseDir", "g=")
+        .filter(e => e < g || !complete(e)).foreach { e =>
+          rm(s"$stateRoot/$baseDir/g=$e"); removed += 1
+        }
+      listAll(s"$stateRoot/$deltaDir", prefix).filter(_ <= g).foreach { e =>
+        rm(s"$stateRoot/$deltaDir/$prefix$e"); removed += 1
+      }
+    }
+    sweep("gens/label_base", "updates", "batch=")
+    sweep("gens/posting_base", "gens/postings", "epoch=")
+    sweep("gens/size_base", "gens/sizes", "epoch=")
+    removed
   }
 }

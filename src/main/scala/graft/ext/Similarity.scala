@@ -708,16 +708,23 @@ object Similarity {
     * 0.20-0.28 while pre holds ≥ 0.53), so the rule routes to the
     * allowed-only index. The two stat lookups are one distinct-count
     * aggregate each — the cardinalities a production planner reads from
-    * table stats. Returns (strategy, per-query top-k).
+    * table stats. A REPEATED-predicate serving path should pass them
+    * precomputed via `stats = Some((nCorpus, nAllowed))` (r15 verdict #8)
+    * instead of re-counting the index per call: the rule consumes only
+    * the two integers, so cached stats change nothing but the two scans
+    * (Round16Spec pins stats-passed ≡ derived, and that doctored stats
+    * actually flip the route — the numbers drive the rule, not the data).
+    * Returns (strategy, per-query top-k).
     */
   def filteredAnnSearchAuto(index: DataFrame, xq: DataFrame,
       qcells: DataFrame, allowedIds: DataFrame, k: Int, overfetch: Int,
-      rerank: Int): (String, DataFrame) = {
+      rerank: Int, stats: Option[(Long, Long)] = None)
+      : (String, DataFrame) = {
     require(overfetch >= k, s"overfetch ($overfetch) must be >= k ($k)")
     val ids = index.select("vec_id").distinct()
     val allowed = allowedIds.select(col(allowedIds.columns.head).as("vec_id"))
-    val nCorpus = ids.count()
-    val nAllowed = ids.join(allowed, Seq("vec_id"), "left_semi").count()
+    val (nCorpus, nAllowed) = stats.getOrElse((ids.count(),
+      ids.join(allowed, Seq("vec_id"), "left_semi").count()))
     if (nAllowed * overfetch >= k.toLong * nCorpus) {
       val over = ivfPqSearchQueries(index, xq, qcells, overfetch, rerank)
       val post = over.join(allowed, over("nid") === allowed("vec_id"),

@@ -229,6 +229,40 @@ class Round16Spec extends SparkSpec {
     } finally { rmTree(rootA); rmTree(rootB) }
   }
 
+  test("filteredAnnSearchAuto with precomputed stats == the derived-stats " +
+      "call (strategy AND rows), and doctored stats flip the route — the " +
+      "cost rule consumes exactly the two integers, so a serving path can " +
+      "cache them (r15 verdict #8)") {
+    import graft.ext.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, Dir)
+    val index = Similarity.buildIvfPqIndex(emb, 8, 2).localCheckpoint(true)
+    try {
+      val q = index.filter(col("vec_id") < 5)
+      val xq = q.select((col("vec_id") + Similarity.ExternalQueryIdOffset)
+        .as("qid"), col("v").as("qv"))
+      val qc = q.select((col("vec_id") + Similarity.ExternalQueryIdOffset)
+        .as("qid"), explode(col("cells")).as("cell"))
+      val allowed = emb.filter(col("vec_id") % 2 === 0)
+        .select("vec_id").localCheckpoint(true)
+      val ids = index.select("vec_id").distinct()
+      val nCorpus = ids.count()
+      val nAllowed = ids.join(allowed, Seq("vec_id"), "left_semi").count()
+      def run(stats: Option[(Long, Long)]) = {
+        val (st, res) = Similarity.filteredAnnSearchAuto(index, xq, qc,
+          allowed, 3, 12, 10, stats)
+        (st, res.orderBy("qid", "rn").collect().toSeq)
+      }
+      val (stDerived, rowsDerived) = run(None)
+      val (stCached, rowsCached) = run(Some((nCorpus, nAllowed)))
+      assert(stCached == stDerived && rowsCached == rowsDerived,
+        s"cached stats changed the answer: $stDerived -> $stCached")
+      // the doctored legs prove the integers DRIVE the rule: a claimed
+      // near-empty allowed set must route pre, a claimed tiny corpus post
+      assert(run(Some((nCorpus, 0L)))._1 == "pre")
+      assert(run(Some((1L, 1L)))._1 == "post")
+    } finally { index.unpersist(blocking = false); () }
+  }
+
   test("delta-scheduled coreness == brute-force peel on a graph whose " +
       "frontier actually shrinks (path + star + clique mix), on both " +
       "join paths") {

@@ -139,10 +139,13 @@ object CcStoreBench {
       maxPostingGens = Int.MaxValue))
     val (foldRows, foldBytes) = dirStats(s"$v2Root/gens/label_base/g=2")
 
-    // exactness gate: the v2 merge-on-read labels == the v1 full table
+    // exactness gate: the v2 merge-on-read labels == the v1 full table.
+    // Both factors reduced mod primes: replica ids/labels reach ~1e11 at
+    // repl=100 and an unreduced id%p * label summed over 100k+ rows
+    // overflows int64 (measured at repl=10 under ANSI mode).
     def chkOf(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
-        sum(col("id") % 1000003L * col("label"))).head()
+        sum(col("id") % 1000003L * (col("label") % 999983L))).head()
       (r.getLong(0), r.getLong(1))
     }
     val c1 = chkOf(Streams.ccMaintenanceLabels(spark, v1Root))

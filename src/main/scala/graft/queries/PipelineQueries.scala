@@ -106,9 +106,10 @@ object PipelineQueries {
     * mid-epoch-1 kill, restarts on a FRESH SESSION (r15 verdict #3),
     * requires both mid-stream folds fired (labels at epoch 2 via
     * maxLabelDeltas=1; postings every epoch via maxPostingGens=0 — so
-    * epoch 2's probe reads across a fold boundary), GCs, and serves the
+    * epoch 2's probe reads across a fold boundary) with GC running as
+    * the gcAfterFold policy inside the stream, and serves the
     * merge-on-read labels. The oracle hash over the returned labels
-    * therefore also pins fold- and GC-view-invariance.
+    * therefore also pins fold- and mid-stream-GC view-invariance.
     */
   private def ccStoreLoopRun(s: org.apache.spark.sql.SparkSession,
       corpus: org.apache.spark.sql.DataFrame, k: Int,
@@ -124,7 +125,7 @@ object PipelineQueries {
       def start(sess: org.apache.spark.sql.SparkSession, kill: Boolean) = {
         val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
           Streams.ccStoreStep(s"$root/state", k, 0.5, nBuckets,
-            maxLabelDeltas = 1, maxPostingGens = 0,
+            maxLabelDeltas = 1, maxPostingGens = 0, gcAfterFold = true,
             killOnceAt = if (kill) Some((1L, armed)) else None)
         sess.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
@@ -145,8 +146,10 @@ object PipelineQueries {
         "the label fold did not fire mid-stream")
       require(committed("gens/posting_base/g=1"),
         "the posting fold did not fire mid-stream")
-      require(Streams.ccStoreGc(s"$root/state") > 0,
-        "GC found nothing superseded after two folds")
+      // GC ran as the gcAfterFold POLICY inside the stream — a
+      // post-stream sweep must find nothing superseded left
+      require(Streams.ccStoreGc(s"$root/state") == 0,
+        "the mid-stream GC policy left superseded state behind")
       Streams.ccStoreLabels(s, s"$root/state")
         .orderBy("id").localCheckpoint(true)
     } finally {
@@ -1600,9 +1603,11 @@ object PipelineQueries {
     // sequential applyCcLabelUpdates fold); threshold-triggered folds
     // materialize new bases MID-STREAM (maxPostingGens=0 folds postings
     // at every epoch, so epoch 2's probe reads ACROSS a fold boundary;
-    // maxLabelDeltas=1 folds labels once, at epoch 2); ccStoreGc then
-    // deletes everything that left the read path BEFORE the registry
-    // result is read — so the oracle hash also pins GC's view-invariance.
+    // maxLabelDeltas=1 folds labels once, at epoch 2); GC runs as the
+    // gcAfterFold POLICY inside the stream, sweeping what each fold
+    // retired while later epochs still probe the store — so the oracle
+    // hash also pins mid-stream GC's view-invariance (and the loop
+    // require()s a post-stream sweep finds nothing left).
     // The same mid-epoch-1 kill runs on top, and the restart leg starts
     // on a FRESH SESSION (s.newSession() — r15 verdict #3): recovery
     // provably depends on the disk state + checkpoint only, nothing

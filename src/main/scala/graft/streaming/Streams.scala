@@ -927,9 +927,20 @@ object Streams {
     * `killOnceAt` dies after the update delta commits and before the
     * posting/size deltas do (the v1 nastiest-partial-commit point
     * transposed to the delta-label layout).
+    *
+    * `gcAfterFold` makes [[ccStoreGc]] a mid-stream POLICY instead of a
+    * manual post-stream operator: whenever a fold fires, the step sweeps
+    * what that fold retired. Safe under re-delivery by the fold-lag rule
+    * (a fold at epoch E covers <= E-1; every epoch <= E-1 is
+    * checkpoint-committed before E runs, so nothing GC deletes can ever
+    * be re-read — a re-delivered E reads the folded base g=E-1, which is
+    * content-identical to the pre-fold view it read on the first
+    * attempt). Round16Spec pins policy-on ≡ policy-off labels and that
+    * the swept layout matches the explicit-GC one.
     */
   def ccStoreStep(stateRoot: String, k: Int = 3, threshold: Double = 0.5,
       nBuckets: Int = 0, maxLabelDeltas: Int = 4, maxPostingGens: Int = 4,
+      gcAfterFold: Boolean = false,
       killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)] =
         None)(batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
@@ -966,9 +977,9 @@ object Streams {
     Dedup.ngramPostingSizes(bp).write.mode("overwrite")
       .parquet(s"$stateRoot/gens/sizes/epoch=$epoch")
     CheckpointGen.release(sc, bPins ++ bpPins)
-    ccStoreFoldIfNeeded(s, stateRoot, epoch, nBuckets, maxLabelDeltas,
-      maxPostingGens)
-    ()
+    val folded = ccStoreFoldIfNeeded(s, stateRoot, epoch, nBuckets,
+      maxLabelDeltas, maxPostingGens)
+    if (gcAfterFold && folded.nonEmpty) { ccStoreGc(stateRoot); () }
   }
 
   /** v2 store GC — deletes exactly what left every read path: superseded

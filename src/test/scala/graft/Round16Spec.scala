@@ -41,12 +41,13 @@ class Round16Spec extends SparkSpec {
 
   private def runStream(root: String, nBuckets: Int, maxLabelDeltas: Int,
       maxPostingGens: Int,
-      killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)])
-      : Boolean = {
+      killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)],
+      gcAfterFold: Boolean = false): Boolean = {
     val schema = spark.read.parquet(s"$root/in/e0.parquet").schema
     val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
       graft.streaming.Streams.ccStoreStep(s"$root/state", 3, 0.5, nBuckets,
-        maxLabelDeltas, maxPostingGens, killOnceAt)
+        maxLabelDeltas, maxPostingGens, gcAfterFold = gcAfterFold,
+        killOnceAt = killOnceAt)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
       .writeStream.option("checkpointLocation", s"$root/ckpt")
@@ -183,6 +184,36 @@ class Round16Spec extends SparkSpec {
       assert(dirNames(s"$rootA/state/gens/posting_base") == Set("g=1"))
       assert(dirNames(s"$rootA/state/gens/postings") == Set("epoch=2"))
       assert(labelsOf(rootA) == foldy, "GC changed the served labels")
+    } finally { rmTree(rootA); rmTree(rootB) }
+  }
+
+  test("gcAfterFold makes GC a mid-stream policy: labels == the " +
+      "no-GC run's, and the state root ends already swept (the layout " +
+      "the explicit post-stream GC would leave)") {
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft_r16_gcpol").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft_r16_nogc").toString
+    try {
+      stage(rootA, nBuckets = 8)
+      assert(!runStream(rootA, 8, maxLabelDeltas = 1, maxPostingGens = 0,
+        killOnceAt = None, gcAfterFold = true))
+      stage(rootB, nBuckets = 8)
+      assert(!runStream(rootB, 8, maxLabelDeltas = 1, maxPostingGens = 0,
+        killOnceAt = None))
+      val gcd = labelsOf(rootA)
+      assert(gcd.nonEmpty && gcd == labelsOf(rootB),
+        "mid-stream GC changed the served labels")
+      // the policy swept everything the epoch-2 folds retired, DURING the
+      // stream: only the current bases and the one unfolded delta remain
+      assert(dirNames(s"$rootA/state/gens/label_base") == Set("g=1"))
+      assert(dirNames(s"$rootA/state/updates") == Set("batch=2"))
+      assert(dirNames(s"$rootA/state/gens/posting_base") == Set("g=1"))
+      assert(dirNames(s"$rootA/state/gens/postings") == Set("epoch=2"))
+      // nothing superseded left for a post-stream GC to find
+      assert(graft.streaming.Streams.ccStoreGc(s"$rootA/state") == 0,
+        "the mid-stream policy left superseded state behind")
+      assert(labelsOf(rootA) == gcd)
     } finally { rmTree(rootA); rmTree(rootB) }
   }
 

@@ -39,14 +39,25 @@ object CorenessBench {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
-    // SYNTHETIC mode (r14 verdict #5's "a few million vertices" leg):
+    // SYNTHETIC modes (r14 verdict #5's "a few million vertices" legs):
     // SPARK_GRAFT_SYNTH_CLIQUES=N builds a ring of N 8-cliques (8N
     // vertices, 28N intra + N ring edges) instead of the near-dup graph.
     // Its coreness is ANALYTIC — every vertex sits in an 8-clique
     // (coreness ≥ 7) and no 8-core exists (intra degree is 7) — so
     // coreness = 7 everywhere: hist must be exactly {7: 8N}, a
     // known-value check at any scale, asserted below.
+    // SPARK_GRAFT_SYNTH_TREE=N builds the complete-ish binary tree on N
+    // vertices (edge i → (i−1)/2): every tree is 1-degenerate, so
+    // coreness = 1 everywhere (hist exactly {1: N}) — and unlike the
+    // ring (which the h-index fixpoint finishes in ONE effective round),
+    // the tree PEELS: the h-values collapse from the leaves inward over
+    // ~depth/2 rounds with a geometrically shrinking frontier — the
+    // graph shape the delta schedule exists for (r15 verdict #4's
+    // "re-evaluate only neighbors of last round's changed set").
     val synthCliques = sys.env.get("SPARK_GRAFT_SYNTH_CLIQUES").map(_.toLong)
+    val synthTree = sys.env.get("SPARK_GRAFT_SYNTH_TREE").map(_.toLong)
+    require(synthCliques.isEmpty || synthTree.isEmpty,
+      "SYNTH_CLIQUES and SYNTH_TREE are mutually exclusive")
     val (nDocs, (edgeS, edges)) = synthCliques match {
       case Some(n) =>
         require(n >= 2, "ring needs >= 2 cliques (n=1 would self-loop)")
@@ -64,15 +75,27 @@ object CorenessBench {
           e.count()
           e
         })
-      case None =>
-        val docs = graft.sources.Tables.documents(spark, sfDir)
-        (docs.count(), time {
-          val e = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
-            .select(col("i").as("src"), col("j").as("dst"))
-            .localCheckpoint(true)
-          e.count()
-          e
-        })
+      case None => synthTree match {
+        case Some(n) =>
+          require(n >= 2, "tree needs >= 2 vertices")
+          (n, time {
+            val e = spark.range(1, n)
+              .select(col("id").as("src"),
+                ((col("id") - 1) / 2).cast("long").as("dst"))
+              .localCheckpoint(true)
+            e.count()
+            e
+          })
+        case None =>
+          val docs = graft.sources.Tables.documents(spark, sfDir)
+          (docs.count(), time {
+            val e = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+              .select(col("i").as("src"), col("j").as("dst"))
+              .localCheckpoint(true)
+            e.count()
+            e
+          })
+      }
     }
     val nEdges = edges.count()
 
@@ -83,8 +106,35 @@ object CorenessBench {
     // SPARK_GRAFT_CORE_PARTS=8 for a like-for-like rerun of the r15 rows.
     val coreParts = sys.env.get("SPARK_GRAFT_CORE_PARTS").map(_.toInt)
       .getOrElse(cpus.toInt)
+    // UNTIMED warmup (r16): the first coreness call in a fresh JVM
+    // absorbs the JIT/codegen compilation of the whole fixpoint chain —
+    // measured as tens of seconds of "setup" at 8M vertices — so without
+    // this, whichever timed leg runs FIRST loses the comparison to
+    // whichever runs last. A tiny ring through BOTH schedules and BOTH
+    // join paths compiles every code path the timed legs take.
+    locally {
+      import spark.implicits._
+      val pdf = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j))
+        .toDF("pi", "pj")
+      val warm = spark.range(500).toDF("c").crossJoin(broadcast(pdf))
+        .select((col("c") * 8 + col("pi")).as("src"),
+          (col("c") * 8 + col("pj")).as("dst"))
+        .unionByName(spark.range(500).toDF("c")
+          .select((col("c") * 8).as("src"),
+            (((col("c") + 1) % 500) * 8).as("dst")))
+        .localCheckpoint(true)
+      for (ceil <- Seq(10000000L, 0L); ds <- Seq(true, false))
+        Graph.coreness(warm, partitions = coreParts,
+          broadcastVertexCeiling = ceil, deltaSchedule = ds).count()
+    }
+    // per-round vertex-evaluation counts — the DETERMINISTIC work
+    // measure the schedules differ in (wall-clock on this box swings
+    // 2-5x run-to-run at multi-minute leg sizes; these counts are exact
+    // and reproducible)
+    val evalsDelta = scala.collection.mutable.ArrayBuffer.empty[Long]
     val (coreS, core) = time {
-      val c = Graph.coreness(edges, partitions = coreParts)
+      val c = Graph.coreness(edges, partitions = coreParts,
+          onRoundStats = (_, n) => { evalsDelta += n; () })
         .localCheckpoint(true)
       c.count()
       c
@@ -96,11 +146,14 @@ object CorenessBench {
       .orderBy("coreness").collect()
       .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
 
-    // the ABOVE-CEILING degradation path at bench scale (r14 verdict #5):
-    // ceiling 0 forces the value-table join through the keyed shuffle —
-    // the path a >10M-vertex production graph takes — on the same edges.
-    // The checksum must match the broadcast path's exactly (Round14Spec
-    // pins the 12-edge fixture; this pins it on every measured graph).
+    // the ALL-SHUFFLE path at bench scale (r14 verdict #5): ceiling 0
+    // forces EVERY per-round frame (value table AND the delta frontier
+    // frames) through keyed shuffles on the same edges. The checksum must
+    // match the default path's exactly (Round14Spec pins the 12-edge
+    // fixture; this pins it on every measured graph). Note the default
+    // (ceiling 2M since r16) is a HYBRID above 2M vertices — value table
+    // keyed, frontier frames broadcast — so core_s and core_shuffle_s
+    // genuinely differ there.
     val (coreShufS, chkShuf) = time {
       val c = Graph.coreness(edges, partitions = coreParts,
         broadcastVertexCeiling = 0L)
@@ -117,11 +170,57 @@ object CorenessBench {
         s"ring-of-8-cliques must be coreness-7 everywhere: nv=$nv " +
           s"max=$maxCore hist=$hist")
     }
+    synthTree.foreach { n =>
+      require(maxCore == 1L && nv == n && hist == s"""{"1":$n}""",
+        s"a tree must be coreness-1 everywhere: nv=$nv max=$maxCore " +
+          s"hist=$hist")
+    }
+
+    // the SYNCHRONOUS-schedule comparators (SPARK_GRAFT_SYNC_COMPARE=1):
+    // the r15 behavior — every round re-evaluates every vertex — timed on
+    // the same edges with the same knobs on BOTH join paths, so the
+    // artifact carries the full schedule × join-path 2×2
+    // (core_s / core_shuffle_s / core_sync_s / core_sync_shuffle_s),
+    // all checksum-required equal. The delta schedule's value is read
+    // within a column (same path, sync vs delta); the join-path finding
+    // is read within a row.
+    val evalsSync = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def syncLeg(ceiling: Long): Double = {
+      evalsSync.clear()
+      val (t, chkSync) = time {
+        val c = Graph.coreness(edges, partitions = coreParts,
+          broadcastVertexCeiling = ceiling, deltaSchedule = false,
+          onRoundStats = (_, n) => { evalsSync += n; () })
+        val a = c.agg(count(lit(1)),
+          sum(col("id") % 1000003L * col("coreness"))).head()
+        (a.getLong(0), a.getLong(1))
+      }
+      require(chkSync == ((nv, chk)),
+        s"sync-schedule coreness (ceiling=$ceiling) diverged: " +
+          s"delta=($nv, $chk) sync=$chkSync")
+      t
+    }
+    val syncCompare = sys.env.get("SPARK_GRAFT_SYNC_COMPARE").contains("1")
+    // 10M = the r15 DEFAULT config (always-broadcast at these scales), so
+    // core_sync_s reproduces the r15 rows; core_sync_shuffle_s is its
+    // all-shuffle twin
+    val coreSyncS = if (syncCompare) Some(syncLeg(10000000L)) else None
+    val coreSyncShufS = if (syncCompare) Some(syncLeg(0L)) else None
 
     def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"coreness_scale","docs":$nDocs,"edges":$nEdges,""" +
       s""""edge_s":${f(edgeS)},"core_s":${f(coreS)},""" +
-      s""""core_shuffle_s":${f(coreShufS)},"nv":$nv,""" +
+      s""""core_shuffle_s":${f(coreShufS)},""" +
+      coreSyncS.map(t => s""""core_sync_s":${f(t)},""").getOrElse("") +
+      coreSyncShufS.map(t => s""""core_sync_shuffle_s":${f(t)},""")
+        .getOrElse("") +
+      s""""evals_delta":${evalsDelta.mkString("[", ",", "]")},""" +
+      s""""evals_delta_total":${evalsDelta.sum},""" +
+      (if (evalsSync.nonEmpty)
+        s""""evals_sync":${evalsSync.mkString("[", ",", "]")},""" +
+        s""""evals_sync_total":${evalsSync.sum},"""
+      else "") +
+      s""""nv":$nv,""" +
       s""""max_core":$maxCore,"hist":$hist,"checksum":$chk,"parts":$coreParts,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -210,11 +210,39 @@ object Graph {
     *   on the broadcast size limit. The frontier frames shrink with
     *   convergence, so they keep broadcasting long after the value table
     *   stops fitting. Round14Spec pins path equivalence (ceiling 0 ≡
-    *   default).
+    *   default). The ceiling is a MEMORY safety valve, not a perf
+    *   lever: the r16 2×2 sweep (bench/scale_sweep_r16, per-field
+    *   minima over reps — this box's ambient swing is 5-10×) measured
+    *   the in-process broadcast strictly faster at every size that fits
+    *   (a local-mode broadcast is a hash-map build, no network), and a
+    *   mid-round experiment that lowered the default to 2M made every
+    *   multi-M-vertex leg WORSE (the keyed value join re-shuffles the
+    *   2|E| edge table by u every round). On a real cluster the
+    *   crossover moves with network cost; the knob exists for that
+    *   tuning, the default stays at the largest value-table broadcast a
+    *   48 GiB driver comfortably builds.
+    * @param deltaSchedule false = the plain synchronous schedule (every
+    *   round re-evaluates every vertex; terminate when nothing moves) —
+    *   the in-harness comparator CorenessBench times against the delta
+    *   schedule, and Round16Spec pins exact-equal to. The restriction the
+    *   delta schedule applies drops only provably-unchanged evaluations,
+    *   so both schedules produce the same fixpoint; they differ only in
+    *   per-round work (full |E| vs the frontier's incident edges) and in
+    *   how convergence is detected (no-change round vs empty frontier).
+    * @param onRoundStats called once per round with (round index, number
+    *   of vertices evaluated that round) — the DETERMINISTIC work
+    *   measure. Wall-clock comparisons of the two schedules on a shared
+    *   box sit below its ambient noise floor (r16 measured 2-5× swings
+    *   on identical multi-minute legs); vertex-evaluation counts are
+    *   exact, reproducible, and the quantity the schedules actually
+    *   differ in. Round16Spec pins them per-round on a fixture.
     */
   def coreness(undirectedEdges: DataFrame, partitions: Int = 8,
                maxRounds: Int = 64,
-               broadcastVertexCeiling: Long = 10000000L): DataFrame = {
+               broadcastVertexCeiling: Long = 10000000L,
+               deltaSchedule: Boolean = true,
+               onRoundStats: (Int, Long) => Unit = (_, _) => ())
+      : DataFrame = {
     require(maxRounds >= 1, s"coreness needs maxRounds >= 1 (got $maxRounds)")
     val caller = undirectedEdges.sparkSession
     val spark = caller.newSession()
@@ -283,6 +311,7 @@ object Graph {
       while (nActive > 0) {
         require(rounds < maxRounds,
           s"coreness did not converge within $maxRounds h-index rounds")
+        onRoundStats(rounds, nActive)
         val touched = active match {
           case None => both
           case Some(a) =>
@@ -326,40 +355,47 @@ object Graph {
         if (nChanged == 0) {
           release(activeIds); active = None; activeIds = Set.empty
           nActive = 0
+        } else if (!deltaSchedule) {
+          // synchronous schedule: something moved, so re-evaluate ALL
+          // vertices next round (active stays None = full width); the
+          // frontier machinery below never runs
+          nActive = nVerts
         } else {
           // VALUE-AWARE frontier: a changed neighbor whose NEW value is
           // still >= h_v cannot move v — for every d <= h_v both the old
           // and the new value count toward N_{>=d}, so N_{>=h_v} is
           // untouched and h_v stays attainable (values only decrease, so
-          // h cannot rise). Hence v re-evaluates ONLY if
-          // min(new value over its changed neighbors) < its current h.
-          // On a converging graph this empties rounds that plain
-          // neighbor-of-changed scheduling would run full-width (the
-          // ring-of-cliques: heads drop 9 -> 7, every neighbor's h is
-          // already 7, frontier = ∅ after ONE full round).
+          // h cannot rise). Hence v re-evaluates ONLY if SOME changed
+          // neighbor's new value undercuts its current h.
+          // EXISTS form, not a min-per-candidate table (the r16 rewrite):
+          // the first cut of this frontier grouped both⋈changed by v into
+          // a min(cnew) table and joined it back — materializing and
+          // counting a near-corpus-sized frame every round, which the
+          // 2×2 sweep measured at MORE than the full eval round it
+          // saves. This form attaches v's current value to the
+          // (v, cnew) pairs map-side (merged broadcasts under the
+          // ceiling), filters BEFORE any shuffle, and only the SURVIVORS
+          // — the true next frontier, empty on a converged graph —
+          // reach the distinct + checkpoint. On the ring-of-cliques the
+          // whole frontier pass is one map-side scan of the edge table
+          // that emits nothing.
           val changed = merged.filter(col("chg"))
             .select(col("id").as("u"), col("c").as("cnew"))
           val chSide =
             if (nChanged <= broadcastVertexCeiling) broadcast(changed)
             else changed
-          val cand = timed(s"round $rounds: frontier candidates")(
+          val cNow = merged.select(col("id").as("cid"), col("c").as("cv"))
+          val cvSide =
+            if (nVerts <= broadcastVertexCeiling) broadcast(cNow) else cNow
+          val nextActive = timed(s"round $rounds: frontier")(
             both.join(chSide, Seq("u"))
-              .groupBy("v").agg(min(col("cnew")).as("minNew"))
+              .join(cvSide, col("v") === col("cid"))
+              .filter(col("cnew") < col("cv"))
+              .select(col("v")).distinct()
               .localCheckpoint(true))
-          val candIds = graft.util.CheckpointGen.pinnedIds(cand)
-          val nCand = cand.count()
-          val candSide =
-            if (nCand <= broadcastVertexCeiling && nCand * 2 < nVerts)
-              broadcast(cand)
-            else cand
-          val nextActive = timed(s"round $rounds: frontier filter")(merged
-            .join(candSide, merged("id") === candSide("v"))
-            .filter(col("minNew") < col("c"))
-            .select(col("id").as("v"))
-            .localCheckpoint(true))
           val naIds = graft.util.CheckpointGen.pinnedIds(nextActive)
           nActive = nextActive.count()
-          release(activeIds ++ candIds)
+          release(activeIds)
           active = Some(nextActive); activeIds = naIds
         }
         release(cIds)

@@ -312,11 +312,23 @@ class Round16Spec extends SparkSpec {
       10L -> 1L, 11L -> 1L, 12L -> 1L, 13L -> 1L, 14L -> 1L, 15L -> 1L,
       16L -> 1L,
       20L -> 3L, 21L -> 3L, 22L -> 3L, 23L -> 3L)
-    for (ceiling <- Seq(10000000L, 0L)) {
+    for (ceiling <- Seq(10000000L, 0L);
+         delta <- Seq(true, false)) {
+      val evals = scala.collection.mutable.ArrayBuffer.empty[Long]
       val got = graft.ext.Graph.coreness(edges,
-          broadcastVertexCeiling = ceiling)
+          broadcastVertexCeiling = ceiling, deltaSchedule = delta,
+          onRoundStats = (_, n) => { evals += n; () })
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expect, s"ceiling=$ceiling")
+      assert(got == expect, s"ceiling=$ceiling deltaSchedule=$delta")
+      // the DETERMINISTIC work pin: the peel cascade runs 2→1 along the
+      // path and into the star/hub over 5 rounds; the delta schedule
+      // evaluates exactly the shrinking frontier (16 vertices, then the
+      // value-aware survivors 2,2,1,1 = 22 vertex-evals) while sync
+      // re-evaluates all 16 every round (80)
+      val want = if (delta) Seq(16L, 2L, 2L, 1L, 1L)
+        else Seq(16L, 16L, 16L, 16L, 16L)
+      assert(evals.toSeq == want,
+        s"ceiling=$ceiling deltaSchedule=$delta evals=${evals.toSeq}")
     }
   }
 }

@@ -1,15 +1,23 @@
 #!/bin/bash
 # Round-16 scale legs — the two r15-verdict claims that still needed
 # numbers after the code landed:
-#   core_synth*  — delta-scheduled coreness (Graph.coreness, r15 verdict
-#                  #4): the ring-of-8-cliques at 2M/8M vertices re-run on
-#                  the SAME synthetic graph as bench/scale_sweep_r15/
-#                  core_synth{2m,8m}.json. parts8 legs hold
-#                  SPARK_GRAFT_CORE_PARTS=8 — like-for-like vs the r15
-#                  rows, isolating the scheduling gain; the plain legs use
-#                  the new width default (= cpus), the production setting.
-#                  The analytic histogram ({7: 8N}) and checksum are
-#                  asserted in-run at every leg.
+#   core_*       — delta-scheduled coreness (Graph.coreness, r15 verdict
+#                  #4): SPARK_GRAFT_SYNC_COMPARE=1 makes every leg a full
+#                  schedule × join-path 2×2 (core_s = the new hybrid
+#                  default / core_shuffle_s = all-shuffle /
+#                  core_sync_s = the r15 default config, reproducing its
+#                  rows / core_sync_shuffle_s), all checksum-equal
+#                  in-run. TWO graph shapes: the ring of 8-cliques (8M
+#                  vertices — ONE effective round, the scheduling's
+#                  worst case) and the binary tree (2M vertices —
+#                  ~20 peel rounds with a geometrically shrinking
+#                  frontier, the shape the schedule exists for). Each leg
+#                  runs 3 REPS (core_*_run{1,2,3}.json) and SCALING.md
+#                  quotes per-field MINIMA — this box's ambient swing is
+#                  5-10x (same-config legs measured 46 s and 177 s an
+#                  hour apart); single runs are not comparable.
+#                  Analytic histograms ({7: 8N} ring / {1: N} tree) and
+#                  checksums asserted in-run at every leg.
 #   ccstore_*    — v1 full-label-rewrite vs v2 delta-label store
 #                  (CcStoreBench, r15 verdict #1): fixed 3-epoch delta,
 #                  corpus inflated 1x/10x/100x by in-Scala salted
@@ -45,11 +53,15 @@ runm ccstore_repl1   CcStoreBench 1800 8g  SPARK_GRAFT_LABEL_REPL=1
 runm ccstore_repl10  CcStoreBench 3600 8g  SPARK_GRAFT_LABEL_REPL=10
 runm ccstore_repl100 CcStoreBench 7200 48g SPARK_GRAFT_LABEL_REPL=100
 
-runm core_synth2m_parts8 CorenessBench 3600 48g \
-  SPARK_GRAFT_SYNTH_CLIQUES=250000 SPARK_GRAFT_CORE_PARTS=8
-runm core_synth8m_parts8 CorenessBench 7200 48g \
-  SPARK_GRAFT_SYNTH_CLIQUES=1000000 SPARK_GRAFT_CORE_PARTS=8
-runm core_synth8m        CorenessBench 7200 48g \
-  SPARK_GRAFT_SYNTH_CLIQUES=1000000
+for i in 1 2 3; do
+  runm core_synth8m_2x2_run$i CorenessBench 1800 48g \
+    SPARK_GRAFT_SYNTH_CLIQUES=1000000 SPARK_GRAFT_CORE_PARTS=8 \
+    SPARK_GRAFT_SYNC_COMPARE=1
+done
+for i in 1 2 3; do
+  runm core_tree2m_2x2_run$i CorenessBench 1800 48g \
+    SPARK_GRAFT_SYNTH_TREE=2097151 SPARK_GRAFT_CORE_PARTS=8 \
+    SPARK_GRAFT_SYNC_COMPARE=1
+done
 
 echo "=== r16 sweep done ==="

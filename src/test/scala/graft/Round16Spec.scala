@@ -260,6 +260,79 @@ class Round16Spec extends SparkSpec {
     } finally { rmTree(rootA); rmTree(rootB) }
   }
 
+  test("r15 ADVICE hardening pins: a torn init re-runs instead of " +
+      "serving the partial label table; a re-delivered epoch never " +
+      "re-folds the store; a torn (un-committed) delta epoch is " +
+      "invisible to the store view until its overwrite commits") {
+    import graft.ext.Similarity
+    // (1) torn ccMaintenanceInit: labels/epoch=-1 exists WITHOUT the
+    // _SUCCESS marker (the crash-during-init leftover) — the idempotency
+    // gate must RE-RUN init, not maintain labels on top of a partial
+    // table (r15 ADVICE #1)
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft_r16_torninit").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft_r16_cleaninit").toString
+    try {
+      val docs = graft.sources.Tables.documents(spark, Dir)
+        .filter(col("doc_id") % 5 =!= 0)
+      val torn = s"$rootA/state/gens/labels/epoch=-1"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(torn))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$torn/part-garbage.parquet"), "torn")
+      graft.streaming.Streams.ccMaintenanceInit(docs, s"$rootA/state")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$torn/_SUCCESS")),
+        "init skipped on a torn (marker-less) label table")
+      graft.streaming.Streams.ccMaintenanceInit(docs, s"$rootB/state")
+      def labs(r: String) = graft.streaming.Streams
+        .ccMaintenanceLabels(spark, s"$r/state")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val a = labs(rootA)
+      assert(a.nonEmpty && a == labs(rootB),
+        "re-run init diverged from a clean init")
+    } finally { rmTree(rootA); rmTree(rootB) }
+    // (2) + (3) on the vector store
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r16_redeliver").toString
+    try {
+      val store = s"$root/store"
+      val emb = graft.sources.Tables.embeddings(spark, Dir)
+      val base = Similarity.buildIvfPqIndex(emb, 8, 4)
+      def contents() = Similarity.indexStoreView(spark, store)
+        .select(col("vec_id"), col("pq_code"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      base.repartition(6).write.mode("overwrite")
+        .parquet(s"$store/gens/g=-1")
+      base.filter(col("vec_id") % 2 === 0).repartition(6)
+        .write.mode("overwrite").parquet(s"$store/deltas/epoch=1")
+      assert(Similarity.compactStoreIfNeeded(spark, store, 8L, 2, 1L)
+        .isDefined)
+      val folded = contents()
+      val gens = dirNames(s"$store/gens")
+      // re-delivered epoch (== currentGen) with the view still over a
+      // (doctored) threshold: the guard must SKIP — a second fold at the
+      // same epoch would read gens/g=1 through the view while
+      // overwriting the same path (r15 ADVICE #2)
+      assert(Similarity.compactStoreIfNeeded(spark, store, 0L, 1, 1L)
+        .isEmpty, "a re-delivered epoch re-folded the store")
+      assert(dirNames(s"$store/gens") == gens && contents() == folded)
+      // torn delta: a crashed delta write (no _SUCCESS) must be invisible
+      // to a standalone reader (r15 ADVICE #4)...
+      val d5 = s"$store/deltas/epoch=5"
+      base.filter(col("vec_id") % 2 === 1).limit(7).repartition(1)
+        .write.mode("overwrite").parquet(d5)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$d5/_SUCCESS"))
+      assert(contents() == folded, "a torn delta leaked into the view")
+      // ...and the re-delivered epoch's idempotent overwrite heals it
+      base.filter(col("vec_id") % 2 === 1).limit(7).repartition(1)
+        .write.mode("overwrite").parquet(d5)
+      assert(contents().size == folded.size + 7,
+        "the healed delta did not rejoin the view")
+    } finally rmTree(root)
+  }
+
   test("filteredAnnSearchAuto with precomputed stats == the derived-stats " +
       "call (strategy AND rows), and doctored stats flip the route — the " +
       "cost rule consumes exactly the two integers, so a serving path can " +

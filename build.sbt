@@ -30,13 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // pin the initial heap to the max: with -Xmx alone the heap grows
-  // lazily from ~512 MB, and the first big materialization wave pays the
-  // region commits + growth GCs — measured r16 as the FIRST timed leg of
-  // a multi-leg bench reading 3-5x slower than an identical leg run
-  // later in the same JVM (the r15 "shuffle beats broadcast" coreness
-  // ordering was this artifact, not a join-strategy fact)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // 225 codegen-heavy queries in one JVM overflow JDK 17's default ~240 MB
   // JIT code cache mid-run; the compiler shuts off and every LATER query
   // silently runs deoptimized. Measured on an idle box (round 10): the full
@@ -45,3 +38,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 4.3 s -> 0.96 s) — the direct cause of round 9's "ambient inflation".
   "-XX:ReservedCodeCacheSize=512m",
 )
+// Pin the initial heap to the max on the RUN (bench) JVMs only: with -Xmx
+// alone the heap grows lazily from ~512 MB, and the first big
+// materialization wave pays the region commits + growth GCs — measured r16
+// as the FIRST timed leg of a multi-leg bench reading 3-5x slower than an
+// identical leg run later in the same JVM (the r15 "shuffle beats
+// broadcast" coreness ordering was this artifact, not a join-strategy
+// fact). Scoped to run/ so test JVMs stay on lazy growth: an unscoped -Xms
+// would commit 8 GB per forked test JVM at launch, which can fail outright
+// on a loaded box (r16 ADVICE #3) — tests assert correctness, not timing.
+run / javaOptions += s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

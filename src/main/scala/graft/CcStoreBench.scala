@@ -83,6 +83,10 @@ object CcStoreBench {
     // regeneration inside a timed step.
     val staged = java.nio.file.Files
       .createTempDirectory("graft_ccstore_bench").toString
+    // try/finally so a failed step or a tripped exactness gate still sweeps
+    // the staged corpus (up to 100x salted replicas under /tmp) and stops
+    // the session (r16 ADVICE #4)
+    try {
     val docs =
       if (repl == 1) docs0
       else docs0.crossJoin(spark.range(repl).toDF("r"))
@@ -126,8 +130,10 @@ object CcStoreBench {
     val v2 = epochs.zipWithIndex.map { case (p, e) =>
       val b = spark.read.parquet(p)
       val (s, _) = time(Streams.ccStoreStep(v2Root, 3, 0.5, 0,
-        maxLabelDeltas = Int.MaxValue,
-        maxPostingGens = Int.MaxValue)(b, e.toLong))
+        maxLabelDeltas = Int.MaxValue, maxPostingGens = Int.MaxValue,
+        // row trigger off too: this leg times the PURE delta step; the
+        // fold is timed once, separately, below
+        maxLabelDeltaRows = Long.MaxValue)(b, e.toLong))
       clear()
       val (rows, bytes) = dirStats(s"$v2Root/updates/batch=$e")
       (s, rows, bytes)
@@ -167,7 +173,9 @@ object CcStoreBench {
       s""""v2_update_bytes":${arrL(v2.map(_._3))},""" +
       s""""fold_s":${f(foldS)},"fold_rows":$foldRows,""" +
       s""""fold_bytes":$foldBytes,"sf":"$sfDir"}""")
-    spark.stop()
-    rmTree(staged)
+    } finally {
+      spark.stop()
+      rmTree(staged)
+    }
   }
 }

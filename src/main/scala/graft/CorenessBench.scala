@@ -150,10 +150,11 @@ object CorenessBench {
     // forces EVERY per-round frame (value table AND the delta frontier
     // frames) through keyed shuffles on the same edges. The checksum must
     // match the default path's exactly (Round14Spec pins the 12-edge
-    // fixture; this pins it on every measured graph). Note the default
-    // (ceiling 2M since r16) is a HYBRID above 2M vertices — value table
-    // keyed, frontier frames broadcast — so core_s and core_shuffle_s
-    // genuinely differ there.
+    // fixture; this pins it on every measured graph). The default ceiling
+    // stayed 10M vertices (the r16 2M-hybrid experiment was reverted —
+    // SCALING.md), so at every leg size this file measures, core_s is the
+    // FULL-BROADCAST path and core_shuffle_s the all-shuffle path —
+    // broadcast vs shuffle, not hybrid vs shuffle.
     val (coreShufS, chkShuf) = time {
       val c = Graph.coreness(edges, partitions = coreParts,
         broadcastVertexCeiling = 0L)

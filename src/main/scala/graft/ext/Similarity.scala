@@ -759,67 +759,36 @@ object Similarity {
   // crash-safe the same way the q252 generations are: readers key on the
   // last COMPLETE generation and every write is epoch-keyed.
 
-  private def listEpochDirs(dir: String, prefix: String,
-      requireSuccess: Boolean): Seq[Long] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) Seq.empty
-    else scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
-      import scala.jdk.CollectionConverters._
-      w.iterator().asScala
-        .filter(d => !requireSuccess || java.nio.file.Files
-          .exists(d.resolve("_SUCCESS")))
-        .flatMap(_.getFileName.toString.stripPrefix(prefix).toLongOption)
-        .toSeq
-    }
-  }
+  // the store's (base, delta) pair as the shared generational seam — one
+  // implementation of the _SUCCESS gating, latest-complete-base rule, and
+  // GC for this store, the v1 CC generations, and the v2 CC store
+  // (r16 verdict #2; crash semantics documented once on GenStore)
+  private def genStore(storeRoot: String) = graft.util.GenStore(
+    s"$storeRoot/gens", s"$storeRoot/deltas", "g=", "epoch=")
 
-  private def currentGen(storeRoot: String): Long = {
-    val gens = listEpochDirs(s"$storeRoot/gens", "g=", requireSuccess = true)
-    require(gens.nonEmpty, s"no complete generation under $storeRoot/gens — " +
-      "write the base index as gens/g=-1 before streaming deltas")
-    gens.max
-  }
+  private def currentGen(storeRoot: String): Long =
+    genStore(storeRoot).latestCompleteBase()
 
   /** The store's current contents: the latest complete generation ∪ the
     * delta epochs past its fold point. Lazy — callers compose it into
     * search/probe plans; the delta scan is partition-pruned to
-    * `epoch > fold` at the source.
+    * `epoch > fold` at the source. Delta epochs are _SUCCESS-gated like
+    * generations (r15 ADVICE #4): a crashed delta write leaves a partial
+    * epoch dir, and a STANDALONE reader between the crash and the stream
+    * restart must not serve its partial rows — the restarted stream
+    * re-delivers that epoch and its idempotent overwrite re-marks it, at
+    * which point it re-enters the view complete.
     */
   def indexStoreView(s: org.apache.spark.sql.SparkSession,
-      storeRoot: String): DataFrame = {
-    val g = currentGen(storeRoot)
-    val gen = s.read.parquet(s"$storeRoot/gens/g=$g")
-    // delta epochs are _SUCCESS-gated like generations (r15 ADVICE #4): a
-    // crashed delta write leaves a partial epoch dir, and a STANDALONE
-    // reader between the crash and the stream restart must not serve its
-    // partial rows. The restarted stream re-delivers that epoch and its
-    // idempotent overwrite re-marks it, at which point it re-enters the
-    // view complete.
-    val live = listEpochDirs(s"$storeRoot/deltas", "epoch=",
-      requireSuccess = true).filter(_ > g)
-    if (live.isEmpty) gen
-    else gen.unionByName(s.read.parquet(s"$storeRoot/deltas")
-      .filter(col("epoch").isin(live: _*)).drop("epoch"))
-  }
+      storeRoot: String): DataFrame = genStore(storeRoot).unionView(s)
 
   /** Data-file count of the CURRENT VIEW (not the whole root — folded
     * deltas and superseded generations are out of the read path and must
     * not retrigger compaction). Driver-side walk; generation counts are
     * policy-bounded.
     */
-  def storeViewFileCount(storeRoot: String): Long = {
-    val g = currentGen(storeRoot)
-    def files(dir: String): Long = {
-      val p = java.nio.file.Paths.get(dir)
-      if (!java.nio.file.Files.exists(p)) 0L
-      else scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
-        w.filter(_.getFileName.toString.endsWith(".parquet")).count()
-      }
-    }
-    files(s"$storeRoot/gens/g=$g") +
-      listEpochDirs(s"$storeRoot/deltas", "epoch=", requireSuccess = true)
-        .filter(_ > g).map(e => files(s"$storeRoot/deltas/epoch=$e")).sum
-  }
+  def storeViewFileCount(storeRoot: String): Long =
+    genStore(storeRoot).viewFileCount
 
   /** The policy: fold the view into generation `epoch` when its file
     * count exceeds `maxFiles`. Returns (filesBefore, filesAfter) when it
@@ -853,38 +822,24 @@ object Similarity {
     }
   }
 
-  /** Store GC — the lifecycle step that keeps the layout bounded: delete
-    * every generation superseded by the current one and every delta at or
-    * below its fold point (they left the read path when the fold
-    * committed; [[indexStoreView]] never reads them). Runs AFTER a fold,
-    * never concurrently with one — the deployment cadence knob. Returns
-    * the number of directories removed. Crash-safe against its own
-    * interruption for the same reason the fold is: a half-deleted
-    * superseded dir was already out of the view.
+  /** Store GC — [[graft.util.GenStore.gc]]: delete every generation
+    * superseded by the retained ones, CRASHED generation stubs
+    * (_SUCCESS-less at ANY epoch — under the run-after-a-fold contract no
+    * fold is in flight, so an incomplete dir is a crash leftover), and
+    * every delta at or below the oldest retained generation (they left
+    * the read path when the fold committed; [[indexStoreView]] never
+    * reads them). Runs AFTER a fold, never concurrently with one — the
+    * deployment cadence knob. `retainBases` is the snapshot-isolation
+    * knob (r16 verdict #4): 1 (default) keeps only the current
+    * generation — the original layout; a deployment with standalone
+    * serving readers sets 2+ so a view resolved just before a fold+GC
+    * still reads its generation. Returns the number of directories
+    * removed. Crash-safe against its own interruption for the same
+    * reason the fold is: a half-deleted superseded dir was already out
+    * of the view.
     */
-  def gcStore(storeRoot: String): Int = {
-    val g = currentGen(storeRoot)
-    def rm(dir: String): Unit = {
-      val p = java.nio.file.Paths.get(dir)
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      }
-    }
-    // garbage = superseded generations (< current), CRASHED generation
-    // stubs (_SUCCESS-less at ANY epoch — under the run-after-a-fold
-    // contract no fold is in flight, so an incomplete dir is a crash
-    // leftover), and folded deltas (≤ the current fold point)
-    val complete = listEpochDirs(s"$storeRoot/gens", "g=",
-      requireSuccess = true).toSet
-    val oldGens = listEpochDirs(s"$storeRoot/gens", "g=",
-      requireSuccess = false).filter(e => e < g || !complete(e))
-    val foldedDeltas = listEpochDirs(s"$storeRoot/deltas", "epoch=",
-      requireSuccess = false).filter(_ <= g)
-    oldGens.foreach(e => rm(s"$storeRoot/gens/g=$e"))
-    foldedDeltas.foreach(e => rm(s"$storeRoot/deltas/epoch=$e"))
-    oldGens.size + foldedDeltas.size
-  }
+  def gcStore(storeRoot: String, retainBases: Int = 1): Int =
+    genStore(storeRoot).gc(retainBases)
 
   /** [[buildIvfPqIndex]] with the two-level (coarse-quantized) assignment —
     * the composition the autoscale law needs: with cells ∝ n (constant

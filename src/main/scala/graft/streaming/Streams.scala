@@ -635,27 +635,17 @@ object Streams {
   }
 
   /** Largest COMPLETE (_SUCCESS-marked) generation strictly below `bound`
-    * (driver-side dir listing — generation counts are compaction-bounded,
-    * never corpus-sized). Generation -1 (init) always exists once the
-    * state is built. The marker gate means a torn write — a crash between
-    * directory creation and commit — is invisible: under the in-order
-    * file-source contract the only torn generation can be the epoch being
-    * retried, and the retry reads the previous complete generation,
-    * exactly what an un-crashed first attempt would have read.
+    * — the [[graft.util.GenStore]] base-resolution rule (the v1 label
+    * table is a pure-generation store: full generations, no deltas). The
+    * marker gate means a torn write — a crash between directory creation
+    * and commit — is invisible: under the in-order file-source contract
+    * the only torn generation can be the epoch being retried, and the
+    * retry reads the previous complete generation, exactly what an
+    * un-crashed first attempt would have read.
     */
-  private def latestGenBelow(dir: String, bound: Long): Long = {
-    val p = java.nio.file.Paths.get(dir)
-    val gens = scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
-      import scala.jdk.CollectionConverters._
-      w.iterator().asScala
-        .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
-        .flatMap(_.getFileName.toString.stripPrefix("epoch=").toLongOption)
-        .filter(_ < bound).toSeq
-    }
-    require(gens.nonEmpty, s"no complete generation below $bound under " +
-      s"$dir — ccMaintenanceInit must run before the stream starts")
-    gens.max
-  }
+  private def latestGenBelow(dir: String, bound: Long): Long =
+    graft.util.GenStore(dir, dir, "epoch=", "epoch=")
+      .latestCompleteBase(bound)
 
   /** One maintenance epoch against the DISK state — the foreachBatch body.
     * Reads postings/sizes generations `epoch < E` (partition-pruned at the
@@ -761,35 +751,23 @@ object Streams {
   // GC safe mid-stream: only state no future (re-)delivery can read is
   // deleted.
 
-  private def latestCompleteBase(dir: String, bound: Long): Long = {
-    val p = java.nio.file.Paths.get(dir)
-    require(java.nio.file.Files.exists(p),
-      s"$dir missing — ccStoreInit must run before the stream starts")
-    val gens = scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
-      import scala.jdk.CollectionConverters._
-      w.iterator().asScala
-        .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
-        .flatMap(_.getFileName.toString.stripPrefix("g=").toLongOption)
-        .filter(_ < bound).toSeq
-    }
-    require(gens.nonEmpty, s"no complete base below $bound under $dir — " +
-      "ccStoreInit must run before the stream starts")
-    gens.max
-  }
+  // The three (base, delta) pairs of the v2 layout, each a
+  // [[graft.util.GenStore]] — the shared seam carries the _SUCCESS
+  // gating, the latest-complete-base rule, the fold-lag reasoning, and GC.
+  private def ccLabelStore(stateRoot: String) = graft.util.GenStore(
+    s"$stateRoot/gens/label_base", s"$stateRoot/updates", "g=", "batch=")
+  private def ccPostingStore(stateRoot: String) = graft.util.GenStore(
+    s"$stateRoot/gens/posting_base", s"$stateRoot/gens/postings")
+  private def ccSizeStore(stateRoot: String) = graft.util.GenStore(
+    s"$stateRoot/gens/size_base", s"$stateRoot/gens/sizes")
 
-  /** Complete (_SUCCESS-marked) delta epochs of `dir` in (lo, hi). */
-  private def completeDeltaEpochs(dir: String, prefix: String, lo: Long,
-      hi: Long): Seq[Long] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) Seq.empty
-    else scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
-      import scala.jdk.CollectionConverters._
-      w.iterator().asScala
-        .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
-        .flatMap(_.getFileName.toString.stripPrefix(prefix).toLongOption)
-        .filter(e => e > lo && e < hi).toSeq.sorted
-    }
-  }
+  /** Broadcast cap for the merge-on-read label probe, in ROWS: an explicit
+    * broadcast() bypasses Spark's size safety, and a HashedRelation of
+    * (long, long) rows costs ~48 bytes each resident on the driver AND
+    * every executor — cap the relation at 32 MB (~700k ids), the
+    * round-5 guardedBroadcast rationale.
+    */
+  private[graft] val CcLabelBroadcastMaxRows: Long = 32L * 1024 * 1024 / 48
 
   /** Initialize the v2 store: postings/sizes/labels each land as base
     * generation −1 (labels rebuilt from the WRITTEN postings — the q240
@@ -824,55 +802,55 @@ object Streams {
     * reconciliation needed.
     */
   def ccStorePostingsView(s: SparkSession, stateRoot: String,
-      bound: Long): DataFrame = {
-    val g = latestCompleteBase(s"$stateRoot/gens/posting_base", bound)
-    val base = s.read.parquet(s"$stateRoot/gens/posting_base/g=$g")
-    val live = completeDeltaEpochs(s"$stateRoot/gens/postings", "epoch=",
-      g, bound)
-    if (live.isEmpty) base
-    else base.unionByName(s.read.parquet(s"$stateRoot/gens/postings")
-      .filter(col("epoch").isin(live: _*)).drop("epoch"))
-  }
+      bound: Long): DataFrame = ccPostingStore(stateRoot).unionView(s, bound)
 
   /** Posting-size state visible to epoch `bound` — same shape as
     * [[ccStorePostingsView]], flat layout.
     */
   def ccStoreSizesView(s: SparkSession, stateRoot: String,
-      bound: Long): DataFrame = {
-    val g = latestCompleteBase(s"$stateRoot/gens/size_base", bound)
-    val base = s.read.parquet(s"$stateRoot/gens/size_base/g=$g")
-    val live = completeDeltaEpochs(s"$stateRoot/gens/sizes", "epoch=",
-      g, bound)
-    if (live.isEmpty) base
-    else base.unionByName(s.read.parquet(s"$stateRoot/gens/sizes")
-      .filter(col("epoch").isin(live: _*)).drop("epoch"))
-  }
+      bound: Long): DataFrame = ccSizeStore(stateRoot).unionView(s, bound)
 
   /** Label state visible to epoch `bound`, MERGE-ON-READ: latest complete
     * base ∪ update deltas past its fold point, latest-epoch-wins per id —
     * provably the sequential [[graft.ext.Dedup.applyCcLabelUpdates]]
     * fold, because that fold's final label for an id is its row in the
     * largest epoch whose update set touched it (each apply = anti-join ∪
-    * union). The delta union is fold-threshold-bounded and delta-sized,
-    * so its ids BROADCAST into the base anti-join — the corpus-sized base
-    * streams map-side, nothing corpus-sized shuffles, and the per-epoch
-    * label write this view replaces is gone entirely.
+    * union). The delta union is fold-threshold-bounded, so in the common
+    * regime its ids BROADCAST into the base anti-join — the corpus-sized
+    * base streams map-side, nothing corpus-sized shuffles, and the
+    * per-epoch label write this view replaces is gone entirely. The hint
+    * is COUNT-GUARDED (r16 verdict #1): "delta-sized" is an EPOCH bound,
+    * not a row bound — a single epoch that bridges two large components
+    * rewrites every label of the losing side
+    * ([[graft.ext.Dedup.incrementalCcLabelUpdates]]), component-sized on
+    * a template-farm megacomponent. The guard sums the `_rows` sidecars
+    * of the live update deltas (driver-side file reads — no job; an
+    * upper bound on the latest-wins set) and drops the hint past
+    * [[CcLabelBroadcastMaxRows]], letting the planner fall back to a
+    * shuffle join: correct-but-slower for the one view a merge storm is
+    * live in, instead of a driver OOM — and the row-based fold trigger
+    * ([[ccStoreFoldIfNeeded]]) materializes the storm into a base at the
+    * very next step, so the shuffle regime lasts one epoch.
     */
   def ccStoreLabelsView(s: SparkSession, stateRoot: String,
       bound: Long): DataFrame = {
-    val g = latestCompleteBase(s"$stateRoot/gens/label_base", bound)
-    val base = s.read.parquet(s"$stateRoot/gens/label_base/g=$g")
-    val live = completeDeltaEpochs(s"$stateRoot/updates", "batch=", g, bound)
+    val st = ccLabelStore(stateRoot)
+    val g = st.latestCompleteBase(bound)
+    val base = s.read.parquet(st.basePath(g))
+    val live = st.completeDeltaEpochs(g, bound)
     if (live.isEmpty) base
     else {
-      val deltas = s.read.parquet(s"$stateRoot/updates")
+      val deltas = s.read.parquet(st.deltaDir)
         .filter(col("batch").isin(live: _*))
       val latest = deltas
         .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
           .Window.partitionBy("id").orderBy(col("batch").desc)))
         .filter(col("rn") === 1).select("id", "label")
-      base.join(broadcast(latest.select("id")), Seq("id"), "left_anti")
-        .unionByName(latest)
+      val updRows = live.map(e => st.deltaRows(s, e)).sum
+      val ids = latest.select("id")
+      val probe =
+        if (updRows <= CcLabelBroadcastMaxRows) broadcast(ids) else ids
+      base.join(probe, Seq("id"), "left_anti").unionByName(latest)
     }
   }
 
@@ -880,41 +858,56 @@ object Streams {
   def ccStoreLabels(s: SparkSession, stateRoot: String): DataFrame =
     ccStoreLabelsView(s, stateRoot, Long.MaxValue)
 
-  /** Threshold fold: when more than `maxDeltas` unfolded delta epochs sit
-    * past a store's fold point, materialize its view at `bound = epoch`
-    * into base g = epoch−1 (covering epochs <= epoch−1 ONLY — see the
-    * recovery rule above). Skipped when a complete base at or past the
-    * fold point exists (the re-delivered-epoch guard). Returns the stores
-    * folded this call, for the caller's logs/specs.
+  /** Threshold fold: when more than `maxDeltas` unfolded delta epochs —
+    * or, for labels, more than `maxLabelDeltaRows` unfolded delta ROWS —
+    * sit past a store's fold point, materialize its view at
+    * `bound = epoch` into base g = epoch−1 (covering epochs <= epoch−1
+    * ONLY — see the recovery rule above). The row trigger is the merge-
+    * storm valve (r16 verdict #1): an epoch-count bound never notices one
+    * component-sized update delta, so the fold ALSO fires when the `_rows`
+    * sidecar sum crosses the threshold — at the step after a storm the
+    * huge delta folds into a base and the label view returns to the
+    * broadcast regime. Defaulting the row cap to
+    * [[CcLabelBroadcastMaxRows]] aligns the two policies: the view only
+    * ever shuffles for the single epoch a storm is live in. Pass
+    * `Long.MaxValue` to disable the row trigger (bench comparators that
+    * time the fold separately). Skipped when a complete base at or past
+    * the fold point exists (the re-delivered-epoch guard). Returns the
+    * stores folded this call, for the caller's logs/specs.
     */
   def ccStoreFoldIfNeeded(s: SparkSession, stateRoot: String, epoch: Long,
-      nBuckets: Int, maxLabelDeltas: Int,
-      maxPostingGens: Int): Seq[String] = {
+      nBuckets: Int, maxLabelDeltas: Int, maxPostingGens: Int,
+      maxLabelDeltaRows: Long = CcLabelBroadcastMaxRows): Seq[String] = {
     val foldPoint = epoch - 1
     val folded = scala.collection.mutable.ArrayBuffer.empty[String]
-    def due(baseDir: String, deltaDir: String, prefix: String,
-        maxDeltas: Int): Boolean = {
-      val g = latestCompleteBase(s"$stateRoot/$baseDir", Long.MaxValue)
-      g < foldPoint && completeDeltaEpochs(s"$stateRoot/$deltaDir", prefix,
-        g, epoch).size > maxDeltas
+    // the unfolded delta epochs of a store, None when its base already
+    // reached the fold point (the re-delivered-epoch guard)
+    def unfolded(st: graft.util.GenStore): Option[Seq[Long]] = {
+      val g = st.latestCompleteBase()
+      if (g >= foldPoint) None else Some(st.completeDeltaEpochs(g, epoch))
     }
-    if (due("gens/label_base", "updates", "batch=", maxLabelDeltas)) {
+    val lab = ccLabelStore(stateRoot)
+    val labDue = unfolded(lab).exists(es => es.size > maxLabelDeltas ||
+      es.map(e => lab.deltaRows(s, e)).sum > maxLabelDeltaRows)
+    if (labDue) {
       ccStoreLabelsView(s, stateRoot, epoch).write.mode("overwrite")
-        .parquet(s"$stateRoot/gens/label_base/g=$foldPoint")
+        .parquet(lab.basePath(foldPoint))
       folded += "labels"
     }
-    if (due("gens/posting_base", "gens/postings", "epoch=", maxPostingGens)) {
+    val post = ccPostingStore(stateRoot)
+    if (unfolded(post).exists(_.size > maxPostingGens)) {
       val v = ccStorePostingsView(s, stateRoot, epoch)
       if (nBuckets <= 0) v.write.mode("overwrite")
-        .parquet(s"$stateRoot/gens/posting_base/g=$foldPoint")
+        .parquet(post.basePath(foldPoint))
       else v.repartition(col("bucket")).write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(s"$stateRoot/gens/posting_base/g=$foldPoint")
+        .parquet(post.basePath(foldPoint))
       folded += "postings"
     }
-    if (due("gens/size_base", "gens/sizes", "epoch=", maxPostingGens)) {
+    val siz = ccSizeStore(stateRoot)
+    if (unfolded(siz).exists(_.size > maxPostingGens)) {
       ccStoreSizesView(s, stateRoot, epoch).write.mode("overwrite")
-        .parquet(s"$stateRoot/gens/size_base/g=$foldPoint")
+        .parquet(siz.basePath(foldPoint))
       folded += "sizes"
     }
     folded.toSeq
@@ -942,7 +935,8 @@ object Streams {
       nBuckets: Int = 0, maxLabelDeltas: Int = 4, maxPostingGens: Int = 4,
       gcAfterFold: Boolean = false,
       killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)] =
-        None)(batch: DataFrame, epoch: Long): Unit = {
+        None, maxLabelDeltaRows: Long = CcLabelBroadcastMaxRows)(
+      batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
     val sc = s.sparkContext
     import graft.ext.Dedup
@@ -965,6 +959,13 @@ object Streams {
       b.select(col("doc_id").as("id")))
     updates.write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
     CheckpointGen.release(sc, pairPins ++ CheckpointGen.pinnedIds(updates))
+    // `_rows` sidecar: the delta's row count, read back footer-cheap from
+    // the WRITTEN parquet — the broadcast guard and the row-based fold
+    // trigger consume it driver-side with no further jobs. Written after
+    // the parquet commit; a crash in between leaves a complete delta
+    // whose readers heal by counting once (GenStore.deltaRows).
+    ccLabelStore(stateRoot).writeDeltaRowsSidecar(epoch,
+      s.read.parquet(s"$stateRoot/updates/batch=$epoch").count())
     killOnceAt.foreach { case (at, armed) =>
       if (epoch == at && armed.compareAndSet(true, false)) {
         CheckpointGen.release(sc, bPins ++ bpPins)
@@ -978,52 +979,24 @@ object Streams {
       .parquet(s"$stateRoot/gens/sizes/epoch=$epoch")
     CheckpointGen.release(sc, bPins ++ bpPins)
     val folded = ccStoreFoldIfNeeded(s, stateRoot, epoch, nBuckets,
-      maxLabelDeltas, maxPostingGens)
+      maxLabelDeltas, maxPostingGens, maxLabelDeltaRows)
     if (gcAfterFold && folded.nonEmpty) { ccStoreGc(stateRoot); () }
   }
 
-  /** v2 store GC — deletes exactly what left every read path: superseded
-    * bases (g < each store's current complete base), _SUCCESS-less base
-    * stubs (crash leftovers — no fold is in flight under the
-    * run-from-the-step contract), and deltas at or below each store's
-    * fold point (no future (re-)delivery can read them — the fold-lag
-    * rule). Returns directories removed.
+  /** v2 store GC — [[graft.util.GenStore.gc]] over the three (base,
+    * delta) pairs: deletes superseded bases, _SUCCESS-less base stubs
+    * (crash leftovers — no fold is in flight under the run-from-the-step
+    * contract), and deltas at or below the oldest RETAINED base (no
+    * future (re-)delivery can read them — the fold-lag rule).
+    * `retainBases` is the snapshot-isolation knob (r16 verdict #4): the
+    * default 1 keeps only each store's current base (the original
+    * layout); a deployment with STANDALONE serving readers — a process
+    * that resolved [[ccStoreLabelsView]] just before a gcAfterFold sweep
+    * — sets 2+, so the base its plan holds survives the sweep and its
+    * view stays consistent. Returns directories removed.
     */
-  def ccStoreGc(stateRoot: String): Int = {
-    def rm(dir: String): Unit = {
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p))
-        scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
-          w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        }
-    }
-    def listAll(dir: String, prefix: String): Seq[Long] = {
-      val p = java.nio.file.Paths.get(dir)
-      if (!java.nio.file.Files.exists(p)) Seq.empty
-      else scala.util.Using.resource(java.nio.file.Files.list(p)) { w =>
-        import scala.jdk.CollectionConverters._
-        w.iterator().asScala
-          .flatMap(_.getFileName.toString.stripPrefix(prefix).toLongOption)
-          .toSeq
-      }
-    }
-    var removed = 0
-    def sweep(baseDir: String, deltaDir: String, prefix: String): Unit = {
-      val g = latestCompleteBase(s"$stateRoot/$baseDir", Long.MaxValue)
-      val complete = completeDeltaEpochs(s"$stateRoot/$baseDir", "g=",
-        Long.MinValue, Long.MaxValue).toSet
-      listAll(s"$stateRoot/$baseDir", "g=")
-        .filter(e => e < g || !complete(e)).foreach { e =>
-          rm(s"$stateRoot/$baseDir/g=$e"); removed += 1
-        }
-      listAll(s"$stateRoot/$deltaDir", prefix).filter(_ <= g).foreach { e =>
-        rm(s"$stateRoot/$deltaDir/$prefix$e"); removed += 1
-      }
-    }
-    sweep("gens/label_base", "updates", "batch=")
-    sweep("gens/posting_base", "gens/postings", "epoch=")
-    sweep("gens/size_base", "gens/sizes", "epoch=")
-    removed
-  }
+  def ccStoreGc(stateRoot: String, retainBases: Int = 1): Int =
+    ccLabelStore(stateRoot).gc(retainBases) +
+      ccPostingStore(stateRoot).gc(retainBases) +
+      ccSizeStore(stateRoot).gc(retainBases)
 }

@@ -3,8 +3,10 @@
 # numbers after the code landed:
 #   core_*       — delta-scheduled coreness (Graph.coreness, r15 verdict
 #                  #4): SPARK_GRAFT_SYNC_COMPARE=1 makes every leg a full
-#                  schedule × join-path 2×2 (core_s = the new hybrid
-#                  default / core_shuffle_s = all-shuffle /
+#                  schedule × join-path 2×2 (core_s = the default, which
+#                  stayed broadcastVertexCeiling=10M — full-broadcast at
+#                  these leg sizes, the 2M-hybrid experiment was reverted
+#                  / core_shuffle_s = all-shuffle /
 #                  core_sync_s = the r15 default config, reproducing its
 #                  rows / core_sync_shuffle_s), all checksum-equal
 #                  in-run. TWO graph shapes: the ring of 8-cliques (8M

@@ -116,11 +116,23 @@ object CcStoreBench {
     val (initV2S, _) = time(Streams.ccStoreInit(corpus, v2Root))
     clear()
 
+    // per-epoch LABEL-WRITE wall, timed in isolation (r16 verdict #6):
+    // step wall at these corpus sizes is dominated by the probe/shingle
+    // floor BOTH loops pay (~4-5 s, and the label table itself is
+    // dup-cluster-bounded, not corpus-sized), so the v1-vs-v2 write cost
+    // never surfaces in v1_step_s/v2_step_s. The onLabelWrite hooks time
+    // exactly the diverging path: v1 = the full-table label rewrite
+    // (compute applyCcLabelUpdates + write the complete generation — the
+    // write v2 eliminates); v2 = the delta write (update set + _rows
+    // sidecar — the only per-epoch label write it performs).
+    val v1LabelWriteS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val v2LabelWriteS = scala.collection.mutable.ArrayBuffer.empty[Double]
     // v1: full label generation per epoch
     val v1 = epochs.zipWithIndex.map { case (p, e) =>
       val b = spark.read.parquet(p)
       val (s, _) = time(
-        Streams.ccMaintenanceDiskStep(v1Root, 3, 0.5)(b, e.toLong))
+        Streams.ccMaintenanceDiskStep(v1Root, 3, 0.5,
+          onLabelWrite = t => { v1LabelWriteS += t; () })(b, e.toLong))
       clear()
       val (rows, bytes) = dirStats(s"$v1Root/gens/labels/epoch=$e")
       (s, rows, bytes)
@@ -133,7 +145,8 @@ object CcStoreBench {
         maxLabelDeltas = Int.MaxValue, maxPostingGens = Int.MaxValue,
         // row trigger off too: this leg times the PURE delta step; the
         // fold is timed once, separately, below
-        maxLabelDeltaRows = Long.MaxValue)(b, e.toLong))
+        maxLabelDeltaRows = Long.MaxValue,
+        onLabelWrite = t => { v2LabelWriteS += t; () })(b, e.toLong))
       clear()
       val (rows, bytes) = dirStats(s"$v2Root/updates/batch=$e")
       (s, rows, bytes)
@@ -166,9 +179,11 @@ object CcStoreBench {
       s""""label_rows":${c1._1},"chk":${c1._2},""" +
       s""""init_v1_s":${f(initV1S)},"init_v2_s":${f(initV2S)},""" +
       s""""v1_step_s":${arrD(v1.map(_._1))},""" +
+      s""""v1_labelwrite_s":${arrD(v1LabelWriteS.toSeq)},""" +
       s""""v1_label_rows":${arrL(v1.map(_._2))},""" +
       s""""v1_label_bytes":${arrL(v1.map(_._3))},""" +
       s""""v2_step_s":${arrD(v2.map(_._1))},""" +
+      s""""v2_labelwrite_s":${arrD(v2LabelWriteS.toSeq)},""" +
       s""""v2_update_rows":${arrL(v2.map(_._2))},""" +
       s""""v2_update_bytes":${arrL(v2.map(_._3))},""" +
       s""""fold_s":${f(foldS)},"fold_rows":$foldRows,""" +

@@ -185,6 +185,34 @@ object Graph {
     * drop 9 -> 7, no neighbor's h is undercut, frontier = ∅) instead of
     * re-ranking 29M edges per round.
     *
+    * FRONTIER-LOCAL ROUNDS (r16 verdict #3 — the per-round fixed-cost
+    * floor): the r16 shape paid two |V|-row broadcast builds PLUS a
+    * second full edge scan every delta round regardless of frontier
+    * size — on the 2M-vertex tree the delta schedule did 16.8× less
+    * work than sync yet measured SLOWER, because the floor, not the
+    * work, dominated. Once the frontier is small (its exact incident
+    * edge count — Σ deg over the frontier, computed as a free aggregate
+    * over the checkpointed frontier since the value table carries each
+    * vertex's initial degree) the round flips data flow to
+    * frontier-local:
+    *   - `touched` (the frontier's incident edges) is materialized once
+    *     and BROADCAST into a stream-scan of the |V|-row value table —
+    *     the value table is never collected to the driver again;
+    *   - the frontier pass reuses `touched` instead of re-scanning the
+    *     edge table: the doubled edge list is symmetric, so edges
+    *     INTO the changed set are exactly the mirror of `touched` rows
+    *     whose v changed (changed ⊆ active) — `touched ⋈
+    *     broadcast(changed)`, min(cnew) per candidate map-side, then one
+    *     broadcast-filtered scan of the merged value table; no distinct
+    *     shuffle (value-table ids are unique).
+    * Per round that leaves ONE full edge scan and ~three |V|-row
+    * stream scans, all broadcast-probe joins of frontier-sized frames —
+    * no |V|-sized driver builds. Rounds whose frontier is still wide
+    * (incident edges ≥ |V|, or past `broadcastVertexCeiling`) keep the
+    * classic wide shape. Join strategy only — the iterates, per-round
+    * eval counts, and convergence depth are unchanged (Round16Spec pins
+    * them; Round14Spec pins ceiling-0 path equivalence).
+    *
     * Termination: starting from degree the iteration is pointwise
     * monotone non-increasing (h-index ≤ neighbor count = degree; the
     * h-index operator is monotone in its inputs, so decrease propagates
@@ -283,9 +311,14 @@ object Graph {
         .localCheckpoint(true))
       val bothIds = graft.util.CheckpointGen.pinnedIds(both)
       release(pairs0Ids)
+      // the value table carries each vertex's INITIAL degree alongside its
+      // current value for the whole loop: deg is what makes the frontier's
+      // exact incident-edge count (Σ deg over the frontier) a free
+      // aggregate over the already-checkpointed frontier — the quantity
+      // that decides each round's join direction (see scaladoc).
       var c = timed("setup: degrees")(
         both.groupBy("v").agg(count(lit(1)).as("c"))
-          .select(col("v").as("id"), col("c"))
+          .select(col("v").as("id"), col("c"), col("c").as("deg"))
           .localCheckpoint(true))
       var cIds = graft.util.CheckpointGen.pinnedIds(c)
       val nVerts = c.count()
@@ -305,6 +338,10 @@ object Graph {
       var active: Option[DataFrame] = None // None = all vertices (round 1)
       var activeIds = Set.empty[Int]
       var nActive = nVerts
+      // exact incident-edge count of the current frontier (Σ deg), the
+      // quantity that decides this round's join direction; MaxValue while
+      // the frontier is "all vertices" (round 1 / sync rounds)
+      var nIncident = Long.MaxValue
       var rounds = 0
       val byV = org.apache.spark.sql.expressions.Window
         .partitionBy("v").orderBy(col("cu").desc)
@@ -312,14 +349,25 @@ object Graph {
         require(rounds < maxRounds,
           s"coreness did not converge within $maxRounds h-index rounds")
         onRoundStats(rounds, nActive)
-        val touched = active match {
-          case None => both
+        // FRONTIER-LOCAL round (see scaladoc): once the frontier's
+        // incident edges fit the broadcast ceiling and undercut |V|, the
+        // touched edges are materialized once and broadcast into
+        // stream-scans of the value table — no |V|-row driver builds.
+        val frontierLocal = deltaSchedule && active.isDefined &&
+          nIncident <= broadcastVertexCeiling && nIncident < nVerts
+        val (touched, touchedIds) = active match {
+          case None => (both, Set.empty[Int])
           case Some(a) =>
             val aSide =
               if (nActive <= broadcastVertexCeiling) broadcast(a) else a
-            both.join(aSide, Seq("v"), "left_semi")
+            val t = both.join(aSide, Seq("v"), "left_semi")
+            if (!frontierLocal) (t, Set.empty[Int])
+            else {
+              val tm = timed(s"round $rounds: touched")(
+                t.select(col("v"), col("u")).localCheckpoint(true))
+              (tm, graft.util.CheckpointGen.pinnedIds(tm))
+            }
         }
-        val cSide = if (nVerts <= broadcastVertexCeiling) broadcast(c) else c
         // h-index over DISTINCT neighbor values: h = max_d min(d, N>=d)
         // for d ranging over the distinct values (exact — see scaladoc).
         // The groupBy(v, cu) partial-aggregates map-side, so the shuffle
@@ -327,8 +375,19 @@ object Graph {
         // clustered graph a few per vertex — instead of one row PER EDGE
         // (the former row_number formulation sorted all 2|E| rows every
         // round; on the 29M-edge ring-of-cliques that sort was the whole
-        // cost).
-        val evald = touched.join(cSide, touched("u") === cSide("id"))
+        // cost). Join direction by round shape: wide rounds broadcast the
+        // value table into the edge scan (ceiling-guarded);
+        // frontier-local rounds broadcast the touched edges and STREAM
+        // the value table.
+        val neighborVals =
+          if (frontierLocal)
+            c.join(broadcast(touched), c("id") === touched("u"))
+          else {
+            val cSide =
+              if (nVerts <= broadcastVertexCeiling) broadcast(c) else c
+            touched.join(cSide, touched("u") === cSide("id"))
+          }
+        val evald = neighborVals
           .select(col("v"), col("c").as("cu"))
           .groupBy("v", "cu").agg(count(lit(1)).as("cnt"))
           .withColumn("cum", sum(col("cnt")).over(byV
@@ -346,64 +405,85 @@ object Graph {
         val merged = timed(s"round $rounds: eval+merge") {
           c.join(eSide, c("id") === eSide("v"), "left")
           .select(col("id"), coalesce(col("h"), col("c")).as("c"),
+            col("deg"),
             (col("h").isNotNull && col("h") =!= col("c")).as("chg"))
           .localCheckpoint(true)
         }
         val mergedIds = graft.util.CheckpointGen.pinnedIds(merged)
-        val nChanged = timed(s"round $rounds: count changed")(
-          merged.filter(col("chg")).count())
-        if (nChanged == 0) {
-          release(activeIds); active = None; activeIds = Set.empty
-          nActive = 0
-        } else if (!deltaSchedule) {
-          // synchronous schedule: something moved, so re-evaluate ALL
-          // vertices next round (active stays None = full width); the
-          // frontier machinery below never runs
-          nActive = nVerts
+        if (!deltaSchedule) {
+          // synchronous schedule: terminate on a no-change round, else
+          // re-evaluate ALL vertices next round (active stays None = full
+          // width); the frontier machinery below never runs
+          val nChanged = timed(s"round $rounds: count changed")(
+            merged.filter(col("chg")).count())
+          nActive = if (nChanged == 0) 0 else nVerts
         } else {
           // VALUE-AWARE frontier: a changed neighbor whose NEW value is
           // still >= h_v cannot move v — for every d <= h_v both the old
           // and the new value count toward N_{>=d}, so N_{>=h_v} is
           // untouched and h_v stays attainable (values only decrease, so
           // h cannot rise). Hence v re-evaluates ONLY if SOME changed
-          // neighbor's new value undercuts its current h.
-          // EXISTS form, not a min-per-candidate table (the r16 rewrite):
-          // the first cut of this frontier grouped both⋈changed by v into
-          // a min(cnew) table and joined it back — materializing and
-          // counting a near-corpus-sized frame every round, which the
-          // 2×2 sweep measured at MORE than the full eval round it
-          // saves. This form attaches v's current value to the
-          // (v, cnew) pairs map-side (merged broadcasts under the
-          // ceiling), filters BEFORE any shuffle, and only the SURVIVORS
-          // — the true next frontier, empty on a converged graph —
-          // reach the distinct + checkpoint. On the ring-of-cliques the
-          // whole frontier pass is one map-side scan of the edge table
-          // that emits nothing.
+          // neighbor's new value undercuts its current h. Termination is
+          // frontier-empty (implied by nothing-changed) — no separate
+          // changed-count action.
           val changed = merged.filter(col("chg"))
-            .select(col("id").as("u"), col("c").as("cnew"))
-          val chSide =
-            if (nChanged <= broadcastVertexCeiling) broadcast(changed)
-            else changed
-          val cNow = merged.select(col("id").as("cid"), col("c").as("cv"))
-          val cvSide =
-            if (nVerts <= broadcastVertexCeiling) broadcast(cNow) else cNow
+            .select(col("id").as("chid"), col("c").as("cnew"))
           val nextActive = timed(s"round $rounds: frontier")(
-            both.join(chSide, Seq("u"))
-              .join(cvSide, col("v") === col("cid"))
-              .filter(col("cnew") < col("cv"))
-              .select(col("v")).distinct()
-              .localCheckpoint(true))
+            if (frontierLocal) {
+              // reuse the materialized touched edges: both is symmetric
+              // and changed ⊆ active, so edges INTO the changed set are
+              // the mirror of touched rows whose v changed. min(cnew)
+              // per candidate partial-aggregates map-side
+              // (candidate-sized shuffle), then ONE broadcast-filtered
+              // scan of merged; merged ids are unique, so no distinct.
+              val candMin = touched
+                .join(broadcast(changed), touched("v") === col("chid"))
+                .groupBy(touched("u").as("cand"))
+                .agg(min(col("cnew")).as("cmin"))
+              merged.join(broadcast(candMin), col("id") === col("cand"))
+                .filter(col("cmin") < col("c"))
+                .select(col("id").as("v"), col("deg"))
+                .localCheckpoint(true)
+            } else {
+              // wide-frontier shape: scan the edge table against the
+              // changed set and attach v's current value broadcast-side;
+              // only the survivors reach the distinct + checkpoint.
+              val chSide =
+                if (nActive <= broadcastVertexCeiling) broadcast(changed)
+                else changed
+              val cNow = merged.select(col("id").as("cid"),
+                col("c").as("cv"), col("deg"))
+              val cvSide =
+                if (nVerts <= broadcastVertexCeiling) broadcast(cNow)
+                else cNow
+              both.join(chSide, col("u") === col("chid"))
+                .join(cvSide, col("v") === col("cid"))
+                .filter(col("cnew") < col("cv"))
+                .select(col("v"), col("deg")).distinct()
+                .localCheckpoint(true)
+            })
           val naIds = graft.util.CheckpointGen.pinnedIds(nextActive)
-          nActive = nextActive.count()
+          // ONE tiny action on the checkpointed frontier yields both its
+          // size and its exact incident-edge count (Σ deg) — next
+          // round's join-direction decision.
+          val stats = timed(s"round $rounds: stats")(
+            nextActive.agg(count(lit(1)), sum(col("deg"))).head())
+          nActive = stats.getLong(0)
+          nIncident = if (stats.isNullAt(1)) 0L else stats.getLong(1)
           release(activeIds)
-          active = Some(nextActive); activeIds = naIds
+          if (nActive == 0) {
+            release(naIds); active = None; activeIds = Set.empty
+          } else {
+            active = Some(nextActive.select(col("v"))); activeIds = naIds
+          }
         }
+        release(touchedIds)
         release(cIds)
-        c = merged.select(col("id"), col("c")); cIds = mergedIds
+        c = merged.select(col("id"), col("c"), col("deg")); cIds = mergedIds
         rounds += 1
       }
       release(bothIds ++ activeIds)
-      c
+      c.select(col("id"), col("c"))
     }
     caller.createDataFrame(result.rdd, result.schema)
       .select(col("id"), col("c").as("coreness"))

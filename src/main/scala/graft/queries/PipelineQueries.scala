@@ -77,7 +77,8 @@ object PipelineQueries {
     * batch boundaries cannot drift apart. Returns the ingest schema.
     */
   private def stageCcIngest(s: org.apache.spark.sql.SparkSession,
-      docs: org.apache.spark.sql.DataFrame, root: String)
+      docs: org.apache.spark.sql.DataFrame, root: String,
+      cols: Seq[String] = Seq("doc_id", "text"))
       : org.apache.spark.sql.types.StructType = {
     val isNew = col("doc_id") % 5 === 0
     java.nio.file.Files.createDirectories(
@@ -85,7 +86,7 @@ object PipelineQueries {
     for (e <- 0 until 3) {
       val scratch = s"$root/scratch$e"
       docs.filter(isNew && col("doc_id") % 15 === e * 5)
-        .select("doc_id", "text").coalesce(1)
+        .select(cols.map(col): _*).coalesce(1)
         .write.mode("overwrite").parquet(scratch)
       scala.util.Using.resource(java.nio.file.Files
           .list(java.nio.file.Paths.get(scratch))) { w =>
@@ -122,30 +123,53 @@ object PipelineQueries {
       Streams.ccStoreInit(corpus.filter(col("doc_id") % 5 =!= 0),
         s"$root/state", k = k, nBuckets = nBuckets)
       val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val reduced = graft.util.BenchMode.reducedDemos
       def start(sess: org.apache.spark.sql.SparkSession, kill: Boolean) = {
+        // bench depth (BenchMode): production fold cadence (the
+        // every-epoch/next-epoch folds exist to exercise fold boundaries
+        // mid-demonstration, a correctness-run concern)
         val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
-          Streams.ccStoreStep(s"$root/state", k, 0.5, nBuckets,
+          if (reduced) Streams.ccStoreStep(s"$root/state", k, 0.5, nBuckets,
+            gcAfterFold = true)
+          else Streams.ccStoreStep(s"$root/state", k, 0.5, nBuckets,
             maxLabelDeltas = 1, maxPostingGens = 0, gcAfterFold = true,
             killOnceAt = if (kill) Some((1L, armed)) else None)
-        sess.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+        val src = sess.readStream.schema(schema)
+        // bench depth: ONE trigger ingests every staged epoch file as a
+        // single micro-batch — the same step code against the same
+        // persisted init state, one step's cost instead of three
+        // (batch-boundary independence, the oracle-pinned claim, is what
+        // makes the depths interchangeable); full depth delivers the 3
+        // epochs one by one
+        (if (reduced) src else src.option("maxFilesPerTrigger", "1"))
+          .parquet(s"$root/in/*")
           .writeStream.option("checkpointLocation", s"$root/ckpt")
           .foreachBatch(step).start()
       }
-      val q1 = start(s, kill = true)
-      val died =
-        try { q1.processAllAvailable(); false }
-        catch { case _: Throwable => true }
-        finally q1.stop()
-      require(died && !armed.get, "the injected epoch-1 kill did not fire")
-      val q2 = start(s.newSession(), kill = false)
-      try q2.processAllAvailable() finally q2.stop()
+      if (reduced) {
+        // single uninterrupted stream — the kill + fresh-session restart
+        // DEMONSTRATION (proven in correctness runs + Round16Spec) is
+        // skipped; Round17Spec pins reduced ≡ full output
+        val q = start(s, kill = false)
+        try q.processAllAvailable() finally q.stop()
+      } else {
+        val q1 = start(s, kill = true)
+        val died =
+          try { q1.processAllAvailable(); false }
+          catch { case _: Throwable => true }
+          finally q1.stop()
+        require(died && !armed.get, "the injected epoch-1 kill did not fire")
+        val q2 = start(s.newSession(), kill = false)
+        try q2.processAllAvailable() finally q2.stop()
+      }
       def committed(p: String) = java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$root/state/$p/_SUCCESS"))
-      require(committed("gens/label_base/g=1"),
-        "the label fold did not fire mid-stream")
-      require(committed("gens/posting_base/g=1"),
-        "the posting fold did not fire mid-stream")
+      if (!reduced) {
+        require(committed("gens/label_base/g=1"),
+          "the label fold did not fire mid-stream")
+        require(committed("gens/posting_base/g=1"),
+          "the posting fold did not fire mid-stream")
+      }
       // GC ran as the gcAfterFold POLICY inside the stream — a
       // post-stream sweep must find nothing superseded left
       require(Streams.ccStoreGc(s"$root/state") == 0,
@@ -160,6 +184,13 @@ object PipelineQueries {
       }
     }
   }
+
+  /** The integer-micro quality score shared by q251 (batch curation tail)
+    * and q263 (its incremental twin) — one definition so the two
+    * pipelines' cut semantics cannot drift.
+    */
+  private def qualityMicro: org.apache.spark.sql.Column =
+    floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
 
   /** The q249 serpentine balanced-shard layout (doc_id, n_tok, r, shard)
     * — rank by (n_tok DESC, doc_id) via census-prefix offset + per-value
@@ -1491,26 +1522,38 @@ object PipelineQueries {
           Streams.ccMaintenanceInit(
             docs.filter(col("doc_id") % 5 =!= 0), s"$root/state")
           val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+          val reduced = graft.util.BenchMode.reducedDemos
           def start(kill: Boolean) = {
             val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
               Streams.ccMaintenanceDiskStep(s"$root/state", 3, 0.5,
                 if (kill) Some((1L, armed)) else None)
-            s.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+            val src = s.readStream.schema(schema)
+            // bench depth: one trigger = one micro-batch over all staged
+            // epoch files (batch-boundary independence is oracle-pinned);
+            // full depth delivers the 3 epochs one by one
+            (if (reduced) src else src.option("maxFilesPerTrigger", "1"))
+              .parquet(s"$root/in/*")
               .writeStream.option("checkpointLocation", s"$root/ckpt")
               .foreachBatch(step).start()
           }
-          val q1 = start(kill = true)
-          val died =
-            try { q1.processAllAvailable(); false }
-            catch { case _: Throwable => true }
-            finally q1.stop()
-          // the restart leg must be REAL — a silently-surviving first run
-          // would turn this into a plain uninterrupted test
-          require(died && !armed.get,
-            "the injected epoch-1 kill did not fire")
-          val q2 = start(kill = false)
-          try q2.processAllAvailable() finally q2.stop()
+          if (reduced) {
+            // bench depth: uninterrupted stream, same step and labels;
+            // the kill/restart leg stays in correctness runs (BenchMode)
+            val q = start(kill = false)
+            try q.processAllAvailable() finally q.stop()
+          } else {
+            val q1 = start(kill = true)
+            val died =
+              try { q1.processAllAvailable(); false }
+              catch { case _: Throwable => true }
+              finally q1.stop()
+            // the restart leg must be REAL — a silently-surviving first
+            // run would turn this into a plain uninterrupted test
+            require(died && !armed.get,
+              "the injected epoch-1 kill did not fire")
+            val q2 = start(kill = false)
+            try q2.processAllAvailable() finally q2.stop()
+          }
           // materialize before the temp state dir is deleted
           Streams.ccMaintenanceLabels(s, s"$root/state")
             .orderBy("id").localCheckpoint(true)
@@ -1556,24 +1599,35 @@ object PipelineQueries {
             docs.filter(col("doc_id") % 5 =!= 0), s"$root/state",
             nBuckets = nBuckets)
           val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+          val reduced = graft.util.BenchMode.reducedDemos
           def start(kill: Boolean) = {
             val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
               Streams.ccMaintenanceDiskStep(s"$root/state", 3, 0.5,
                 if (kill) Some((1L, armed)) else None, nBuckets = nBuckets)
-            s.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+            val src = s.readStream.schema(schema)
+            // bench depth: one trigger (see q252) — the bucket-pruned
+            // probe still runs, against the full init generation
+            (if (reduced) src else src.option("maxFilesPerTrigger", "1"))
+              .parquet(s"$root/in/*")
               .writeStream.option("checkpointLocation", s"$root/ckpt")
               .foreachBatch(step).start()
           }
-          val q1 = start(kill = true)
-          val died =
-            try { q1.processAllAvailable(); false }
-            catch { case _: Throwable => true }
-            finally q1.stop()
-          require(died && !armed.get,
-            "the injected epoch-1 kill did not fire")
-          val q2 = start(kill = false)
-          try q2.processAllAvailable() finally q2.stop()
+          if (reduced) {
+            // bench depth: uninterrupted stream, same step and labels;
+            // the kill/restart leg stays in correctness runs (BenchMode)
+            val q = start(kill = false)
+            try q.processAllAvailable() finally q.stop()
+          } else {
+            val q1 = start(kill = true)
+            val died =
+              try { q1.processAllAvailable(); false }
+              catch { case _: Throwable => true }
+              finally q1.stop()
+            require(died && !armed.get,
+              "the injected epoch-1 kill did not fire")
+            val q2 = start(kill = false)
+            try q2.processAllAvailable() finally q2.stop()
+          }
           Streams.ccMaintenanceLabels(s, s"$root/state")
             .orderBy("id").localCheckpoint(true)
         } finally {
@@ -1760,8 +1814,7 @@ object PipelineQueries {
         val docs = Tables.documents(s, dir)
         // stage 1: per-source top-quintile cut (q247's exact shape)
         val scored = docs.select(col("doc_id"), col("source"), col("text"),
-          floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
-            .as("q_micro"))
+          qualityMicro.as("q_micro"))
         val qCensus = scored.groupBy("source", "q_micro")
           .agg(count(lit(1)).as("c"))
         val bySrc = Window.partitionBy("source")
@@ -1864,6 +1917,203 @@ object PipelineQueries {
         |      ORDER BY s.doc_id) AS r
         |  FROM sized s JOIN off o USING (n_kept))
         |SELECT doc_id, source, n_kept, r,
+        |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+        |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
+        |FROM ranked ORDER BY doc_id""".stripMargin)),
+
+    // ---- the curation tail INCREMENTAL, composed on the v2 store ----
+    // q251 runs quality-cut → shard layout as one batch over the corpus;
+    // this is the production leg the r16 verdict named as the last
+    // missing composition: per-epoch ingest maintained incrementally, a
+    // training snapshot CUT as a serve-time view. The q233/q261
+    // discipline, applied to curation state:
+    //   - dedup labels: the existing v2 CC store (Streams.ccStoreStep —
+    //     delta-sized update writes, merge-on-read view, mid-stream
+    //     folds + GC), byte-identical code path to q261;
+    //   - quality census: a GenStore of per-epoch (source, q_micro,
+    //     count) deltas — each epoch's write is CENSUS-OF-BATCH-sized,
+    //     the serve-time cut reads ONLY census state (grid-bounded,
+    //     never the corpus), and a >1-delta threshold fold + GC exercise
+    //     the shared seam on a non-union merge (grouped re-sum). The
+    //     census covers ALL ingested docs, not survivors: the cut is set
+    //     by each source's RAW quality distribution, which is what makes
+    //     census state append-only — survivorship shifts as later epochs
+    //     merge components, so a survivors-only census would need
+    //     retroactive decrements (dedup and quality act as independent
+    //     screens; both ARE applied to the final pool below);
+    //   - scored docs: a GenStore of per-epoch (doc_id, source, q_micro,
+    //     n_tok) deltas — the per-epoch write is delta-sized; the corpus
+    //     never rewrites.
+    // The SERVE is one pass: survivors = merge-on-read labels filtered
+    // to min-id cluster reps (label NULL = never saw an edge; label =
+    // doc_id = its component's representative) ⋈ broadcast census cut →
+    // serpentine striping via the census-offset rank (q249's shape — no
+    // corpus-wide single-partition window). Global shard ranks shift as
+    // the corpus grows, so the LAYOUT is inherently a snapshot view —
+    // the incremental claim is about per-epoch STATE maintenance, and
+    // the oracle pins exactly that: the batch pipeline over the
+    // accumulated corpus (batch-boundary independence). No kill/restart
+    // leg here — q261/q262 + Round16Spec own the restart proof; this
+    // query's claim is the composition, at one stream's cost.
+    QueryDef("q263_stream_incremental_curation",
+      (s, dir) => {
+        import graft.streaming.Streams
+        import graft.util.GenStore
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 5 === 0
+        def scoredOf(d: org.apache.spark.sql.DataFrame) =
+          d.select(col("doc_id"), col("source"),
+            qualityMicro.as("q_micro"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        def censusOf(d: org.apache.spark.sql.DataFrame) =
+          d.groupBy("source", "q_micro").agg(count(lit(1)).as("c"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_inc_curation").toString
+        try {
+          // the ingest carries `source` alongside (doc_id, text): the
+          // curation census is per-source; the CC step ignores the
+          // extra column
+          val schema = stageCcIngest(s, docs, root,
+            cols = Seq("doc_id", "source", "text"))
+          Streams.ccStoreInit(docs.filter(!isNew), s"$root/state",
+            k = 3, nBuckets = 64)
+          val scoredStore = GenStore(s"$root/state/cur/scored_base",
+            s"$root/state/cur/scored", "g=", "epoch=")
+          val censusStore = GenStore(s"$root/state/cur/census_base",
+            s"$root/state/cur/census", "g=", "epoch=")
+          if (!java.nio.file.Files.exists(java.nio.file.Paths
+              .get(scoredStore.basePath(-1), "_SUCCESS"))) {
+            val init = scoredOf(docs.filter(!isNew)).localCheckpoint(true)
+            init.write.mode("overwrite").parquet(scoredStore.basePath(-1))
+            censusOf(init).write.mode("overwrite")
+              .parquet(censusStore.basePath(-1))
+          }
+          val reduced = graft.util.BenchMode.reducedDemos
+          // bench depth (BenchMode): production fold cadence + one
+          // trigger, like the other maintenance demos; full depth folds
+          // aggressively so the serve reads across fold boundaries
+          val ccStep: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            if (reduced) Streams.ccStoreStep(s"$root/state", 3, 0.5, 64,
+              gcAfterFold = true)
+            else Streams.ccStoreStep(s"$root/state", 3, 0.5, 64,
+              maxLabelDeltas = 1, maxPostingGens = 0, gcAfterFold = true)
+          val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, epoch) => {
+              ccStep(batch, epoch)
+              // curation state: epoch-keyed idempotent overwrites, the
+              // same re-delivery contract as the CC stores
+              val sb = scoredOf(batch).localCheckpoint(true)
+              sb.write.mode("overwrite").parquet(scoredStore.deltaPath(epoch))
+              censusOf(sb).write.mode("overwrite")
+                .parquet(censusStore.deltaPath(epoch))
+              graft.util.CheckpointGen.release(s.sparkContext,
+                graft.util.CheckpointGen.pinnedIds(sb))
+              // census fold on the shared seam (fold-lag rule: cover
+              // epochs <= epoch-1 only; skip when a base already reached
+              // the fold point — the re-delivered-epoch guard)
+              val foldPoint = epoch - 1
+              val g = censusStore.latestCompleteBase()
+              if (g < foldPoint &&
+                  censusStore.completeDeltaEpochs(g, epoch).size > 1) {
+                censusStore.unionView(s, epoch)
+                  .groupBy("source", "q_micro").agg(sum("c").as("c"))
+                  .write.mode("overwrite")
+                  .parquet(censusStore.basePath(foldPoint))
+                censusStore.gc(); ()
+              }
+            }
+          val src = s.readStream.schema(schema)
+          val q = (if (reduced) src
+            else src.option("maxFilesPerTrigger", "1"))
+            .parquet(s"$root/in/*")
+            .writeStream.option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch(step).start()
+          try q.processAllAvailable() finally q.stop()
+          if (!reduced) require(censusStore.latestCompleteBase() >= 1,
+            "the census fold did not fire mid-stream")
+          // ---- serve: cut the training snapshot from state only ----
+          val labels = Streams.ccStoreLabels(s, s"$root/state")
+            .withColumnRenamed("id", "doc_id")
+          val scoredAll = scoredStore.unionView(s)
+          val censusAll = censusStore.unionView(s)
+            .groupBy("source", "q_micro").agg(sum("c").as("c"))
+          val bySrc = Window.partitionBy("source")
+          val cuts = censusAll
+            .withColumn("cum", sum("c").over(bySrc
+              .orderBy(col("q_micro").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("n", sum("c").over(bySrc))
+            .withColumn("k", expr("(n + 4) div 5"))
+            .groupBy("source")
+            .agg(max(when(col("cum") >= col("k"), col("q_micro")))
+              .as("cut_micro"))
+          val kept = scoredAll
+            .join(labels, Seq("doc_id"), "left")
+            .filter(col("label").isNull || col("label") === col("doc_id"))
+            .join(broadcast(cuts), "source")
+            .filter(col("q_micro") >= col("cut_micro"))
+            .select(col("doc_id"), col("source"), col("n_tok"))
+          val mCensus = kept.groupBy("n_tok").agg(count(lit(1)).as("c"))
+          val off = mCensus
+            .withColumn("off", sum("c").over(Window
+              .orderBy(col("n_tok").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              - col("c"))
+            .select("n_tok", "off")
+          kept.join(broadcast(off), "n_tok")
+            .withColumn("r", col("off")
+              + row_number().over(Window.partitionBy("n_tok")
+                  .orderBy("doc_id")).cast("long"))
+            .withColumn("shard", expr(
+              "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
+                "ELSE 7 - (r - 1) % 8 END"))
+            .select("doc_id", "source", "n_tok", "r", "shard")
+            .orderBy("doc_id")
+            .localCheckpoint(true) // materialize before the state dir dies
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(s"""WITH RECURSIVE $ccOracleCte,
+        |q AS (SELECT doc_id, source,
+        |  CAST(floor((0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * least(1.0, (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)) * 1e6 + 0.5) AS BIGINT) AS q_micro,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |qc AS (SELECT source, q_micro, COUNT(*) AS c FROM q GROUP BY 1, 2),
+        |qcum AS (
+        |  SELECT source, q_micro,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY q_micro DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM qc),
+        |cuts AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN cum >= (n + 4) // 5 THEN q_micro END) AS cut_micro
+        |  FROM qcum GROUP BY source),
+        |kept AS (
+        |  SELECT q.doc_id, q.source, q.n_tok
+        |  FROM q LEFT JOIN comp ON q.doc_id = comp.id
+        |  JOIN cuts ON q.source = cuts.source
+        |  WHERE (comp.id IS NULL OR comp.label = q.doc_id)
+        |    AND q.q_micro >= cuts.cut_micro),
+        |mc AS (SELECT n_tok, COUNT(*) AS c FROM kept GROUP BY n_tok),
+        |off AS (
+        |  SELECT n_tok, CAST(SUM(c) OVER (ORDER BY n_tok DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |    AS BIGINT) AS off
+        |  FROM mc),
+        |ranked AS (
+        |  SELECT k.doc_id, k.source, k.n_tok,
+        |    o.off + ROW_NUMBER() OVER (PARTITION BY k.n_tok
+        |      ORDER BY k.doc_id) AS r
+        |  FROM kept k JOIN off o USING (n_tok))
+        |SELECT doc_id, source, n_tok, r,
         |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
         |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
         |FROM ranked ORDER BY doc_id""".stripMargin))

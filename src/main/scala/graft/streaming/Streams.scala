@@ -661,10 +661,20 @@ object Streams {
     * crash at the nastiest partial-commit point (label generation E
     * committed, posting/size generations NOT) to prove recovery.
     */
+  /** @param onLabelWrite called with the wall-clock seconds of this
+    *   epoch's FULL-TABLE label rewrite (the `applyCcLabelUpdates` →
+    *   complete-generation write — exactly the write the v2 store
+    *   eliminates). Step wall-clock at bench scale is dominated by the
+    *   shared probe/shingle floor both loops pay, so the v1-vs-v2 claim
+    *   needs the label-write path timed in isolation (r16 verdict #6);
+    *   CcStoreBench stamps these into its JSON.
+    */
   def ccMaintenanceDiskStep(stateRoot: String, k: Int = 3,
       threshold: Double = 0.5,
       killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)] =
-        None, nBuckets: Int = 0)(batch: DataFrame, epoch: Long): Unit = {
+        None, nBuckets: Int = 0,
+      onLabelWrite: Double => Unit = _ => ())(
+      batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
     val sc = s.sparkContext
     import graft.ext.Dedup
@@ -698,8 +708,12 @@ object Streams {
     updates.write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
     CheckpointGen.release(sc, pairPins ++ CheckpointGen.pinnedIds(updates))
     val persisted = s.read.parquet(s"$stateRoot/updates/batch=$epoch")
-    Dedup.applyCcLabelUpdates(labels, persisted)
-      .write.mode("overwrite").parquet(s"$gens/labels/epoch=$epoch")
+    locally {
+      val t0 = System.nanoTime()
+      Dedup.applyCcLabelUpdates(labels, persisted)
+        .write.mode("overwrite").parquet(s"$gens/labels/epoch=$epoch")
+      onLabelWrite((System.nanoTime() - t0) / 1e9)
+    }
     killOnceAt.foreach { case (at, armed) =>
       if (epoch == at && armed.compareAndSet(true, false)) {
         CheckpointGen.release(sc, bPins ++ bpPins)
@@ -931,11 +945,18 @@ object Streams {
     * attempt). Round16Spec pins policy-on ≡ policy-off labels and that
     * the swept layout matches the explicit-GC one.
     */
+  /** @param onLabelWrite called with the wall-clock seconds of this
+    *   epoch's label write — here the DELTA write (update set + `_rows`
+    *   sidecar), the only per-epoch label write the v2 store performs;
+    *   the [[ccMaintenanceDiskStep]] twin hook times the full-table
+    *   rewrite this store eliminates (r16 verdict #6).
+    */
   def ccStoreStep(stateRoot: String, k: Int = 3, threshold: Double = 0.5,
       nBuckets: Int = 0, maxLabelDeltas: Int = 4, maxPostingGens: Int = 4,
       gcAfterFold: Boolean = false,
       killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)] =
-        None, maxLabelDeltaRows: Long = CcLabelBroadcastMaxRows)(
+        None, maxLabelDeltaRows: Long = CcLabelBroadcastMaxRows,
+      onLabelWrite: Double => Unit = _ => ())(
       batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
     val sc = s.sparkContext
@@ -957,6 +978,7 @@ object Streams {
     val pairPins = CheckpointGen.pinnedIds(newPairs)
     val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
       b.select(col("doc_id").as("id")))
+    val labelWriteT0 = System.nanoTime()
     updates.write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
     CheckpointGen.release(sc, pairPins ++ CheckpointGen.pinnedIds(updates))
     // `_rows` sidecar: the delta's row count, read back footer-cheap from
@@ -966,6 +988,7 @@ object Streams {
     // whose readers heal by counting once (GenStore.deltaRows).
     ccLabelStore(stateRoot).writeDeltaRowsSidecar(epoch,
       s.read.parquet(s"$stateRoot/updates/batch=$epoch").count())
+    onLabelWrite((System.nanoTime() - labelWriteT0) / 1e9)
     killOnceAt.foreach { case (at, armed) =>
       if (epoch == at && armed.compareAndSet(true, false)) {
         CheckpointGen.release(sc, bPins ++ bpPins)

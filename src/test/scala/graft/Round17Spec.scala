@@ -169,6 +169,42 @@ class Round17Spec extends SparkSpec {
     } finally { rmTree(big); rmTree(small) }
   }
 
+  test("reduced-demo bench depth is a measurement choice, not a " +
+      "semantic one: the single uninterrupted stream (BenchMode) serves " +
+      "labels identical to the full kill+fresh-session-restart " +
+      "demonstration, on both the v1 (q252) and v2 (q261) loops") {
+    val dir = "/root/testdata/sf0.001"
+    def run(name: String): Seq[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (name <- Seq("q252_stream_cc_restart_resume",
+        "q261_stream_cc_store_fold_gc")) {
+      assert(!graft.util.BenchMode.reducedDemos)
+      val full = run(name)
+      sys.props(graft.util.BenchMode.ReducedDemosProp) = "1"
+      val reduced =
+        try run(name)
+        finally { sys.props.remove(graft.util.BenchMode.ReducedDemosProp); () }
+      assert(reduced.nonEmpty && reduced == full,
+        s"$name: reduced-demo labels diverged from the full " +
+          s"kill+restart run (${reduced.size} vs ${full.size} rows)")
+    }
+    // ...and the composed incremental-curation serve (q263): one-trigger
+    // production-cadence depth must cut the identical training snapshot
+    // the aggressive-fold 3-epoch depth cuts
+    def runCur(): Seq[String] =
+      SparkEntry.queries("q263_stream_incremental_curation")(spark, dir)
+        .collect().map(_.mkString("|")).toSeq
+    val fullCur = runCur()
+    sys.props(graft.util.BenchMode.ReducedDemosProp) = "1"
+    val reducedCur =
+      try runCur()
+      finally { sys.props.remove(graft.util.BenchMode.ReducedDemosProp); () }
+    assert(reducedCur.nonEmpty && reducedCur == fullCur,
+      s"q263: reduced-demo snapshot diverged from full depth " +
+        s"(${reducedCur.size} vs ${fullCur.size} rows)")
+  }
+
   test("vector-store GC retention: retainBases=2 keeps the superseded " +
       "generation and its live deltas for a pre-fold reader; " +
       "retainBases=1 reproduces the original sweep") {

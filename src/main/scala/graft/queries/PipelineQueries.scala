@@ -192,6 +192,55 @@ object PipelineQueries {
   private def qualityMicro: org.apache.spark.sql.Column =
     floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
 
+  /** q263's SERVE: cut the training snapshot from state views only —
+    * survivors (merge-on-read labels filtered to min-id cluster reps:
+    * label NULL = never saw an edge, label = doc_id = its component's
+    * representative) ⋈ broadcast per-source census quintile cut →
+    * serpentine striping via the census-offset rank. One corpus pass;
+    * the only unpartitioned window runs over the CENSUS (grid-bounded),
+    * the corpus rank window partitions by the token-count value
+    * (PlanShapeSpec pins the shape). Package-visible so the plan spec
+    * can drive it on synthetic state without running the stream.
+    */
+  private[graft] def incrementalCurationServe(
+      labels: org.apache.spark.sql.DataFrame,
+      scoredAll: org.apache.spark.sql.DataFrame,
+      censusAll: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    val cuts = censusAll
+      .withColumn("cum", sum("c").over(bySrc
+        .orderBy(col("q_micro").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(bySrc))
+      .withColumn("k", expr("(n + 4) div 5"))
+      .groupBy("source")
+      .agg(max(when(col("cum") >= col("k"), col("q_micro")))
+        .as("cut_micro"))
+    val kept = scoredAll
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .join(broadcast(cuts), "source")
+      .filter(col("q_micro") >= col("cut_micro"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    val mCensus = kept.groupBy("n_tok").agg(count(lit(1)).as("c"))
+    val off = mCensus
+      .withColumn("off", sum("c").over(Window
+        .orderBy(col("n_tok").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("c"))
+      .select("n_tok", "off")
+    kept.join(broadcast(off), "n_tok")
+      .withColumn("r", col("off")
+        + row_number().over(Window.partitionBy("n_tok")
+            .orderBy("doc_id")).cast("long"))
+      .withColumn("shard", expr(
+        "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
+          "ELSE 7 - (r - 1) % 8 END"))
+      .select("doc_id", "source", "n_tok", "r", "shard")
+      .orderBy("doc_id")
+  }
+
   /** The q249 serpentine balanced-shard layout (doc_id, n_tok, r, shard)
     * — rank by (n_tok DESC, doc_id) via census-prefix offset + per-value
     * row_number (NEVER a corpus-wide single-partition window; plan-pinned
@@ -2038,43 +2087,11 @@ object PipelineQueries {
           if (!reduced) require(censusStore.latestCompleteBase() >= 1,
             "the census fold did not fire mid-stream")
           // ---- serve: cut the training snapshot from state only ----
-          val labels = Streams.ccStoreLabels(s, s"$root/state")
-            .withColumnRenamed("id", "doc_id")
-          val scoredAll = scoredStore.unionView(s)
-          val censusAll = censusStore.unionView(s)
-            .groupBy("source", "q_micro").agg(sum("c").as("c"))
-          val bySrc = Window.partitionBy("source")
-          val cuts = censusAll
-            .withColumn("cum", sum("c").over(bySrc
-              .orderBy(col("q_micro").desc)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-            .withColumn("n", sum("c").over(bySrc))
-            .withColumn("k", expr("(n + 4) div 5"))
-            .groupBy("source")
-            .agg(max(when(col("cum") >= col("k"), col("q_micro")))
-              .as("cut_micro"))
-          val kept = scoredAll
-            .join(labels, Seq("doc_id"), "left")
-            .filter(col("label").isNull || col("label") === col("doc_id"))
-            .join(broadcast(cuts), "source")
-            .filter(col("q_micro") >= col("cut_micro"))
-            .select(col("doc_id"), col("source"), col("n_tok"))
-          val mCensus = kept.groupBy("n_tok").agg(count(lit(1)).as("c"))
-          val off = mCensus
-            .withColumn("off", sum("c").over(Window
-              .orderBy(col("n_tok").desc)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              - col("c"))
-            .select("n_tok", "off")
-          kept.join(broadcast(off), "n_tok")
-            .withColumn("r", col("off")
-              + row_number().over(Window.partitionBy("n_tok")
-                  .orderBy("doc_id")).cast("long"))
-            .withColumn("shard", expr(
-              "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
-                "ELSE 7 - (r - 1) % 8 END"))
-            .select("doc_id", "source", "n_tok", "r", "shard")
-            .orderBy("doc_id")
+          incrementalCurationServe(
+            Streams.ccStoreLabels(s, s"$root/state"),
+            scoredStore.unionView(s),
+            censusStore.unionView(s)
+              .groupBy("source", "q_micro").agg(sum("c").as("c")))
             .localCheckpoint(true) // materialize before the state dir dies
         } finally {
           scala.util.Using.resource(java.nio.file.Files

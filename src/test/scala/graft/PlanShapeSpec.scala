@@ -370,6 +370,39 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus rank window must partition by n_tok:\n$plan")
   }
 
+  test("q263 serve: census discipline — cut/offset tables broadcast, " +
+      "the corpus rank window partitions by n_tok, census-bounded " +
+      "single-partition stages only") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // synthetic state views, shaped like the stores serve them
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "label")
+    val scored = (1L to 40L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", i % 7, i % 5 + 1))
+      .toDF("doc_id", "source", "q_micro", "n_tok")
+    val census = scored.groupBy("source", "q_micro")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    val df = graft.queries.PipelineQueries
+      .incrementalCurationServe(labels, scored, census)
+    val plan = finalPlanString(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cut/offset tables must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no corpus-sized shuffle join expected at this state size:\n$plan")
+    // single-partition exchanges: ONLY the census prefix-sum windows
+    // (quality census + token-count census — both domain-bounded);
+    // the final orderBy is a range exchange
+    val sp = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(sp <= 2, s"more than two single-partition stages:\n$plan")
+    // the corpus rank window partitions by the token-count value —
+    // a bare unpartitioned row_number over docs would be the q229 trap
+    assert("windowspecdefinition\\(n_tok#\\d+L?, doc_id#".r
+        .findFirstIn(plan).isDefined,
+      s"corpus rank window must partition by n_tok:\n$plan")
+  }
+
   test("q208 rank fusion: towers end in bounded top-k, no cartesian blowup") {
     val df = graft.queries.VectorQueries.defs
       .find(_.name == "q208_hybrid_rank_fusion").get.fn(spark, dir)

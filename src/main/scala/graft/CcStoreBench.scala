@@ -121,10 +121,12 @@ object CcStoreBench {
     // floor BOTH loops pay (~4-5 s, and the label table itself is
     // dup-cluster-bounded, not corpus-sized), so the v1-vs-v2 write cost
     // never surfaces in v1_step_s/v2_step_s. The onLabelWrite hooks time
-    // exactly the diverging path: v1 = the full-table label rewrite
-    // (compute applyCcLabelUpdates + write the complete generation — the
-    // write v2 eliminates); v2 = the delta write (update set + _rows
-    // sidecar — the only per-epoch label write it performs).
+    // the SAME semantic window in both loops — each epoch's complete
+    // label-path writes: v1 = update-delta write + the full-table
+    // applyCcLabelUpdates generation rewrite; v2 = the update-delta
+    // write (+ _rows sidecar) alone. Both include the shared delta
+    // write, so v1_labelwrite_s − v2_labelwrite_s isolates exactly the
+    // rewrite the v2 store eliminates.
     val v1LabelWriteS = scala.collection.mutable.ArrayBuffer.empty[Double]
     val v2LabelWriteS = scala.collection.mutable.ArrayBuffer.empty[Double]
     // v1: full label generation per epoch

@@ -448,8 +448,19 @@ object Graph {
               // wide-frontier shape: scan the edge table against the
               // changed set and attach v's current value broadcast-side;
               // only the survivors reach the distinct + checkpoint.
+              // Broadcast guard on the CHANGED count, not the active
+              // count: a wide round can evaluate >ceiling vertices yet
+              // move only a handful, and losing the changed-set
+              // broadcast there degrades the frontier pass to a full
+              // 2|E| keyed shuffle. nActive <= ceiling already bounds
+              // nChanged (changed ⊆ evaluated) with no action; only in
+              // the >ceiling regime — where the round is already
+              // full-shuffle-expensive — is one count job spent to
+              // decide.
               val chSide =
-                if (nActive <= broadcastVertexCeiling) broadcast(changed)
+                if (nActive <= broadcastVertexCeiling ||
+                    merged.filter(col("chg")).count() <=
+                      broadcastVertexCeiling) broadcast(changed)
                 else changed
               val cNow = merged.select(col("id").as("cid"),
                 col("c").as("cv"), col("deg"))

@@ -99,6 +99,47 @@ object PipelineQueries {
     s.read.parquet(s"$root/in/e0.parquet").schema
   }
 
+  /** The staged-ingest reader at the requested demo depth: full depth
+    * delivers the staged epoch files one micro-batch each
+    * (maxFilesPerTrigger=1); reduced bench depth ([[graft.util
+    * .BenchMode]]) ingests them all in ONE trigger. One definition for
+    * every maintenance demo, so the depth policy cannot drift per site.
+    */
+  private def demoIngest(sess: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, root: String,
+      reduced: Boolean): org.apache.spark.sql.DataFrame = {
+    val src = sess.readStream.schema(schema)
+    (if (reduced) src else src.option("maxFilesPerTrigger", "1"))
+      .parquet(s"$root/in/*")
+  }
+
+  /** The demo stream protocol, shared by every kill/restart
+    * demonstration: reduced bench depth runs ONE uninterrupted stream
+    * (the kill + restart leg is a correctness-run exercise — Round17Spec
+    * pins reduced ≡ full); full depth runs the kill leg, require()s the
+    * injected kill actually fired (a silently-surviving first run would
+    * demote the demo to a plain uninterrupted test), then the resume
+    * leg.
+    */
+  private def runDemoStream(reduced: Boolean,
+      armed: java.util.concurrent.atomic.AtomicBoolean,
+      startKill: () => org.apache.spark.sql.streaming.StreamingQuery,
+      startResume: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit =
+    if (reduced) {
+      val q = startResume()
+      try q.processAllAvailable() finally q.stop()
+    } else {
+      val q1 = startKill()
+      val died =
+        try { q1.processAllAvailable(); false }
+        catch { case _: Throwable => true }
+        finally q1.stop()
+      require(died && !armed.get, "the injected epoch-1 kill did not fire")
+      val q2 = startResume()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+
   /** The full v2-store maintenance run over a `(doc_id, text)` corpus —
     * shared by q261 (text 3-gram) and q262 (media frame tokens, k=1), so
     * the modality-blind claim is BY CONSTRUCTION: the media loop runs the
@@ -134,34 +175,16 @@ object PipelineQueries {
           else Streams.ccStoreStep(s"$root/state", k, 0.5, nBuckets,
             maxLabelDeltas = 1, maxPostingGens = 0, gcAfterFold = true,
             killOnceAt = if (kill) Some((1L, armed)) else None)
-        val src = sess.readStream.schema(schema)
-        // bench depth: ONE trigger ingests every staged epoch file as a
-        // single micro-batch — the same step code against the same
-        // persisted init state, one step's cost instead of three
-        // (batch-boundary independence, the oracle-pinned claim, is what
-        // makes the depths interchangeable); full depth delivers the 3
-        // epochs one by one
-        (if (reduced) src else src.option("maxFilesPerTrigger", "1"))
-          .parquet(s"$root/in/*")
+        demoIngest(sess, schema, root, reduced)
           .writeStream.option("checkpointLocation", s"$root/ckpt")
           .foreachBatch(step).start()
       }
-      if (reduced) {
-        // single uninterrupted stream — the kill + fresh-session restart
-        // DEMONSTRATION (proven in correctness runs + Round16Spec) is
-        // skipped; Round17Spec pins reduced ≡ full output
-        val q = start(s, kill = false)
-        try q.processAllAvailable() finally q.stop()
-      } else {
-        val q1 = start(s, kill = true)
-        val died =
-          try { q1.processAllAvailable(); false }
-          catch { case _: Throwable => true }
-          finally q1.stop()
-        require(died && !armed.get, "the injected epoch-1 kill did not fire")
-        val q2 = start(s.newSession(), kill = false)
-        try q2.processAllAvailable() finally q2.stop()
-      }
+      // the resume/only leg always starts on a FRESH session (r15
+      // verdict #3): recovery — and, in reduced depth, the whole run —
+      // depends on disk state + checkpoint only, nothing session-held
+      runDemoStream(reduced, armed,
+        startKill = () => start(s, kill = true),
+        startResume = () => start(s.newSession(), kill = false))
       def committed(p: String) = java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$root/state/$p/_SUCCESS"))
       if (!reduced) {
@@ -1474,15 +1497,12 @@ object PipelineQueries {
           .createTempDirectory("graft_stream_cc").toString
         try {
           val schema = stageCcIngest(s, docs, root)
-          val src0 = s.readStream.schema(schema)
-          // bench depth (BenchMode, see q252): one trigger = one
-          // micro-batch over all staged epoch files; full depth delivers
-          // the 3 epochs one by one. Batch-boundary independence is this
-          // query's oracle-pinned claim, which is exactly what makes the
-          // depths interchangeable.
-          val ingest = (if (graft.util.BenchMode.reducedDemos) src0
-            else src0.option("maxFilesPerTrigger", "1"))
-            .parquet(s"$root/in/*")
+          // batch-boundary independence is this query's oracle-pinned
+          // claim — exactly what makes the two demo depths
+          // interchangeable (no kill leg here: this is the in-memory v1
+          // comparator)
+          val ingest = demoIngest(s, schema, root,
+            graft.util.BenchMode.reducedDemos)
           val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
             (batch, epoch) => {
               val b = batch.localCheckpoint(true)
@@ -1582,33 +1602,13 @@ object PipelineQueries {
             val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
               Streams.ccMaintenanceDiskStep(s"$root/state", 3, 0.5,
                 if (kill) Some((1L, armed)) else None)
-            val src = s.readStream.schema(schema)
-            // bench depth: one trigger = one micro-batch over all staged
-            // epoch files (batch-boundary independence is oracle-pinned);
-            // full depth delivers the 3 epochs one by one
-            (if (reduced) src else src.option("maxFilesPerTrigger", "1"))
-              .parquet(s"$root/in/*")
+            demoIngest(s, schema, root, reduced)
               .writeStream.option("checkpointLocation", s"$root/ckpt")
               .foreachBatch(step).start()
           }
-          if (reduced) {
-            // bench depth: uninterrupted stream, same step and labels;
-            // the kill/restart leg stays in correctness runs (BenchMode)
-            val q = start(kill = false)
-            try q.processAllAvailable() finally q.stop()
-          } else {
-            val q1 = start(kill = true)
-            val died =
-              try { q1.processAllAvailable(); false }
-              catch { case _: Throwable => true }
-              finally q1.stop()
-            // the restart leg must be REAL — a silently-surviving first
-            // run would turn this into a plain uninterrupted test
-            require(died && !armed.get,
-              "the injected epoch-1 kill did not fire")
-            val q2 = start(kill = false)
-            try q2.processAllAvailable() finally q2.stop()
-          }
+          runDemoStream(reduced, armed,
+            startKill = () => start(kill = true),
+            startResume = () => start(kill = false))
           // materialize before the temp state dir is deleted
           Streams.ccMaintenanceLabels(s, s"$root/state")
             .orderBy("id").localCheckpoint(true)
@@ -1659,30 +1659,15 @@ object PipelineQueries {
             val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
               Streams.ccMaintenanceDiskStep(s"$root/state", 3, 0.5,
                 if (kill) Some((1L, armed)) else None, nBuckets = nBuckets)
-            val src = s.readStream.schema(schema)
-            // bench depth: one trigger (see q252) — the bucket-pruned
-            // probe still runs, against the full init generation
-            (if (reduced) src else src.option("maxFilesPerTrigger", "1"))
-              .parquet(s"$root/in/*")
+            // the bucket-pruned probe runs at either depth, against the
+            // full init generation
+            demoIngest(s, schema, root, reduced)
               .writeStream.option("checkpointLocation", s"$root/ckpt")
               .foreachBatch(step).start()
           }
-          if (reduced) {
-            // bench depth: uninterrupted stream, same step and labels;
-            // the kill/restart leg stays in correctness runs (BenchMode)
-            val q = start(kill = false)
-            try q.processAllAvailable() finally q.stop()
-          } else {
-            val q1 = start(kill = true)
-            val died =
-              try { q1.processAllAvailable(); false }
-              catch { case _: Throwable => true }
-              finally q1.stop()
-            require(died && !armed.get,
-              "the injected epoch-1 kill did not fire")
-            val q2 = start(kill = false)
-            try q2.processAllAvailable() finally q2.stop()
-          }
+          runDemoStream(reduced, armed,
+            startKill = () => start(kill = true),
+            startResume = () => start(kill = false))
           Streams.ccMaintenanceLabels(s, s"$root/state")
             .orderBy("id").localCheckpoint(true)
         } finally {
@@ -2077,10 +2062,7 @@ object PipelineQueries {
                 censusStore.gc(); ()
               }
             }
-          val src = s.readStream.schema(schema)
-          val q = (if (reduced) src
-            else src.option("maxFilesPerTrigger", "1"))
-            .parquet(s"$root/in/*")
+          val q = demoIngest(s, schema, root, reduced)
             .writeStream.option("checkpointLocation", s"$root/ckpt")
             .foreachBatch(step).start()
           try q.processAllAvailable() finally q.stop()

@@ -662,12 +662,15 @@ object Streams {
     * committed, posting/size generations NOT) to prove recovery.
     */
   /** @param onLabelWrite called with the wall-clock seconds of this
-    *   epoch's FULL-TABLE label rewrite (the `applyCcLabelUpdates` →
-    *   complete-generation write — exactly the write the v2 store
-    *   eliminates). Step wall-clock at bench scale is dominated by the
-    *   shared probe/shingle floor both loops pay, so the v1-vs-v2 claim
-    *   needs the label-write path timed in isolation (r16 verdict #6);
-    *   CcStoreBench stamps these into its JSON.
+    *   epoch's complete LABEL-PATH writes — the update-delta write plus
+    *   the full-table `applyCcLabelUpdates` generation rewrite. The v2
+    *   twin ([[ccStoreStep]]) times the SAME semantic window (its label
+    *   path is the delta write alone), so v1 − v2 is exactly the
+    *   full-table rewrite the v2 store eliminates. Step wall-clock at
+    *   bench scale is dominated by the shared probe/shingle floor both
+    *   loops pay, so the v1-vs-v2 claim needs the label-write path
+    *   timed in isolation (r16 verdict #6); CcStoreBench stamps these
+    *   into its JSON.
     */
   def ccMaintenanceDiskStep(stateRoot: String, k: Int = 3,
       threshold: Double = 0.5,
@@ -705,15 +708,13 @@ object Streams {
     val pairPins = CheckpointGen.pinnedIds(newPairs)
     val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
       b.select(col("doc_id").as("id")))
+    val labelWriteT0 = System.nanoTime()
     updates.write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
     CheckpointGen.release(sc, pairPins ++ CheckpointGen.pinnedIds(updates))
     val persisted = s.read.parquet(s"$stateRoot/updates/batch=$epoch")
-    locally {
-      val t0 = System.nanoTime()
-      Dedup.applyCcLabelUpdates(labels, persisted)
-        .write.mode("overwrite").parquet(s"$gens/labels/epoch=$epoch")
-      onLabelWrite((System.nanoTime() - t0) / 1e9)
-    }
+    Dedup.applyCcLabelUpdates(labels, persisted)
+      .write.mode("overwrite").parquet(s"$gens/labels/epoch=$epoch")
+    onLabelWrite((System.nanoTime() - labelWriteT0) / 1e9)
     killOnceAt.foreach { case (at, armed) =>
       if (epoch == at && armed.compareAndSet(true, false)) {
         CheckpointGen.release(sc, bPins ++ bpPins)
@@ -946,10 +947,12 @@ object Streams {
     * the swept layout matches the explicit-GC one.
     */
   /** @param onLabelWrite called with the wall-clock seconds of this
-    *   epoch's label write — here the DELTA write (update set + `_rows`
-    *   sidecar), the only per-epoch label write the v2 store performs;
-    *   the [[ccMaintenanceDiskStep]] twin hook times the full-table
-    *   rewrite this store eliminates (r16 verdict #6).
+    *   epoch's complete LABEL-PATH writes — here the DELTA write
+    *   (update set + `_rows` sidecar), the only per-epoch label write
+    *   the v2 store performs. The [[ccMaintenanceDiskStep]] twin hook
+    *   times the same window over v1's label path (update delta + the
+    *   full-table rewrite), so v1 − v2 isolates the rewrite this store
+    *   eliminates (r16 verdict #6).
     */
   def ccStoreStep(stateRoot: String, k: Int = 3, threshold: Double = 0.5,
       nBuckets: Int = 0, maxLabelDeltas: Int = 4, maxPostingGens: Int = 4,

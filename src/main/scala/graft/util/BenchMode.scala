@@ -1,17 +1,20 @@
 package graft.util
 
 /** Demo-depth switch for the kill/restart maintenance DEMONSTRATIONS
-  * (r16 verdict #7): five queries (q242 q252 q260 q261 q262) stage
-  * multi-epoch file streams with injected kills and fresh-session
-  * restarts — ~100 s ≈ 31% of the idle bench total spent measuring
-  * stream-restart machinery, not operator cost.
+  * (r16 verdict #7): six queries (q242 q252 q260 q261 q262 q263) stage
+  * multi-epoch file streams — five of them with injected kills and
+  * fresh-session restarts — ~100 s ≈ 31% of the r16 idle bench total
+  * spent measuring stream-restart machinery, not operator cost.
   *
-  * Under `reducedDemos` the restart-class demos run their SINGLE
-  * uninterrupted stream — the same foreachBatch step, the same epochs,
-  * folds, and GC policy, producing the same labels (that equality is
-  * exactly the batch-boundary-independence/restart-invariance claim the
-  * full-depth runs prove) — and skip only the kill + second-stream
-  * restart leg. Depth is a MEASUREMENT choice, never a correctness one:
+  * Under `reducedDemos` the demos run ONE uninterrupted stream with a
+  * single trigger (every staged epoch file in one micro-batch) at
+  * production fold cadence — the same foreachBatch step against the
+  * same persisted init state, producing the same output (that equality
+  * is exactly the batch-boundary-independence / restart-invariance /
+  * fold-view-invariance claim the full-depth runs prove, and
+  * Round17Spec pins reduced ≡ full per query) — and skip the kill +
+  * second-stream restart leg. Depth is a MEASUREMENT choice, never a
+  * correctness one:
   *   - Bench SETS the flag (a JVM system property, so the flip is
   *     process-local and cannot leak into a concurrently-running
   *     Verify) unless GRAFT_BENCH_FULL_DEMOS=1, and stamps `demo_mode`

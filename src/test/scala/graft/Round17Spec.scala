@@ -170,15 +170,19 @@ class Round17Spec extends SparkSpec {
   }
 
   test("reduced-demo bench depth is a measurement choice, not a " +
-      "semantic one: the single uninterrupted stream (BenchMode) serves " +
-      "labels identical to the full kill+fresh-session-restart " +
-      "demonstration, on both the v1 (q252) and v2 (q261) loops") {
+      "semantic one: the one-trigger uninterrupted stream (BenchMode) " +
+      "serves output identical to the full kill+restart demonstration, " +
+      "on EVERY reduced-aware demo — v1 plain/bucketed (q242 q252 " +
+      "q260), v2 text/media (q261 q262)") {
     val dir = "/root/testdata/sf0.001"
     def run(name: String): Seq[(Long, Long)] =
       SparkEntry.queries(name)(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    for (name <- Seq("q252_stream_cc_restart_resume",
-        "q261_stream_cc_store_fold_gc")) {
+    for (name <- Seq("q242_stream_cc_maintenance",
+        "q252_stream_cc_restart_resume",
+        "q260_stream_cc_bucketed_restart",
+        "q261_stream_cc_store_fold_gc",
+        "q262_stream_media_cc_maintenance")) {
       assert(!graft.util.BenchMode.reducedDemos)
       val full = run(name)
       sys.props(graft.util.BenchMode.ReducedDemosProp) = "1"

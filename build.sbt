@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites run SEQUENTIALLY in the forked test JVM — by construction, not
+// convention: BenchMode's demo-depth flag is a process-global sys.prop
+// that Round17Spec flips mid-suite (set/finally-restore), so a parallel
+// suite schedule could observe reduced depth in a correctness stream.
+// testForkedParallel already defaults to false; pin it so a future sbt
+// or build edit cannot silently turn suite parallelism on.
+Test / testForkedParallel := false
 run / fork := true
 // Forked run inherits raw stdout (no "[info] " logger prefix) — the driver
 // json-parses Bench's output line, and the prefix breaks that.

@@ -118,8 +118,18 @@ object Bench {
       }.min
     }
     val cal = scala.collection.mutable.ArrayBuffer(calibrate())
+    // benchSkip tier (r17 verdict #6): superseded comparators whose
+    // measurement duty a dedicated harness owns (q242 → CcStoreBench)
+    // leave the default tier — still in Verify/CORRECTNESS and tests.
+    // GRAFT_BENCH_FULL_DEMOS=1 restores them; the skip is stamped into
+    // the JSON (`bench_skipped`) so no artifact can be misread.
+    val benchSkipped = SparkEntry.allDefs
+      .filter(d => d.benchSkip && !fullDemos &&
+        graft.util.DevSubset.keep(d.name))
+      .map(_.name.takeWhile(_ != '_')).sorted
     val allRun = SparkEntry.allDefs.sortBy(_.name)
-      .filter(d => graft.util.DevSubset.keep(d.name))
+      .filter(d => graft.util.DevSubset.keep(d.name) &&
+        !(d.benchSkip && !fullDemos))
     val midpoint = allRun.size / 2
     val results = allRun.zipWithIndex
       .map { case (d, qi) =>
@@ -345,6 +355,8 @@ object Bench {
       s""","cal_spread":${"%.2f".formatLocal(java.util.Locale.ROOT, calSpread)}""" +
       s""","codecache_peak_mb":$ccPeakMb""" +
       s""","demo_mode":"$demoMode"""" +
+      s""","bench_skipped":${benchSkipped.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")}""" +
       s""","baseline_missing":${baselineMissing.map("\"" + _._1 + "\"")
         .mkString("[", ",", "]")}""" + retryJson
     def line(metric: String, qdict: String, extra: String = "") =

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge DataFrames — the iterative-dataflow family
@@ -270,9 +270,134 @@ object Graph {
                broadcastVertexCeiling: Long = 10000000L,
                deltaSchedule: Boolean = true,
                onRoundStats: (Int, Long) => Unit = (_, _) => ())
-      : DataFrame = {
+      : DataFrame =
+    corenessImpl(undirectedEdges.sparkSession, Left(undirectedEdges),
+      partitions, maxRounds, broadcastVertexCeiling,
+      if (deltaSchedule) "delta" else "sync", onRoundStats, noScan)
+
+  /** ADAPTIVE schedule (r17 verdict #2): sync vs delta was a caller knob
+    * where it should be a measurement — delta wins 2.2× on peeling
+    * graphs (trees) and loses ~1.1× on 1-effective-round graphs (the 8M
+    * ring-of-cliques), and the caller rarely knows the shape in advance.
+    * Auto starts SYNCHRONOUS (no frontier bookkeeping) and flips to the
+    * delta schedule permanently the first round the flip provably pays:
+    * the sync round's one termination action is widened to
+    * `(count, Σ deg)` over the changed set (same single job), and the
+    * engine flips when `2·Σ deg(changed) < |V|` — candidates for the
+    * next round number at most Σ deg(changed) (each changed vertex can
+    * activate at most deg neighbors), so the evals saved next round are
+    * ≥ |V|/2, which covers the frontier pass's cost (measured ≈ one
+    * full-width evaluation round on the ring, SCALING.md r17). The flip
+    * re-uses this round's changed FRAME through the same value-aware
+    * frontier pass delta rounds run, so the iterates — and hence
+    * checksums — equal BOTH fixed schedules round for round (the delta
+    * restriction drops only provably-unchanged evaluations; sync rounds
+    * are supersets). On the ring the rule never fires before convergence
+    * (Σ deg(changed) = 9M ≥ |V|/2 = 4M) → auto ≡ sync; on the tree it
+    * fires as soon as the peel's frontier collapses → auto ≡ delta plus
+    * at most the pre-flip sync rounds. CorenessBench's
+    * SPARK_GRAFT_AUTO_COMPARE leg times it on both shapes.
+    */
+  def corenessAdaptive(undirectedEdges: DataFrame, partitions: Int = 8,
+               maxRounds: Int = 64,
+               broadcastVertexCeiling: Long = 10000000L,
+               onRoundStats: (Int, Long) => Unit = (_, _) => ())
+      : DataFrame =
+    corenessImpl(undirectedEdges.sparkSession, Left(undirectedEdges),
+      partitions, maxRounds, broadcastVertexCeiling, "auto",
+      onRoundStats, noScan)
+
+  /** Storage bucket of a doubled-edge row, keyed by its PROBE end `v` —
+    * the partition column of the bucketed edge layout
+    * ([[writeBucketedEdges]]); the [[graft.ext.Dedup.postingBucket]]
+    * pattern applied to graph edges.
+    */
+  def edgeBucket(v: Column, nBuckets: Int): Column =
+    pmod(v, lit(nBuckets.toLong)).cast("int")
+
+  /** Persist the DOUBLED edge list hive-partitioned by
+    * `b = pmod(v, nBuckets)` — one file per bucket dir (the q244/q260
+    * posting layout applied to edges, r17 verdict #1). [[corenessBucketed]]
+    * then prunes each small-frontier round's semi-join probe to the
+    * frontier's bucket set AT THE SCAN (PartitionFilters), making those
+    * rounds delta-READ-sized instead of paying a full 2|E| scan — on a
+    * 100 TB near-dup graph the full probe scan is the whole cost of a
+    * 1-vertex round. Sizing law (the posting-bucket rationale,
+    * `Dedup.ngramPostingsBucketed`): nBuckets ∝ |V| for constant rows
+    * per bucket; once the frontier's vertex count approaches nBuckets
+    * every bucket is hit and pruning degrades to the full scan — which
+    * is exactly the wide-round regime where the probe needed the full
+    * scan anyway.
+    */
+  def writeBucketedEdges(undirectedEdges: DataFrame, dir: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive (got $nBuckets)")
+    val s = undirectedEdges.sparkSession
+    // materialize once before doubling (union branches do not share
+    // exchanges — the pageRank lesson)
+    val pairs0 = undirectedEdges.select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val pins = graft.util.CheckpointGen.pinnedIds(pairs0)
+    pairs0.unionAll(
+        pairs0.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src").as("v"), col("dst").as("u"))
+      .withColumn("b", edgeBucket(col("v"), nBuckets))
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(dir)
+    graft.util.CheckpointGen.release(s.sparkContext, pins)
+  }
+
+  /** [[coreness]] over a PERSISTED bucketed edge layout
+    * ([[writeBucketedEdges]]) instead of an in-memory edge frame. Wide
+    * rounds (round 0, sync rounds, past-ceiling frontiers) scan the full
+    * layout — the same full probe the in-memory path pays, traded
+    * against NOT pinning a 2|E| localCheckpoint for the fixpoint's
+    * lifetime (at 100 TB the edge table lives on disk regardless).
+    * Frontier-local rounds prune the probe to the frontier's bucket set
+    * at the scan: the bucket set rides the SAME per-round stats action
+    * that already sizes the frontier (one `collect_set(pmod(v, B))`,
+    * bounded by nBuckets), is planted as a literal in-filter on the
+    * partition column, and Catalyst skips the non-hit bucket dirs
+    * (PartitionFilters — Round18Spec asserts via numFiles, the
+    * Round14Spec:q244 pattern, through [[corenessBucketed]]'s
+    * `onRoundScan` hook). Dropped rows cannot change the result: a
+    * pruned bucket holds no frontier vertex on its probe end, so none of
+    * its rows can survive the `v` semi-join (iterates — and checksums —
+    * are bit-equal to the in-memory path; spec-pinned). Trade-off vs the
+    * in-memory path, documented not hidden: the disk layout is not
+    * pre-partitioned by `v`, so each WIDE round's h-eval pays one
+    * exchange of map-side partially-aggregated (v, distinct value) rows
+    * — a few per vertex — where the checkpointed path pays none; the
+    * frontier-local tail (where delta scheduling matters) broadcasts
+    * `touched` and never needed that partitioning.
+    *
+    * @param onRoundScan called once per frontier-local round with
+    *   (round, data files read by the pruned probe scan, hit bucket
+    *   count) — the spec's lever to pin that small-frontier rounds are
+    *   delta-READ-sized.
+    */
+  def corenessBucketed(spark: SparkSession, bucketedEdgeDir: String,
+               nBuckets: Int, partitions: Int = 8,
+               maxRounds: Int = 64,
+               broadcastVertexCeiling: Long = 10000000L,
+               schedule: String = "delta",
+               onRoundStats: (Int, Long) => Unit = (_, _) => (),
+               onRoundScan: (Int, Long, Long) => Unit = noScan)
+      : DataFrame =
+    corenessImpl(spark, Right((bucketedEdgeDir, nBuckets)), partitions,
+      maxRounds, broadcastVertexCeiling, schedule, onRoundStats,
+      onRoundScan)
+
+  private val noScan: (Int, Long, Long) => Unit = (_, _, _) => ()
+
+  private def corenessImpl(caller: SparkSession,
+      edgesIn: Either[DataFrame, (String, Int)],
+      partitions: Int, maxRounds: Int, broadcastVertexCeiling: Long,
+      schedule: String, onRoundStats: (Int, Long) => Unit,
+      onRoundScan: (Int, Long, Long) => Unit): DataFrame = {
     require(maxRounds >= 1, s"coreness needs maxRounds >= 1 (got $maxRounds)")
-    val caller = undirectedEdges.sparkSession
+    require(Set("sync", "delta", "auto")(schedule),
+      s"schedule must be sync|delta|auto (got $schedule)")
     val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -292,25 +417,38 @@ object Graph {
         r
       }
     val result = locally {
-      // materialize the caller-built edges once before doubling (union
-      // branches do not share exchanges — the pageRank lesson)
-      val pairs0 = spark.createDataFrame(
-          undirectedEdges.select(col("src"), col("dst")).rdd,
-          undirectedEdges.select(col("src"), col("dst")).schema)
-        .localCheckpoint(true)
-      val pairs0Ids = graft.util.CheckpointGen.pinnedIds(pairs0)
-      // pre-partition the doubled edges BY v once: every per-round
-      // consumer clusters on v (the active-set semi join, the h-eval
-      // window+groupBy, the next-active distinct), and localCheckpoint
-      // preserves the physical partitioning, so the edge table pays its
-      // exchange ONCE for the whole fixpoint instead of once per round.
-      val both = timed("setup: double+repartition edges")(pairs0.unionAll(
-          pairs0.select(col("dst").as("src"), col("src").as("dst")))
-        .select(col("src").as("v"), col("dst").as("u"))
-        .repartition(partitions, col("v"))
-        .localCheckpoint(true))
-      val bothIds = graft.util.CheckpointGen.pinnedIds(both)
-      release(pairs0Ids)
+      // edge source: in-memory (Left) doubles + pre-partitions +
+      // checkpoints the caller's frame; bucketed (Right) reads the
+      // persisted doubled layout — nothing 2|E|-sized is ever pinned,
+      // and frontier-local rounds prune the scan to hit buckets.
+      val (bothAll, both, bothIds, nBuckets) = edgesIn match {
+        case Left(undirectedEdges) =>
+          // materialize the caller-built edges once before doubling
+          // (union branches do not share exchanges — the pageRank lesson)
+          val pairs0 = spark.createDataFrame(
+              undirectedEdges.select(col("src"), col("dst")).rdd,
+              undirectedEdges.select(col("src"), col("dst")).schema)
+            .localCheckpoint(true)
+          val pairs0Ids = graft.util.CheckpointGen.pinnedIds(pairs0)
+          // pre-partition the doubled edges BY v once: every per-round
+          // consumer clusters on v (the active-set semi join, the h-eval
+          // window+groupBy, the next-active distinct), and localCheckpoint
+          // preserves the physical partitioning, so the edge table pays its
+          // exchange ONCE for the whole fixpoint instead of once per round.
+          val b = timed("setup: double+repartition edges")(pairs0.unionAll(
+              pairs0.select(col("dst").as("src"), col("src").as("dst")))
+            .select(col("src").as("v"), col("dst").as("u"))
+            .repartition(partitions, col("v"))
+            .localCheckpoint(true))
+          val ids = graft.util.CheckpointGen.pinnedIds(b)
+          release(pairs0Ids)
+          (b, b, ids, 0)
+        case Right((dir, nb)) =>
+          require(nb > 0, s"nBuckets must be positive (got $nb)")
+          val all = spark.read.parquet(dir) // (v, u, b)
+          (all, all.drop("b"), Set.empty[Int], nb)
+      }
+      val bucketedMode = nBuckets > 0
       // the value table carries each vertex's INITIAL degree alongside its
       // current value for the whole loop: deg is what makes the frontier's
       // exact incident-edge count (Σ deg over the frontier) a free
@@ -335,9 +473,17 @@ object Graph {
       // Broadcast-vs-shuffle is decided per frame by the same ceiling:
       // the frontier frames (active/evald/changed) are frontier-sized
       // and broadcast long after the value table stops fitting.
+      val auto = schedule == "auto"
+      // current schedule mode; auto starts synchronous (no frontier
+      // bookkeeping) and flips permanently when the rule fires
+      var delta = schedule == "delta"
       var active: Option[DataFrame] = None // None = all vertices (round 1)
       var activeIds = Set.empty[Int]
       var nActive = nVerts
+      // bucketed mode: the frontier's bucket set (≤ nBuckets ints,
+      // collected on the SAME stats action that sizes the frontier) —
+      // next round's pruned-probe in-filter
+      var hitBuckets: Seq[Int] = Seq.empty
       // exact incident-edge count of the current frontier (Σ deg), the
       // quantity that decides this round's join direction; MaxValue while
       // the frontier is "all vertices" (round 1 / sync rounds)
@@ -353,18 +499,39 @@ object Graph {
         // incident edges fit the broadcast ceiling and undercut |V|, the
         // touched edges are materialized once and broadcast into
         // stream-scans of the value table — no |V|-row driver builds.
-        val frontierLocal = deltaSchedule && active.isDefined &&
+        val frontierLocal = delta && active.isDefined &&
           nIncident <= broadcastVertexCeiling && nIncident < nVerts
         val (touched, touchedIds) = active match {
           case None => (both, Set.empty[Int])
           case Some(a) =>
             val aSide =
               if (nActive <= broadcastVertexCeiling) broadcast(a) else a
-            val t = both.join(aSide, Seq("v"), "left_semi")
+            // bucketed mode, frontier-local round: prune the probe to
+            // the frontier's bucket set AT THE SCAN — the in-filter on
+            // the partition column reaches PartitionFilters, so non-hit
+            // bucket dirs are never read. Dropped rows cannot survive
+            // the v semi-join (their bucket holds no frontier vertex),
+            // so the iterates are unchanged (Round18Spec pins both the
+            // equality and, via onRoundScan, the file-count shrink).
+            val src =
+              if (bucketedMode && frontierLocal)
+                bothAll.filter(col("b").isInCollection(hitBuckets))
+                  .drop("b")
+              else both
+            val t = src.join(aSide, Seq("v"), "left_semi")
             if (!frontierLocal) (t, Set.empty[Int])
             else {
+              val tPlan = t.select(col("v"), col("u"))
               val tm = timed(s"round $rounds: touched")(
-                t.select(col("v"), col("u")).localCheckpoint(true))
+                tPlan.localCheckpoint(true))
+              if (bucketedMode) {
+                // scan telemetry off the just-executed plan (driver-side
+                // metric walk, no extra job)
+                val files = tPlan.queryExecution.executedPlan
+                  .collectLeaves()
+                  .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+                onRoundScan(rounds, files, hitBuckets.size.toLong)
+              }
               (tm, graft.util.CheckpointGen.pinnedIds(tm))
             }
         }
@@ -410,22 +577,17 @@ object Graph {
           .localCheckpoint(true)
         }
         val mergedIds = graft.util.CheckpointGen.pinnedIds(merged)
-        if (!deltaSchedule) {
-          // synchronous schedule: terminate on a no-change round, else
-          // re-evaluate ALL vertices next round (active stays None = full
-          // width); the frontier machinery below never runs
-          val nChanged = timed(s"round $rounds: count changed")(
-            merged.filter(col("chg")).count())
-          nActive = if (nChanged == 0) 0 else nVerts
-        } else {
-          // VALUE-AWARE frontier: a changed neighbor whose NEW value is
-          // still >= h_v cannot move v — for every d <= h_v both the old
-          // and the new value count toward N_{>=d}, so N_{>=h_v} is
-          // untouched and h_v stays attainable (values only decrease, so
-          // h cannot rise). Hence v re-evaluates ONLY if SOME changed
-          // neighbor's new value undercuts its current h. Termination is
-          // frontier-empty (implied by nothing-changed) — no separate
-          // changed-count action.
+        // VALUE-AWARE frontier pass (see scaladoc): a changed neighbor
+        // whose NEW value is still >= h_v cannot move v — for every
+        // d <= h_v both the old and the new value count toward N_{>=d},
+        // so N_{>=h_v} is untouched and h_v stays attainable (values
+        // only decrease, so h cannot rise). Hence v re-evaluates ONLY if
+        // SOME changed neighbor's new value undercuts its current h.
+        // Termination is frontier-empty (implied by nothing-changed).
+        // Shared by the delta schedule's per-round advance and the auto
+        // schedule's sync→delta flip (which passes its already-known
+        // changed count so no job repeats).
+        def advanceFrontier(knownChanged: Option[Long]): Unit = {
           val changed = merged.filter(col("chg"))
             .select(col("id").as("chid"), col("c").as("cnew"))
           val nextActive = timed(s"round $rounds: frontier")(
@@ -456,12 +618,16 @@ object Graph {
               // nChanged (changed ⊆ evaluated) with no action; only in
               // the >ceiling regime — where the round is already
               // full-shuffle-expensive — is one count job spent to
-              // decide.
-              val chSide =
-                if (nActive <= broadcastVertexCeiling ||
-                    merged.filter(col("chg")).count() <=
-                      broadcastVertexCeiling) broadcast(changed)
-                else changed
+              // decide (skipped when the auto flip already measured it).
+              // The count runs as its own TIMED val (visible in
+              // GRAFT_CORE_TIMING, computed exactly once per round)
+              // rather than inline in the broadcast condition.
+              val chBounded = nActive <= broadcastVertexCeiling ||
+                knownChanged.getOrElse {
+                  timed(s"round $rounds: changed count")(
+                    merged.filter(col("chg")).count())
+                } <= broadcastVertexCeiling
+              val chSide = if (chBounded) broadcast(changed) else changed
               val cNow = merged.select(col("id").as("cid"),
                 col("c").as("cv"), col("deg"))
               val cvSide =
@@ -474,19 +640,53 @@ object Graph {
                 .localCheckpoint(true)
             })
           val naIds = graft.util.CheckpointGen.pinnedIds(nextActive)
-          // ONE tiny action on the checkpointed frontier yields both its
-          // size and its exact incident-edge count (Σ deg) — next
-          // round's join-direction decision.
+          // ONE tiny action on the checkpointed frontier yields its
+          // size, its exact incident-edge count (Σ deg) — next round's
+          // join-direction decision — and, in bucketed mode, its bucket
+          // set (≤ nBuckets ints) for the pruned probe.
+          val statAggs = Seq(count(lit(1)), sum(col("deg"))) ++
+            (if (bucketedMode)
+              Seq(collect_set(edgeBucket(col("v"), nBuckets)))
+            else Nil)
           val stats = timed(s"round $rounds: stats")(
-            nextActive.agg(count(lit(1)), sum(col("deg"))).head())
+            nextActive.agg(statAggs.head, statAggs.tail: _*).head())
           nActive = stats.getLong(0)
           nIncident = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+          hitBuckets =
+            if (bucketedMode && nActive > 0) stats.getSeq[Int](2)
+            else Seq.empty
           release(activeIds)
           if (nActive == 0) {
             release(naIds); active = None; activeIds = Set.empty
           } else {
             active = Some(nextActive.select(col("v"))); activeIds = naIds
           }
+        }
+        if (delta) advanceFrontier(knownChanged = None)
+        else if (!auto) {
+          // synchronous schedule: terminate on a no-change round, else
+          // re-evaluate ALL vertices next round (active stays None = full
+          // width); the frontier machinery never runs
+          val nChanged = timed(s"round $rounds: count changed")(
+            merged.filter(col("chg")).count())
+          nActive = if (nChanged == 0) 0 else nVerts
+        } else {
+          // ADAPTIVE schedule, sync phase: the termination action is
+          // widened to (count, Σ deg) over the changed set — the same
+          // single job — and the flip rule compares the next round's
+          // candidate bound (Σ deg(changed): each changed vertex can
+          // activate at most deg neighbors) against |V|/2 (see
+          // corenessAdaptive's scaladoc for the measured rationale).
+          val chStats = timed(s"round $rounds: changed stats")(
+            merged.filter(col("chg"))
+              .agg(count(lit(1)), sum(col("deg"))).head())
+          val nChanged = chStats.getLong(0)
+          val chDeg = if (chStats.isNullAt(1)) 0L else chStats.getLong(1)
+          if (nChanged == 0) nActive = 0
+          else if (2 * chDeg < nVerts) {
+            delta = true
+            advanceFrontier(knownChanged = Some(nChanged))
+          } else nActive = nVerts
         }
         release(touchedIds)
         release(cIds)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.ext.{Dedup, TextAnalysis => TA}
+import graft.ext.{Dedup, Graph, TextAnalysis => TA}
 import graft.util.OracleSafe.{dsum, sqlDsum}
 
 /** Training-data pipeline plumbing beyond dedup/similarity: deterministic
@@ -1569,7 +1569,10 @@ object PipelineQueries {
         |  SELECT d.doc_id AS id, d.doc_id AS label FROM documents d
         |  WHERE d.doc_id % 5 = 0
         |    AND d.doc_id NOT IN (SELECT id FROM comp))
-        |SELECT id, label FROM fin ORDER BY id""".stripMargin)),
+        |SELECT id, label FROM fin ORDER BY id""".stripMargin),
+      // v1 comparator loop: CcStoreBench owns its v1-vs-v2 measurement;
+      // the default bench tier skips it (r17 verdict #6)
+      benchSkip = true),
 
     // ---- RESTART-RESUME for the streaming maintenance loop (r14 #1) ----
     // q242 proved the streamed loop batch-boundary independent, but its
@@ -2024,9 +2027,16 @@ object PipelineQueries {
           if (!java.nio.file.Files.exists(java.nio.file.Paths
               .get(scoredStore.basePath(-1), "_SUCCESS"))) {
             val init = scoredOf(docs.filter(!isNew)).localCheckpoint(true)
-            init.write.mode("overwrite").parquet(scoredStore.basePath(-1))
+            // census base FIRST: the guard above keys on the scored
+            // base's _SUCCESS, so the marker it checks must be the LAST
+            // write — a crash between the two then re-runs the whole
+            // init (heal-on-redelivery, the GenStore discipline) instead
+            // of reporting initialized with the census base missing
             censusOf(init).write.mode("overwrite")
               .parquet(censusStore.basePath(-1))
+            init.write.mode("overwrite").parquet(scoredStore.basePath(-1))
+            graft.util.CheckpointGen.release(s.sparkContext,
+              graft.util.CheckpointGen.pinnedIds(init))
           }
           val reduced = graft.util.BenchMode.reducedDemos
           // bench depth (BenchMode): production fold cadence + one
@@ -2121,7 +2131,170 @@ object PipelineQueries {
         |SELECT doc_id, source, n_tok, r,
         |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
         |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
-        |FROM ranked ORDER BY doc_id""".stripMargin))
+        |FROM ranked ORDER BY doc_id""".stripMargin)),
+
+    // ---- INCREMENTAL coreness maintenance on the v2 store (r17 #3) ----
+    // q258 proved the batch step: coreness is COMPONENT-LOCAL (the
+    // h-index fixpoint of a vertex depends only on its component's
+    // edges), so a delta's recompute scope is the components it touches.
+    // This is the production leg — the q261/q263 discipline applied to
+    // graph depth:
+    //   - dedup state: the v2 CC store (Streams.ccStoreStep) at the q248
+    //     graph's threshold (Jaccard 0.3), delta-sized label updates,
+    //     mid-stream folds + GC;
+    //   - pair state: a GenStore of per-epoch delta pair sets — the
+    //     accumulated union IS the full pair set (a pair's Jaccard
+    //     depends only on its two docs: within-old pairs land in the
+    //     init base, cross and within-batch pairs in the batch's epoch —
+    //     the q258 oracle argument), append-only, delta-sized writes;
+    //   - coreness state: a GenStore of per-epoch (id, coreness) deltas
+    //     covering ONLY the touched components — merge-on-read
+    //     latest-epoch-wins per id (the label-view shape), so untouched
+    //     components serve their stored coreness verbatim and the
+    //     coreness table never rewrites corpus-wide.
+    // The per-epoch step rides ccStoreStep's onEpochPairs seam (the
+    // posting probe is paid ONCE — the pair delta this step already
+    // computed is reused), reads the POST-update label view (bound
+    // epoch+1: this epoch's merges included, so every edge's two
+    // endpoints share a component and one semi-join closes the
+    // subgraph), scopes to touched components via broadcast-probe joins
+    // (delta-sized builds, the |V|-row label view streams), and
+    // recomputes coreness on the component-closed subgraph only. All
+    // writes are epoch-keyed idempotent overwrites (the re-delivery
+    // contract); folds obey the fold-lag rule on the shared GenStore
+    // seam. No kill/restart leg — q261/q262 + Round16Spec own that
+    // proof; this query's claim is incremental graph depth at one
+    // stream's cost. Oracle = q248's full-graph recompute over the
+    // accumulated corpus: batch-boundary independence for coreness.
+    QueryDef("q264_stream_incremental_coreness",
+      (s, dir) => {
+        import graft.streaming.Streams
+        import graft.util.GenStore
+        val docs = Tables.documents(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_inc_core").toString
+        try {
+          val schema = stageCcIngest(s, docs, root)
+          Streams.ccStoreInit(docs.filter(col("doc_id") % 5 =!= 0),
+            s"$root/state", k = 3, threshold = 0.3, nBuckets = 64)
+          val pairStore = GenStore(s"$root/state/core/pairs_base",
+            s"$root/state/core/pairs")
+          val coreStore = GenStore(s"$root/state/core/core_base",
+            s"$root/state/core/core")
+          // latest-epoch-wins per id (the ccStoreLabelsView shape; no
+          // broadcast guard needed — core deltas are component-sized
+          // and the demo serve reads once)
+          def coreView(bound: Long): org.apache.spark.sql.DataFrame = {
+            val g = coreStore.latestCompleteBase(bound)
+            val base = s.read.parquet(coreStore.basePath(g))
+            val live = coreStore.completeDeltaEpochs(g, bound)
+            if (live.isEmpty) base
+            else {
+              val latest = s.read.parquet(coreStore.deltaDir)
+                .filter(col(coreStore.deltaCol).isin(live: _*))
+                .withColumn("rn", row_number().over(Window
+                  .partitionBy("id")
+                  .orderBy(col(coreStore.deltaCol).desc)))
+                .filter(col("rn") === 1).select("id", "coreness")
+              base.join(latest.select("id"), Seq("id"), "left_anti")
+                .unionByName(latest)
+            }
+          }
+          if (!java.nio.file.Files.exists(java.nio.file.Paths
+              .get(coreStore.basePath(-1), "_SUCCESS"))) {
+            // init from the WRITTEN postings (the q240 one-shingle-pass
+            // discipline); pairs base BEFORE the core base — the guard
+            // keys on the core marker, so it commits LAST and a torn
+            // init re-runs whole (heal-on-redelivery, r17 ADVICE #3)
+            val p = s.read
+              .parquet(s"$root/state/gens/posting_base/g=-1")
+              .select("i", "sk")
+            val z = s.read.parquet(s"$root/state/gens/size_base/g=-1")
+            val initPairs = Dedup
+              .ngramJaccardPairsFromPostings(p, z, 0.3)
+              .select("i", "j").localCheckpoint(true)
+            initPairs.write.mode("overwrite")
+              .parquet(pairStore.basePath(-1))
+            Graph.coreness(initPairs
+                .select(col("i").as("src"), col("j").as("dst")))
+              .write.mode("overwrite").parquet(coreStore.basePath(-1))
+            graft.util.CheckpointGen.release(s.sparkContext,
+              graft.util.CheckpointGen.pinnedIds(initPairs))
+          }
+          val reduced = graft.util.BenchMode.reducedDemos
+          val onPairs: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (pairs, epoch) => {
+              pairs.select("i", "j").write.mode("overwrite")
+                .parquet(pairStore.deltaPath(epoch))
+              val labelsPost = Streams.ccStoreLabelsView(s,
+                s"$root/state", epoch + 1)
+              val ends = pairs.select(col("i").as("id"))
+                .unionAll(pairs.select(col("j").as("id"))).distinct()
+              val touchedComps = labelsPost
+                .join(broadcast(ends), Seq("id"), "left_semi")
+                .select("label").distinct()
+              val affected = labelsPost
+                .join(broadcast(touchedComps), "label")
+                .select("id").localCheckpoint(true)
+              val affEdges = pairStore.unionView(s, epoch + 1)
+                .join(affected.select(col("id").as("i")),
+                  Seq("i"), "left_semi")
+              Graph.coreness(affEdges
+                  .select(col("i").as("src"), col("j").as("dst")))
+                .write.mode("overwrite")
+                .parquet(coreStore.deltaPath(epoch))
+              graft.util.CheckpointGen.release(s.sparkContext,
+                graft.util.CheckpointGen.pinnedIds(affected))
+              // threshold fold + GC (fold-lag rule: cover <= epoch-1
+              // only; skip when a base already reached the fold point)
+              val foldPoint = epoch - 1
+              val pg = pairStore.latestCompleteBase()
+              if (pg < foldPoint &&
+                  pairStore.completeDeltaEpochs(pg, epoch).size > 1) {
+                pairStore.unionView(s, epoch).write.mode("overwrite")
+                  .parquet(pairStore.basePath(foldPoint))
+                pairStore.gc(); ()
+              }
+              val cg = coreStore.latestCompleteBase()
+              if (cg < foldPoint &&
+                  coreStore.completeDeltaEpochs(cg, epoch).size > 1) {
+                coreView(epoch).write.mode("overwrite")
+                  .parquet(coreStore.basePath(foldPoint))
+                coreStore.gc(); ()
+              }
+            }
+          // bench depth (BenchMode): production fold cadence + one
+          // trigger; full depth folds aggressively so the serve reads
+          // across fold boundaries
+          val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            if (reduced) Streams.ccStoreStep(s"$root/state", 3, 0.3, 64,
+              gcAfterFold = true, onEpochPairs = onPairs)
+            else Streams.ccStoreStep(s"$root/state", 3, 0.3, 64,
+              maxLabelDeltas = 1, maxPostingGens = 0, gcAfterFold = true,
+              onEpochPairs = onPairs)
+          val q = demoIngest(s, schema, root, reduced)
+            .writeStream.option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch(step).start()
+          try q.processAllAvailable() finally q.stop()
+          if (!reduced) {
+            require(pairStore.latestCompleteBase() >= 1,
+              "the pair fold did not fire mid-stream")
+            require(coreStore.latestCompleteBase() >= 1,
+              "the coreness fold did not fire mid-stream")
+          }
+          coreView(Long.MaxValue)
+            .select(col("id").as("doc_id"), col("coreness"))
+            .orderBy("doc_id")
+            .localCheckpoint(true) // materialize before the root dies
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(TextQueries.fullCorenessOracleSql))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

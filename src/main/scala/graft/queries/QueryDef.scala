@@ -17,4 +17,14 @@ case class QueryDef(
       * benchmarking of the benchmarks themselves (round-9 verdict #6).
       * Correctness handling (Verify/oracle) is identical either way.
       */
-    evalOnly: Boolean = false)
+    evalOnly: Boolean = false,
+    /** Comparator/demonstration query whose MEASUREMENT duty a dedicated
+      * bench harness already owns (q242: the v1 full-rewrite loop that
+      * CcStoreBench grades v2 against): Bench's default tier skips it —
+      * its ~9 s idle cost measures superseded-comparator scaffolding,
+      * not engine capability — and stamps the skip into the JSON
+      * (`bench_skipped`). GRAFT_BENCH_FULL_DEMOS=1 restores it.
+      * Verify/CORRECTNESS and the ScalaTest suites always run it
+      * (r17 verdict #6).
+      */
+    benchSkip: Boolean = false)

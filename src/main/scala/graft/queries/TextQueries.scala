@@ -1501,7 +1501,7 @@ object TextQueries {
     * incremental maintenance must reproduce this exactly. Depth 8 ≥ the
     * fixture's fixpoint; extra rounds are no-ops past convergence.
     */
-  private lazy val fullCorenessOracleSql: String =
+  private[queries] lazy val fullCorenessOracleSql: String =
     s"""$shingleCte,
       |e AS (SELECT i, j FROM pairs
       |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3),

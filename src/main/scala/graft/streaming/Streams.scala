@@ -664,9 +664,12 @@ object Streams {
   /** @param onLabelWrite called with the wall-clock seconds of this
     *   epoch's complete LABEL-PATH writes — the update-delta write plus
     *   the full-table `applyCcLabelUpdates` generation rewrite. The v2
-    *   twin ([[ccStoreStep]]) times the SAME semantic window (its label
-    *   path is the delta write alone), so v1 − v2 is exactly the
-    *   full-table rewrite the v2 store eliminates. Step wall-clock at
+    *   twin ([[ccStoreStep]]) times its own label path (the delta write
+    *   + `_rows` sidecar count), so v1 − v2 APPROXIMATES the full-table
+    *   rewrite the v2 store eliminates — not exactly: v1's window also
+    *   carries the persisted-delta re-read + a CheckpointGen release,
+    *   v2's carries the sidecar's footer-count job, so the difference
+    *   slightly UNDERSTATES the rewrite (r17 ADVICE). Step wall-clock at
     *   bench scale is dominated by the shared probe/shingle floor both
     *   loops pay, so the v1-vs-v2 claim needs the label-write path
     *   timed in isolation (r16 verdict #6); CcStoreBench stamps these
@@ -948,18 +951,31 @@ object Streams {
     */
   /** @param onLabelWrite called with the wall-clock seconds of this
     *   epoch's complete LABEL-PATH writes — here the DELTA write
-    *   (update set + `_rows` sidecar), the only per-epoch label write
-    *   the v2 store performs. The [[ccMaintenanceDiskStep]] twin hook
-    *   times the same window over v1's label path (update delta + the
-    *   full-table rewrite), so v1 − v2 isolates the rewrite this store
-    *   eliminates (r16 verdict #6).
+    *   (update set + `_rows` sidecar, INCLUDING the sidecar's
+    *   footer-count read-back job, which v1 never pays). The
+    *   [[ccMaintenanceDiskStep]] twin hook times v1's label path
+    *   (update delta + persisted-delta re-read + the full-table
+    *   rewrite), so v1 − v2 approximates — slightly understates, by
+    *   (v1's re-read − v2's sidecar count) — the rewrite this store
+    *   eliminates (r16 verdict #6, wording per r17 ADVICE).
+    */
+  /** @param onEpochPairs called once per epoch with the MATERIALIZED
+    *   (localCheckpointed) delta pair set and the epoch id, after the
+    *   label update delta + `_rows` sidecar commit (so
+    *   [[ccStoreLabelsView]] at bound `epoch + 1` reflects this epoch's
+    *   merges) and before the pair pins release — the seam a composed
+    *   maintenance loop (q264's incremental coreness) taps to reuse the
+    *   pairs this step already computed instead of paying the posting
+    *   probe twice. Hook writes must follow the store discipline:
+    *   epoch-keyed idempotent overwrites only (the step may re-deliver).
     */
   def ccStoreStep(stateRoot: String, k: Int = 3, threshold: Double = 0.5,
       nBuckets: Int = 0, maxLabelDeltas: Int = 4, maxPostingGens: Int = 4,
       gcAfterFold: Boolean = false,
       killOnceAt: Option[(Long, java.util.concurrent.atomic.AtomicBoolean)] =
         None, maxLabelDeltaRows: Long = CcLabelBroadcastMaxRows,
-      onLabelWrite: Double => Unit = _ => ())(
+      onLabelWrite: Double => Unit = _ => (),
+      onEpochPairs: (DataFrame, Long) => Unit = (_, _) => ())(
       batch: DataFrame, epoch: Long): Unit = {
     val s = batch.sparkSession
     val sc = s.sparkContext
@@ -983,7 +999,6 @@ object Streams {
       b.select(col("doc_id").as("id")))
     val labelWriteT0 = System.nanoTime()
     updates.write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
-    CheckpointGen.release(sc, pairPins ++ CheckpointGen.pinnedIds(updates))
     // `_rows` sidecar: the delta's row count, read back footer-cheap from
     // the WRITTEN parquet — the broadcast guard and the row-based fold
     // trigger consume it driver-side with no further jobs. Written after
@@ -992,6 +1007,11 @@ object Streams {
     ccLabelStore(stateRoot).writeDeltaRowsSidecar(epoch,
       s.read.parquet(s"$stateRoot/updates/batch=$epoch").count())
     onLabelWrite((System.nanoTime() - labelWriteT0) / 1e9)
+    // composed-loop seam: the pair delta stays pinned through the hook
+    // (updates' lineage reaches the same pins, so both release together
+    // after it)
+    onEpochPairs(newPairs, epoch)
+    CheckpointGen.release(sc, pairPins ++ CheckpointGen.pinnedIds(updates))
     killOnceAt.foreach { case (at, armed) =>
       if (epoch == at && armed.compareAndSet(true, false)) {
         CheckpointGen.release(sc, bPins ++ bpPins)

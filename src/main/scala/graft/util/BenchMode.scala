@@ -22,6 +22,15 @@ package graft.util
   *     it measured;
   *   - Verify and the ScalaTest suites never set it, so every
   *     CORRECTNESS run keeps the full kill/restart depth.
+  *
+  * CONCURRENCY CONTRACT (r17 ADVICE): the flag is a process-global
+  * mutable. The one in-process consumer that flips it mid-run is
+  * Round17Spec's reduced≡full pin (set / finally-restore around a
+  * single query), which is safe ONLY because test suites execute
+  * sequentially in the forked JVM — pinned in build.sbt
+  * (`Test / testForkedParallel := false`). Any future parallel-suite
+  * harness must thread depth as an explicit parameter instead of
+  * reading this prop mid-flight.
   */
 object BenchMode {
   val ReducedDemosProp = "graft.bench.reducedDemos"

@@ -60,6 +60,13 @@ class Round15Spec extends SparkSpec {
   test("restart-resume: the disk-state maintenance loop killed mid-epoch-1 " +
       "and restarted from its checkpoint == the uninterrupted q242 run " +
       "(the r14 verdict's last unproven production-dedup leg)") {
+    // EXPECTED LOG NOISE: the kill/fresh-session restart tests in this
+    // region print CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND stack traces — the
+    // killed session's localCheckpoint blocks are correctly unusable
+    // after the injected death; recovery comes from disk, and the
+    // assertions below are what prove it. A green run with those traces
+    // is the intended outcome, not a flake to chase.
+    //
     // q252 IS the killed+restarted run (it require()s the kill fired);
     // q242 is the uninterrupted in-memory loop over the same staged
     // epochs. Equality here + both queries' shared DuckDB oracle closes

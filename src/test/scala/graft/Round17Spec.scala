@@ -175,6 +175,10 @@ class Round17Spec extends SparkSpec {
       "on EVERY reduced-aware demo — v1 plain/bucketed (q242 q252 " +
       "q260), v2 text/media (q261 q262)") {
     val dir = "/root/testdata/sf0.001"
+    // EXPECTED LOG NOISE: the full-depth runs below inject kills, so
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND traces from the killed sessions'
+    // unusable localCheckpoint blocks are the intended outcome of a
+    // green run (recovery is from disk) — see Round15Spec's note.
     def run(name: String): Seq[(Long, Long)] =
       SparkEntry.queries(name)(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

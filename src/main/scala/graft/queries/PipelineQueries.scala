@@ -264,6 +264,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Land a striped training snapshot on disk — the q254 treatment,
+    * factored so q263's stream run and Round18Spec's layout assertions
+    * share one writer (r17 verdict #5): `repartition(col("shard"))` puts
+    * each shard in exactly one task, `partitionBy("shard")` gives one
+    * dir (and hence one file) per shard, and the returned frame is the
+    * READ-BACK — trainers consume the disk layout, so the oracle must
+    * pin the round trip, not the pre-write view. A shard-pruned consumer
+    * (`filter(col("shard") === k)`) reads exactly one file
+    * (PartitionFilters; Round18Spec asserts via numFiles).
+    */
+  private[graft] def writeShardSnapshot(
+      snapshot: org.apache.spark.sql.DataFrame, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    snapshot.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    snapshot.sparkSession.read.parquet(dir)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("r"),
+        col("shard").cast("long").as("shard"))
+  }
+
   /** The q249 serpentine balanced-shard layout (doc_id, n_tok, r, shard)
     * — rank by (n_tok DESC, doc_id) via census-prefix offset + per-value
     * row_number (NEVER a corpus-wide single-partition window; plan-pinned
@@ -2079,11 +2099,17 @@ object PipelineQueries {
           if (!reduced) require(censusStore.latestCompleteBase() >= 1,
             "the census fold did not fire mid-stream")
           // ---- serve: cut the training snapshot from state only ----
-          incrementalCurationServe(
+          val snapshot = incrementalCurationServe(
             Streams.ccStoreLabels(s, s"$root/state"),
             scoredStore.unionView(s),
             censusStore.unionView(s)
               .groupBy("source", "q_micro").agg(sum("c").as("c")))
+          // ---- ...and LAND it (r17 verdict #5): the q254 treatment
+          // inside the same run — one file per shard dir, and the query
+          // RETURNS the read-back, so the oracle hash pins the disk
+          // round trip trainers actually consume, not the pre-write view
+          writeShardSnapshot(snapshot, s"$root/snapshot")
+            .orderBy("doc_id")
             .localCheckpoint(true) // materialize before the state dir dies
         } finally {
           scala.util.Using.resource(java.nio.file.Files

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.ext.Graph
 
 /** Round-18 invariants (the r17 verdict's #1/#2): the bucketed edge
@@ -146,5 +148,160 @@ class Round18Spec extends SparkSpec {
       val fixed = rows(Graph.coreness(edges))
       assert(auto.nonEmpty && auto == fixed)
     } finally rmTree(dir)
+  }
+
+  test("cross-process retainBases (r17 verdict #4): a separate serving " +
+      "JVM that resolved its label view completes a consistent read " +
+      "through a fold+GC sweep at retainBases=2 — while the sweep " +
+      "really deletes the superseded generation") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    def exists(p: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r18_serve").toString
+    val state = s"$root/state"
+    try {
+      // small corpus + per-epoch quiet batches; maxLabelDeltas=0 folds
+      // the label store at EVERY step, so each step supersedes a base
+      val corpus = (0L until 6L)
+        .map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+      Streams.ccStoreInit(corpus, state, k = 3, threshold = 0.3)
+      val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        Streams.ccStoreStep(state, 3, 0.3, 0,
+          maxLabelDeltas = 0, maxPostingGens = 0)
+      step(Seq((100L, "omega psi chi phi")).toDF("doc_id", "text"), 0L)
+      step(Seq((101L, "omega psi chi phi kappa")).toDF("doc_id", "text"), 1L)
+      // state now: label bases {-1, 0}, live update delta {1}. The
+      // expectation a serving reader must see, captured BEFORE the
+      // concurrent fold+GC:
+      val expected = Streams.ccStoreLabels(spark, state)
+        .collect().map(r => s"${r.getLong(0)},${r.getLong(1)}")
+        .sorted.toSeq
+      // spawn the serving JVM; it resolves its view (base 0 ∪ delta 1)
+      // and signals readiness BEFORE we fold
+      val ready = s"$root/ready"; val go = s"$root/go"
+      val out = s"$root/served"
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(s"${System.getProperty("java.home")}/bin/java",
+        "-cp", System.getProperty("java.class.path"), "-Xmx2g") ++ opens ++
+        Seq("graft.CcServeDriver", state, ready, go, out)).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!exists(ready)) {
+        assert(System.nanoTime() < deadline && proc.isAlive,
+          "serving JVM died before resolving its view")
+        Thread.sleep(50)
+      }
+      // maintenance side: one more epoch (folds labels to base g=1) +
+      // the retention sweep — base -1 and delta 0 must actually LEAVE
+      // disk (GC did real work), base 0 + delta 1 (the reader's
+      // snapshot) must survive
+      step(Seq((102L, "omega psi chi phi mu")).toDF("doc_id", "text"), 2L)
+      assert(exists(s"$state/gens/label_base/g=1/_SUCCESS"),
+        "the epoch-2 fold did not fire")
+      assert(Streams.ccStoreGc(state, retainBases = 2) > 0,
+        "the sweep deleted nothing — fixture stages no supersession")
+      assert(!exists(s"$state/gens/label_base/g=-1") &&
+        !exists(s"$state/updates/batch=0"),
+        "the superseded generation survived the sweep")
+      assert(exists(s"$state/gens/label_base/g=0/_SUCCESS") &&
+        exists(s"$state/updates/batch=1"),
+        "retainBases=2 failed to keep the serving reader's snapshot")
+      // release the reader; its read must complete consistently
+      java.nio.file.Files.write(java.nio.file.Paths.get(go),
+        Array.emptyByteArray)
+      val outStr = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val code = proc.waitFor()
+      assert(code == 0, s"serving JVM exited $code:\n" +
+        outStr.linesIterator.toSeq.takeRight(25).mkString("\n"))
+      val served = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out)), "UTF-8").linesIterator.toSeq
+      assert(served.nonEmpty && served == expected,
+        "the concurrent serving read diverged from the pre-fold view")
+    } finally rmTree(root)
+  }
+
+  test("shard snapshot on disk (r17 verdict #5): writeShardSnapshot " +
+      "lands one dir + one file per shard, a shard-pruned read touches " +
+      "exactly one file, and the round trip preserves content") {
+    import spark.implicits._
+    val snap = (0L until 64L)
+      .map(i => (i, s"src${i % 3}", 10L + i % 7, i + 1, i % 8))
+      .toDF("doc_id", "source", "n_tok", "r", "shard")
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r18_snapshot").toString
+    try {
+      val back = graft.queries.PipelineQueries
+        .writeShardSnapshot(snap, s"$dir/snapshot")
+      // one dir per shard, one data file per dir
+      val shardDirs = scala.util.Using.resource(java.nio.file.Files
+          .list(java.nio.file.Paths.get(s"$dir/snapshot"))) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("shard=")).toSeq
+      }
+      assert(shardDirs.sorted == (0 until 8).map(s => s"shard=$s"),
+        s"expected 8 shard dirs, found $shardDirs")
+      for (d <- shardDirs) {
+        val files = scala.util.Using.resource(java.nio.file.Files
+            .list(java.nio.file.Paths.get(s"$dir/snapshot/$d"))) { w =>
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+        }
+        assert(files == 1, s"$d holds $files data files (want 1)")
+      }
+      // pruned consumer: one shard → one file at the scan
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scans = plan.collectLeaves()
+          .collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty, s"no FileSourceScan in:\n$plan")
+        scans.map(_.metrics("numFiles").value).sum
+      }
+      assert(filesRead(back.filter(col("shard") === 3L)) == 1L,
+        "a one-shard read did not prune to one file")
+      // content round trip
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(canon(back) == canon(snap))
+    } finally rmTree(dir)
+  }
+
+  test("q264 reduced-demo depth is a measurement choice (the Round17Spec " +
+      "pin extended to the new demo): one-trigger production cadence " +
+      "serves the identical coreness table the 3-epoch aggressive-fold " +
+      "depth serves") {
+    // EXPECTED LOG NOISE: none here (no kill leg) — q264's restart story
+    // is owned by q261/q262; this pins batch-boundary independence.
+    val dir = "/root/testdata/sf0.001"
+    def run(): Seq[(Long, Long)] =
+      SparkEntry.queries("q264_stream_incremental_coreness")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!graft.util.BenchMode.reducedDemos)
+    val full = run()
+    sys.props(graft.util.BenchMode.ReducedDemosProp) = "1"
+    val reduced =
+      try run()
+      finally { sys.props.remove(graft.util.BenchMode.ReducedDemosProp); () }
+    assert(reduced.nonEmpty && reduced == full,
+      s"q264: reduced-demo coreness diverged from full depth " +
+        s"(${reduced.size} vs ${full.size} rows)")
   }
 }

@@ -2254,16 +2254,33 @@ object PipelineQueries {
                 .parquet(pairStore.deltaPath(epoch))
               val labelsPost = Streams.ccStoreLabelsView(s,
                 s"$root/state", epoch + 1)
+              // broadcast hints COUNT-GUARDED (the r16/r17 merge-storm
+              // discipline): a batch bridging into a megacomponent makes
+              // ends pair-delta-sized and affected component-sized —
+              // past the cap the hint drops and the planner falls back
+              // to a shuffle join, correct-but-slower for that epoch.
+              // Counts are cheap: pairs and affected are checkpointed.
+              val cap = Streams.CcLabelBroadcastMaxRows
+              val nPairs = pairs.count()
+              def hint(df: org.apache.spark.sql.DataFrame, n: Long) =
+                if (n <= cap) broadcast(df) else df
               val ends = pairs.select(col("i").as("id"))
                 .unionAll(pairs.select(col("j").as("id"))).distinct()
+              // |ends| <= 2·|pairs|, |touchedComps| <= |ends|
               val touchedComps = labelsPost
-                .join(broadcast(ends), Seq("id"), "left_semi")
+                .join(hint(ends, 2 * nPairs), Seq("id"), "left_semi")
                 .select("label").distinct()
               val affected = labelsPost
-                .join(broadcast(touchedComps), "label")
+                .join(hint(touchedComps, 2 * nPairs), "label")
                 .select("id").localCheckpoint(true)
+              val nAff = affected.count()
+              // the pair-state scan must STREAM map-side against the
+              // (usually small) affected probe — affected is an
+              // RDD-backed frame with no Catalyst stats, so without the
+              // guarded hint the planner would sort-merge the whole
+              // pair state every epoch
               val affEdges = pairStore.unionView(s, epoch + 1)
-                .join(affected.select(col("id").as("i")),
+                .join(hint(affected.select(col("id").as("i")), nAff),
                   Seq("i"), "left_semi")
               Graph.coreness(affEdges
                   .select(col("i").as("src"), col("j").as("dst")))

@@ -1418,6 +1418,58 @@ object TextQueries {
       },
       Some(fullCorenessOracleSql)),
 
+    // ---- coreness over the PERSISTED bucketed edge layout (r17 #1) ----
+    // q248 pays one full 2|E| probe scan per h-index round — on a 100 TB
+    // near-dup graph that scan is the whole cost of a 1-vertex round.
+    // Here the doubled edge list is persisted hive-partitioned by
+    // pmod(v, B) (Graph.writeBucketedEdges — the q244/q260 posting
+    // layout applied to edges) and every small-frontier round prunes its
+    // semi-join probe to the frontier's bucket set AT THE SCAN
+    // (PartitionFilters; Round18Spec pins files-read <= hit buckets).
+    // Iterates are unchanged — a pruned bucket holds no frontier vertex
+    // on its probe end — so the oracle is q248's verbatim.
+    QueryDef("q265_kcore_bucketed_edges",
+      (s, dir) => {
+        val e = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+            "doc_id", "text", 3, 0.3)
+          .select(col("i").as("src"), col("j").as("dst"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_kcore_edges").toString
+        try {
+          Graph.writeBucketedEdges(e, s"$root/edges", 64)
+          Graph.corenessBucketed(s, s"$root/edges", 64)
+            .select(col("id").as("doc_id"), col("coreness"))
+            .orderBy("doc_id")
+            .localCheckpoint(true) // materialize before the dir dies
+        } finally {
+          scala.util.Using.resource(java.nio.file.Files
+              .walk(java.nio.file.Paths.get(root))) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      },
+      Some(fullCorenessOracleSql)),
+
+    // ---- ADAPTIVE-schedule coreness (r17 #2) ----
+    // sync vs delta was a caller knob where it should be a measurement:
+    // the engine starts synchronous and flips to the delta schedule when
+    // 2·Σ deg(changed) < |V| (candidates bound — see
+    // Graph.corenessAdaptive). The iterates equal both fixed schedules
+    // round for round, so the oracle is q248's verbatim; Round18Spec
+    // pins eval-vector behavior on both the stay-sync (ring) and
+    // flip-early (path) shapes.
+    QueryDef("q266_kcore_adaptive_schedule",
+      (s, dir) => {
+        val e = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+            "doc_id", "text", 3, 0.3)
+          .select(col("i").as("src"), col("j").as("dst"))
+        Graph.corenessAdaptive(e)
+          .select(col("id").as("doc_id"), col("coreness"))
+          .orderBy("doc_id")
+      },
+      Some(fullCorenessOracleSql)),
+
     // ---- corpus-duplicated span EXCISION (the rewrite q171 measures) ----
     // Exact-substring scrub (Lee et al. 2021, "Deduplicating Training
     // Data..."): q171 reports each doc's duplicated-8-gram fraction; this

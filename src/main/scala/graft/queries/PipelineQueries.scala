@@ -2201,12 +2201,22 @@ object PipelineQueries {
           .createTempDirectory("graft_inc_core").toString
         try {
           val schema = stageCcIngest(s, docs, root)
-          Streams.ccStoreInit(docs.filter(col("doc_id") % 5 =!= 0),
-            s"$root/state", k = 3, threshold = 0.3, nBuckets = 64)
           val pairStore = GenStore(s"$root/state/core/pairs_base",
             s"$root/state/core/pairs")
           val coreStore = GenStore(s"$root/state/core/core_base",
             s"$root/state/core/core")
+          // init rides ccStoreInit's onInitPairs seam: ONE materialized
+          // pair set feeds the pairs base, the coreness base, and the CC
+          // label base (which commits last = the init guard, so a torn
+          // init re-runs whole — heal-on-redelivery, r17 ADVICE #3)
+          Streams.ccStoreInit(docs.filter(col("doc_id") % 5 =!= 0),
+            s"$root/state", k = 3, threshold = 0.3, nBuckets = 64,
+            onInitPairs = Some { pairs =>
+              pairs.write.mode("overwrite").parquet(pairStore.basePath(-1))
+              Graph.coreness(pairs
+                  .select(col("i").as("src"), col("j").as("dst")))
+                .write.mode("overwrite").parquet(coreStore.basePath(-1))
+            })
           // latest-epoch-wins per id (the ccStoreLabelsView shape; no
           // broadcast guard needed — core deltas are component-sized
           // and the demo serve reads once)
@@ -2225,27 +2235,6 @@ object PipelineQueries {
               base.join(latest.select("id"), Seq("id"), "left_anti")
                 .unionByName(latest)
             }
-          }
-          if (!java.nio.file.Files.exists(java.nio.file.Paths
-              .get(coreStore.basePath(-1), "_SUCCESS"))) {
-            // init from the WRITTEN postings (the q240 one-shingle-pass
-            // discipline); pairs base BEFORE the core base — the guard
-            // keys on the core marker, so it commits LAST and a torn
-            // init re-runs whole (heal-on-redelivery, r17 ADVICE #3)
-            val p = s.read
-              .parquet(s"$root/state/gens/posting_base/g=-1")
-              .select("i", "sk")
-            val z = s.read.parquet(s"$root/state/gens/size_base/g=-1")
-            val initPairs = Dedup
-              .ngramJaccardPairsFromPostings(p, z, 0.3)
-              .select("i", "j").localCheckpoint(true)
-            initPairs.write.mode("overwrite")
-              .parquet(pairStore.basePath(-1))
-            Graph.coreness(initPairs
-                .select(col("i").as("src"), col("j").as("dst")))
-              .write.mode("overwrite").parquet(coreStore.basePath(-1))
-            graft.util.CheckpointGen.release(s.sparkContext,
-              graft.util.CheckpointGen.pinnedIds(initPairs))
           }
           val reduced = graft.util.BenchMode.reducedDemos
           val onPairs: (org.apache.spark.sql.DataFrame, Long) => Unit =

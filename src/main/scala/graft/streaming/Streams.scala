@@ -792,8 +792,18 @@ object Streams {
     * one-shingle-pass discipline). Idempotent on the label base's
     * _SUCCESS marker (torn init re-runs; every write overwrites).
     */
+  /** @param onInitPairs composed-init seam (q264): called with the
+    *   MATERIALIZED (i, j) pair set of the init corpus so a composed
+    *   store (pairs/coreness bases) reuses the one posting self-join
+    *   this init already pays instead of re-deriving it from the
+    *   written postings. Runs BEFORE the label base commits — the label
+    *   base's _SUCCESS is the init guard, so a crash mid-hook re-runs
+    *   the whole init (heal-on-redelivery); hook writes must be
+    *   idempotent overwrites.
+    */
   def ccStoreInit(corpus: DataFrame, stateRoot: String, k: Int = 3,
-      threshold: Double = 0.5, nBuckets: Int = 0): Unit = {
+      threshold: Double = 0.5, nBuckets: Int = 0,
+      onInitPairs: Option[DataFrame => Unit] = None): Unit = {
     val s = corpus.sparkSession
     if (java.nio.file.Files.exists(java.nio.file.Paths
         .get(s"$stateRoot/gens/label_base/g=-1/_SUCCESS"))) return
@@ -808,9 +818,25 @@ object Streams {
     val p = s.read.parquet(s"$stateRoot/gens/posting_base/g=-1")
       .select("i", "sk")
     val z = s.read.parquet(s"$stateRoot/gens/size_base/g=-1")
-    graft.ext.Dedup.connectedComponents(
-        graft.ext.Dedup.ngramJaccardPairsFromPostings(p, z, threshold))
-      .write.mode("overwrite").parquet(s"$stateRoot/gens/label_base/g=-1")
+    val pairsLazy = graft.ext.Dedup
+      .ngramJaccardPairsFromPostings(p, z, threshold)
+    onInitPairs match {
+      case None =>
+        // the lazy pair join materializes once, inside CC's first round
+        graft.ext.Dedup.connectedComponents(pairsLazy)
+          .write.mode("overwrite")
+          .parquet(s"$stateRoot/gens/label_base/g=-1")
+      case Some(hook) =>
+        // composed init: checkpoint the pair set ONCE; the hook and CC
+        // both read the materialized frame (label base still last)
+        val pairs = pairsLazy.select("i", "j").localCheckpoint(true)
+        hook(pairs)
+        graft.ext.Dedup.connectedComponents(pairs)
+          .write.mode("overwrite")
+          .parquet(s"$stateRoot/gens/label_base/g=-1")
+        graft.util.CheckpointGen.release(sc,
+          graft.util.CheckpointGen.pinnedIds(pairs))
+    }
   }
 
   /** Posting state visible to epoch `bound`: latest complete base below

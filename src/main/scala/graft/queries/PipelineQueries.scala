@@ -284,6 +284,30 @@ object PipelineQueries {
         col("shard").cast("long").as("shard"))
   }
 
+  /** q264's pair state carrying its storage bucket `pb = pmod(i, B)` —
+    * the q244/q265 bucket treatment applied to the pair store: persist
+    * with `.repartition(col("pb")).write.partitionBy("pb")` and the
+    * per-epoch component-recompute probe prunes to the affected set's
+    * buckets at the scan ([[pruneToPairBuckets]]).
+    */
+  private[graft] def bucketedPairs(pairs: org.apache.spark.sql.DataFrame,
+      nBuckets: Int): org.apache.spark.sql.DataFrame =
+    pairs.select(col("i"), col("j"),
+      Dedup.postingBucket(col("i"), nBuckets).as("pb"))
+
+  /** Prune a bucket-partitioned pair state to the affected set's bucket
+    * list (a literal in-filter on the partition column — Catalyst skips
+    * non-hit bucket dirs at the scan; Round18Spec asserts via numFiles).
+    * Sound for the SAME reason the i-only semi-join is (q258): an edge
+    * of a touched component has BOTH endpoints in the affected set, so
+    * its i's bucket is always hit — a pruned bucket holds no affected i
+    * and none of its edges can belong to a touched component.
+    */
+  private[graft] def pruneToPairBuckets(
+      view: org.apache.spark.sql.DataFrame, hit: Seq[Int])
+      : org.apache.spark.sql.DataFrame =
+    view.filter(col("pb").isInCollection(hit)).drop("pb")
+
   /** The q249 serpentine balanced-shard layout (doc_id, n_tok, r, shard)
     * — rank by (n_tok DESC, doc_id) via census-prefix offset + per-value
     * row_number (NEVER a corpus-wide single-partition window; plan-pinned
@@ -2172,7 +2196,10 @@ object PipelineQueries {
     //     accumulated union IS the full pair set (a pair's Jaccard
     //     depends only on its two docs: within-old pairs land in the
     //     init base, cross and within-batch pairs in the batch's epoch —
-    //     the q258 oracle argument), append-only, delta-sized writes;
+    //     the q258 oracle argument), append-only, delta-sized writes,
+    //     persisted BUCKETED by pmod(i, 64) so the per-epoch recompute
+    //     probe reads only the affected set's buckets (delta-READ-sized
+    //     — the q244/q265 treatment; sound by component closure);
     //   - coreness state: a GenStore of per-epoch (id, coreness) deltas
     //     covering ONLY the touched components — merge-on-read
     //     latest-epoch-wins per id (the label-view shape), so untouched
@@ -2212,7 +2239,9 @@ object PipelineQueries {
           Streams.ccStoreInit(docs.filter(col("doc_id") % 5 =!= 0),
             s"$root/state", k = 3, threshold = 0.3, nBuckets = 64,
             onInitPairs = Some { pairs =>
-              pairs.write.mode("overwrite").parquet(pairStore.basePath(-1))
+              bucketedPairs(pairs, 64).repartition(col("pb"))
+                .write.mode("overwrite").partitionBy("pb")
+                .parquet(pairStore.basePath(-1))
               Graph.coreness(pairs
                   .select(col("i").as("src"), col("j").as("dst")))
                 .write.mode("overwrite").parquet(coreStore.basePath(-1))
@@ -2239,8 +2268,15 @@ object PipelineQueries {
           val reduced = graft.util.BenchMode.reducedDemos
           val onPairs: (org.apache.spark.sql.DataFrame, Long) => Unit =
             (pairs, epoch) => {
-              pairs.select("i", "j").write.mode("overwrite")
-                .parquet(pairStore.deltaPath(epoch))
+              // an epoch whose batch pairs with NOTHING changes no
+              // component and no coreness: skip both delta writes
+              // entirely (append-only content — a missing epoch is
+              // simply nothing to add; idempotent under re-delivery)
+              val nPairs = pairs.count()
+              if (nPairs > 0) {
+              bucketedPairs(pairs.select("i", "j"), 64)
+                .repartition(col("pb")).write.mode("overwrite")
+                .partitionBy("pb").parquet(pairStore.deltaPath(epoch))
               val labelsPost = Streams.ccStoreLabelsView(s,
                 s"$root/state", epoch + 1)
               // broadcast hints COUNT-GUARDED (the r16/r17 merge-storm
@@ -2250,7 +2286,6 @@ object PipelineQueries {
               // to a shuffle join, correct-but-slower for that epoch.
               // Counts are cheap: pairs and affected are checkpointed.
               val cap = Streams.CcLabelBroadcastMaxRows
-              val nPairs = pairs.count()
               def hint(df: org.apache.spark.sql.DataFrame, n: Long) =
                 if (n <= cap) broadcast(df) else df
               val ends = pairs.select(col("i").as("id"))
@@ -2262,13 +2297,22 @@ object PipelineQueries {
               val affected = labelsPost
                 .join(hint(touchedComps, 2 * nPairs), "label")
                 .select("id").localCheckpoint(true)
-              val nAff = affected.count()
-              // the pair-state scan must STREAM map-side against the
+              // ONE action on the checkpointed frame yields the
+              // broadcast-guard count AND the affected bucket set
+              // (≤ 64 ints) for the pruned pair-state probe
+              val affStats = affected.agg(count(lit(1)),
+                collect_set(Dedup.postingBucket(col("id"), 64))).head()
+              val nAff = affStats.getLong(0)
+              val hit = affStats.getSeq[Int](1)
+              // the pair-state probe is PRUNED to the affected buckets
+              // at the scan (sound by component closure — see
+              // pruneToPairBuckets) and STREAMS map-side against the
               // (usually small) affected probe — affected is an
               // RDD-backed frame with no Catalyst stats, so without the
               // guarded hint the planner would sort-merge the whole
               // pair state every epoch
-              val affEdges = pairStore.unionView(s, epoch + 1)
+              val affEdges = pruneToPairBuckets(
+                  pairStore.unionView(s, epoch + 1), hit)
                 .join(hint(affected.select(col("id").as("i")), nAff),
                   Seq("i"), "left_semi")
               Graph.coreness(affEdges
@@ -2277,14 +2321,16 @@ object PipelineQueries {
                 .parquet(coreStore.deltaPath(epoch))
               graft.util.CheckpointGen.release(s.sparkContext,
                 graft.util.CheckpointGen.pinnedIds(affected))
+              }
               // threshold fold + GC (fold-lag rule: cover <= epoch-1
               // only; skip when a base already reached the fold point)
               val foldPoint = epoch - 1
               val pg = pairStore.latestCompleteBase()
               if (pg < foldPoint &&
                   pairStore.completeDeltaEpochs(pg, epoch).size > 1) {
-                pairStore.unionView(s, epoch).write.mode("overwrite")
-                  .parquet(pairStore.basePath(foldPoint))
+                pairStore.unionView(s, epoch)
+                  .repartition(col("pb")).write.mode("overwrite")
+                  .partitionBy("pb").parquet(pairStore.basePath(foldPoint))
                 pairStore.gc(); ()
               }
               val cg = coreStore.latestCompleteBase()

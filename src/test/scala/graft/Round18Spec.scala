@@ -284,6 +284,56 @@ class Round18Spec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("bucketed pair store (q264's probe): the affected-bucket prune " +
+      "reaches the scan (numFiles <= hit buckets) and cannot change the " +
+      "component-closed subgraph") {
+    import spark.implicits._
+    val nB = 64
+    // pairs spread over many i-buckets; the "affected" set is one small
+    // component's ids (all i of its edges share its bucket residues)
+    val pairs = (0L until 256L).map(i => (i, i + 1000L)).toDF("i", "j")
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r18_pairbuckets").toString
+    try {
+      graft.queries.PipelineQueries.bucketedPairs(pairs, nB)
+        .repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/pairs")
+      val view = spark.read.parquet(s"$dir/pairs")
+      val affected = Seq(3L, 7L, 67L).toDF("id") // buckets {3, 7}
+      val hit = Seq(3, 7)
+      def probe(v: org.apache.spark.sql.DataFrame) = v
+        .join(broadcast(affected.select(col("id").as("i"))),
+          Seq("i"), "left_semi")
+      val pruned = probe(graft.queries.PipelineQueries
+        .pruneToPairBuckets(view, hit))
+      val full = probe(view.drop("pb"))
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(canon(pruned).nonEmpty && canon(pruned) == canon(full),
+        "the bucket prune changed the probed edge set")
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scans = plan.collectLeaves()
+          .collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty, s"no FileSourceScan in:\n$plan")
+        scans.map(_.metrics("numFiles").value).sum
+      }
+      val fullFiles = filesRead(view.drop("pb"))
+      val prunedFiles = filesRead(graft.queries.PipelineQueries
+        .pruneToPairBuckets(view, hit))
+      assert(fullFiles > hit.size * 4,
+        s"fixture too small to demonstrate pruning (full=$fullFiles)")
+      assert(prunedFiles <= hit.size,
+        s"scan read $prunedFiles files for ${hit.size} hit buckets — " +
+          "partition pruning did not reach the scan")
+    } finally rmTree(dir)
+  }
+
   test("q264 reduced-demo depth is a measurement choice (the Round17Spec " +
       "pin extended to the new demo): one-trigger production cadence " +
       "serves the identical coreness table the 3-epoch aggressive-fold " +

@@ -138,11 +138,7 @@ object CorenessBench {
           Graph.corenessBucketed(spark, d, 8,
             partitions = coreParts).count()
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(d))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-          }
+          graft.util.Dirs.rmTree(d)
         }
       }
     }
@@ -278,11 +274,7 @@ object CorenessBench {
               s"bucketed=$chkB")
           (nB, wT, t)
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(dir))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-          }
+          graft.util.Dirs.rmTree(dir)
         }
       }
 

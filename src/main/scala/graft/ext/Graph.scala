@@ -309,11 +309,13 @@ object Graph {
 
   /** Storage bucket of a doubled-edge row, keyed by its PROBE end `v` —
     * the partition column of the bucketed edge layout
-    * ([[writeBucketedEdges]]); the [[graft.ext.Dedup.postingBucket]]
-    * pattern applied to graph edges.
+    * ([[writeBucketedEdges]]). Delegates to
+    * [[graft.ext.Dedup.postingBucket]] — ONE bucket function across the
+    * posting, pair, and edge layouts, so a change to the hash can never
+    * silently break cross-store bucket compatibility (r18 review).
     */
   def edgeBucket(v: Column, nBuckets: Int): Column =
-    pmod(v, lit(nBuckets.toLong)).cast("int")
+    Dedup.postingBucket(v, nBuckets)
 
   /** Persist the DOUBLED edge list hive-partitioned by
     * `b = pmod(v, nBuckets)` — one file per bucket dir (the q244/q260

@@ -200,11 +200,7 @@ object PipelineQueries {
       Streams.ccStoreLabels(s, s"$root/state")
         .orderBy("id").localCheckpoint(true)
     } finally {
-      scala.util.Using.resource(java.nio.file.Files
-          .walk(java.nio.file.Paths.get(root))) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      graft.util.Dirs.rmTree(root)
     }
   }
 
@@ -1599,11 +1595,7 @@ object PipelineQueries {
             (labelPins -- CheckpointGen.pinnedIds(out)))
           out
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(root))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          graft.util.Dirs.rmTree(root)
         }
       },
       Some(s"""WITH RECURSIVE $ccOracleCte,
@@ -1660,11 +1652,7 @@ object PipelineQueries {
           Streams.ccMaintenanceLabels(s, s"$root/state")
             .orderBy("id").localCheckpoint(true)
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(root))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          graft.util.Dirs.rmTree(root)
         }
       },
       Some(s"""WITH RECURSIVE $ccOracleCte,
@@ -1718,11 +1706,7 @@ object PipelineQueries {
           Streams.ccMaintenanceLabels(s, s"$root/state")
             .orderBy("id").localCheckpoint(true)
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(root))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          graft.util.Dirs.rmTree(root)
         }
       },
       Some(s"""WITH RECURSIVE $ccOracleCte,
@@ -1874,11 +1858,7 @@ object PipelineQueries {
             .orderBy("doc_id")
             .localCheckpoint(true) // materialize before the dir is deleted
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(root))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          graft.util.Dirs.rmTree(root)
         }
       },
       Some(serpentineOracleSql)),
@@ -2136,11 +2116,7 @@ object PipelineQueries {
             .orderBy("doc_id")
             .localCheckpoint(true) // materialize before the state dir dies
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(root))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          graft.util.Dirs.rmTree(root)
         }
       },
       Some(s"""WITH RECURSIVE $ccOracleCte,
@@ -2246,25 +2222,11 @@ object PipelineQueries {
                   .select(col("i").as("src"), col("j").as("dst")))
                 .write.mode("overwrite").parquet(coreStore.basePath(-1))
             })
-          // latest-epoch-wins per id (the ccStoreLabelsView shape; no
-          // broadcast guard needed — core deltas are component-sized
-          // and the demo serve reads once)
-          def coreView(bound: Long): org.apache.spark.sql.DataFrame = {
-            val g = coreStore.latestCompleteBase(bound)
-            val base = s.read.parquet(coreStore.basePath(g))
-            val live = coreStore.completeDeltaEpochs(g, bound)
-            if (live.isEmpty) base
-            else {
-              val latest = s.read.parquet(coreStore.deltaDir)
-                .filter(col(coreStore.deltaCol).isin(live: _*))
-                .withColumn("rn", row_number().over(Window
-                  .partitionBy("id")
-                  .orderBy(col(coreStore.deltaCol).desc)))
-                .filter(col("rn") === 1).select("id", "coreness")
-              base.join(latest.select("id"), Seq("id"), "left_anti")
-                .unionByName(latest)
-            }
-          }
+          // latest-epoch-wins per id — the shared GenStore merge (one
+          // implementation, r18 review); no probe hint needed: core
+          // deltas are component-sized and the demo serve reads once
+          def coreView(bound: Long): org.apache.spark.sql.DataFrame =
+            coreStore.latestWinsView(s, bound, "id")
           val reduced = graft.util.BenchMode.reducedDemos
           val onPairs: (org.apache.spark.sql.DataFrame, Long) => Unit =
             (pairs, epoch) => {
@@ -2365,11 +2327,7 @@ object PipelineQueries {
             .orderBy("doc_id")
             .localCheckpoint(true) // materialize before the root dies
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(root))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          graft.util.Dirs.rmTree(root)
         }
       },
       Some(TextQueries.fullCorenessOracleSql))

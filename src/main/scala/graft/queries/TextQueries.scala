@@ -1442,11 +1442,7 @@ object TextQueries {
             .orderBy("doc_id")
             .localCheckpoint(true) // materialize before the dir dies
         } finally {
-          scala.util.Using.resource(java.nio.file.Files
-              .walk(java.nio.file.Paths.get(root))) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          graft.util.Dirs.rmTree(root)
         }
       },
       Some(fullCorenessOracleSql)),

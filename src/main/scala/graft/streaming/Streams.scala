@@ -879,23 +879,15 @@ object Streams {
   def ccStoreLabelsView(s: SparkSession, stateRoot: String,
       bound: Long): DataFrame = {
     val st = ccLabelStore(stateRoot)
-    val g = st.latestCompleteBase(bound)
-    val base = s.read.parquet(st.basePath(g))
-    val live = st.completeDeltaEpochs(g, bound)
-    if (live.isEmpty) base
-    else {
-      val deltas = s.read.parquet(st.deltaDir)
-        .filter(col("batch").isin(live: _*))
-      val latest = deltas
-        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
-          .Window.partitionBy("id").orderBy(col("batch").desc)))
-        .filter(col("rn") === 1).select("id", "label")
-      val updRows = live.map(e => st.deltaRows(s, e)).sum
-      val ids = latest.select("id")
-      val probe =
-        if (updRows <= CcLabelBroadcastMaxRows) broadcast(ids) else ids
-      base.join(probe, Seq("id"), "left_anti").unionByName(latest)
-    }
+    // the latest-wins merge itself is the shared GenStore seam (one
+    // implementation, r18 review); this view contributes only the
+    // store-specific count-guarded probe hint described above
+    st.latestWinsView(s, bound, "id", ids => {
+      val g = st.latestCompleteBase(bound)
+      val updRows = st.completeDeltaEpochs(g, bound)
+        .map(e => st.deltaRows(s, e)).sum
+      if (updRows <= CcLabelBroadcastMaxRows) broadcast(ids) else ids
+    })
   }
 
   /** The current label table (post-stream serving read). */

@@ -99,6 +99,34 @@ final case class GenStore(baseDir: String, deltaDir: String,
       .filter(col(deltaCol).isin(live: _*)).drop(deltaCol))
   }
 
+  /** The store's contents visible to epoch `bound` for LATEST-WINS
+    * content keyed by `idCol`: latest complete base ∪ live deltas
+    * reconciled to each id's row from the LARGEST epoch that touched it
+    * — provably the sequential apply-updates fold (each apply =
+    * anti-join ∪ union; see [[graft.streaming.Streams.ccStoreLabelsView]],
+    * whose merge this generalizes — one implementation, r18 review).
+    * `hintProbe` decorates the delta id set before the base anti-join
+    * (e.g. a count-guarded broadcast); default no hint.
+    */
+  def latestWinsView(s: SparkSession, bound: Long, idCol: String,
+      hintProbe: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.functions.row_number
+    val g = latestCompleteBase(bound)
+    val base = s.read.parquet(basePath(g))
+    val live = completeDeltaEpochs(g, bound)
+    if (live.isEmpty) base
+    else {
+      val latest = s.read.parquet(deltaDir)
+        .filter(col(deltaCol).isin(live: _*))
+        .withColumn("rn", row_number().over(org.apache.spark.sql
+          .expressions.Window.partitionBy(idCol)
+          .orderBy(col(deltaCol).desc)))
+        .filter(col("rn") === 1).drop("rn", deltaCol)
+      base.join(hintProbe(latest.select(idCol)), Seq(idCol), "left_anti")
+        .unionByName(latest)
+    }
+  }
+
   /** Data-file count of the CURRENT view (not the whole root — folded
     * deltas and superseded bases are out of the read path and must not
     * retrigger compaction). Driver-side walk; generation counts are
@@ -147,14 +175,7 @@ final case class GenStore(baseDir: String, deltaDir: String,
 
   // ---- GC ----
 
-  private def rmTree(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p))
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      }
-  }
+  private def rmTree(dir: String): Unit = Dirs.rmTree(dir)
 
   /** Delete what left every RETAINED read path: bases older than the
     * newest `retainBases` complete ones, _SUCCESS-less base stubs, and

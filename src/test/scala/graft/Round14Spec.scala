@@ -59,17 +59,6 @@ class Round14Spec extends SparkSpec {
         .localCheckpoint(true)
       val hit = bPost.select(Dedup.postingBucket(col("sk"), nBuckets))
         .distinct().count()
-      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-        df.collect() // settle AQE + populate scan metrics
-        val plan = df.queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
-        }
-        val scans = plan.collectLeaves()
-          .collect { case f: FileSourceScanExec => f }
-        assert(scans.nonEmpty, s"no FileSourceScan in:\n$plan")
-        scans.map(_.metrics("numFiles").value).sum
-      }
       val fullFiles = filesRead(bucketed)
       val prunedFiles = filesRead(
         Dedup.pruneToBatchBuckets(bucketed, bPost, nBuckets))

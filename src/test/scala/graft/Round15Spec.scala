@@ -175,16 +175,6 @@ class Round15Spec extends SparkSpec {
           "(one reader, one file)")
       }
       val back = spark.read.parquet(s"$root/shards")
-      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-        df.collect()
-        val plan = df.queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
-        }
-        plan.collectLeaves()
-          .collect { case f: FileSourceScanExec => f }
-          .map(_.metrics("numFiles").value).sum
-      }
       assert(filesRead(back.filter(col("shard") === 3)) == 1L,
         "a one-shard read must open exactly its own dir's file")
       // the q249 balance audit, re-run on the READ-BACK

@@ -11,12 +11,7 @@ import graft.ext.Graph
   */
 class Round18Spec extends SparkSpec {
 
-  private def rmTree(root: String): Unit =
-    scala.util.Using.resource(java.nio.file.Files
-        .walk(java.nio.file.Paths.get(root))) { w =>
-      w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    }
+  private def rmTree(root: String): Unit = graft.util.Dirs.rmTree(root)
 
   /** A path graph on n vertices: coreness 1 everywhere, and the h-index
     * fixpoint PEELS it one vertex per round from each end — many rounds
@@ -196,6 +191,12 @@ class Round18Spec extends SparkSpec {
         Seq("graft.CcServeDriver", state, ready, go, out)).toArray
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
+      // child output goes to a FILE, not a pipe: nobody drains a pipe
+      // while this side sits in the ready-wait and fold/GC phases, and a
+      // chatty child (>64KB of Spark logs before the ready marker) would
+      // deadlock in write() against a full pipe buffer (r18 review)
+      val childLog = java.nio.file.Paths.get(s"$root/child.log")
+      pb.redirectOutput(childLog.toFile)
       val proc = pb.start()
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       while (!exists(ready)) {
@@ -221,8 +222,9 @@ class Round18Spec extends SparkSpec {
       // release the reader; its read must complete consistently
       java.nio.file.Files.write(java.nio.file.Paths.get(go),
         Array.emptyByteArray)
-      val outStr = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       val code = proc.waitFor()
+      val outStr = new String(java.nio.file.Files.readAllBytes(childLog),
+        "UTF-8")
       assert(code == 0, s"serving JVM exited $code:\n" +
         outStr.linesIterator.toSeq.takeRight(25).mkString("\n"))
       val served = new String(java.nio.file.Files.readAllBytes(
@@ -264,17 +266,6 @@ class Round18Spec extends SparkSpec {
         assert(files == 1, s"$d holds $files data files (want 1)")
       }
       // pruned consumer: one shard → one file at the scan
-      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-        df.collect()
-        val plan = df.queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
-        }
-        val scans = plan.collectLeaves()
-          .collect { case f: FileSourceScanExec => f }
-        assert(scans.nonEmpty, s"no FileSourceScan in:\n$plan")
-        scans.map(_.metrics("numFiles").value).sum
-      }
       assert(filesRead(back.filter(col("shard") === 3L)) == 1L,
         "a one-shard read did not prune to one file")
       // content round trip
@@ -312,17 +303,6 @@ class Round18Spec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(canon(pruned).nonEmpty && canon(pruned) == canon(full),
         "the bucket prune changed the probed edge set")
-      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-        df.collect()
-        val plan = df.queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
-        }
-        val scans = plan.collectLeaves()
-          .collect { case f: FileSourceScanExec => f }
-        assert(scans.nonEmpty, s"no FileSourceScan in:\n$plan")
-        scans.map(_.metrics("numFiles").value).sum
-      }
       val fullFiles = filesRead(view.drop("pb"))
       val prunedFiles = filesRead(graft.queries.PipelineQueries
         .pruneToPairBuckets(view, hit))

@@ -32,8 +32,17 @@ runm() { # runm <tag> <timeout_s> <mem> [env k=v ...]
   local rc=${PIPESTATUS[0]}
   if [ "$rc" = 124 ]; then
     echo "{\"dnf_timeout_s\": $to}" > "$OUT/$tag.json"
+    # timeout SIGTERMs sbt; the FORKED bench JVM (run/fork := true) can
+    # survive as an orphan and skew the next rep's timings — reap it
+    pkill -f "graft.CorenessBench" 2>/dev/null || true
+    sleep 5
   elif [ "$rc" != 0 ]; then
+    # a failed leg must never leave timings a sweep-table grep could quote
     echo "{\"failed_rc\": $rc}" > "$OUT/$tag.json"
+  elif [ ! -s "$OUT/$tag.json" ]; then
+    # sbt exited 0 but no metric line reached stdout (e.g. a require()
+    # kill swallowed by the logger) — flag it, don't read as missing data
+    echo "{\"failed_no_metric\": true}" > "$OUT/$tag.json"
   fi
 }
 

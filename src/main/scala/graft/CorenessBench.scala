@@ -123,9 +123,9 @@ object CorenessBench {
           .select((col("c") * 8).as("src"),
             (((col("c") + 1) % 500) * 8).as("dst")))
         .localCheckpoint(true)
-      for (ceil <- Seq(10000000L, 0L); ds <- Seq(true, false))
+      for (ceil <- Seq(10000000L, 0L); sch <- Seq("delta", "sync"))
         Graph.coreness(warm, partitions = coreParts,
-          broadcastVertexCeiling = ceil, deltaSchedule = ds).count()
+          broadcastVertexCeiling = ceil, schedule = sch).count()
       // warm the optional legs' code paths too, so whichever leg runs
       // first doesn't absorb their JIT
       if (sys.env.get("SPARK_GRAFT_AUTO_COMPARE").contains("1"))
@@ -135,7 +135,7 @@ object CorenessBench {
           .createTempDirectory("graft_core_warm").toString
         try {
           Graph.writeBucketedEdges(warm, d, 8)
-          Graph.corenessBucketed(spark, d, 8,
+          Graph.corenessBucketed(spark, d,
             partitions = coreParts).count()
         } finally {
           graft.util.Dirs.rmTree(d)
@@ -149,6 +149,7 @@ object CorenessBench {
     val evalsDelta = scala.collection.mutable.ArrayBuffer.empty[Long]
     val (coreS, core) = time {
       val c = Graph.coreness(edges, partitions = coreParts,
+          schedule = "delta",
           onRoundStats = (_, n) => { evalsDelta += n; () })
         .localCheckpoint(true)
       c.count()
@@ -172,7 +173,7 @@ object CorenessBench {
     // broadcast vs shuffle, not hybrid vs shuffle.
     val (coreShufS, chkShuf) = time {
       val c = Graph.coreness(edges, partitions = coreParts,
-        broadcastVertexCeiling = 0L)
+        broadcastVertexCeiling = 0L, schedule = "delta")
       val a = c.agg(count(lit(1)),
         sum(col("id") % 1000003L * col("coreness"))).head()
       (a.getLong(0), a.getLong(1))
@@ -205,7 +206,7 @@ object CorenessBench {
       evalsSync.clear()
       val (t, chkSync) = time {
         val c = Graph.coreness(edges, partitions = coreParts,
-          broadcastVertexCeiling = ceiling, deltaSchedule = false,
+          broadcastVertexCeiling = ceiling, schedule = "sync",
           onRoundStats = (_, n) => { evalsSync += n; () })
         val a = c.agg(count(lit(1)),
           sum(col("id") % 1000003L * col("coreness"))).head()
@@ -252,8 +253,13 @@ object CorenessBench {
     // maintenance amortizes it), requires the checksum unchanged, and
     // reports per-frontier-local-round (files read, hit buckets) so the
     // delta-READ-sized claim is visible in the artifact.
+    // each round: (round, files read, hit buckets, rows the scan output
+    // after the pushed v-range pruned rowgroups/pages WITHIN hit files —
+    // the r18-verdict-#2 mid-width measurement). The leg pins
+    // schedule=delta so the scan telemetry covers every round from
+    // round 1 (comparable with the r18 artifacts).
     val scanRounds = scala.collection.mutable
-      .ArrayBuffer.empty[(Int, Long, Long)]
+      .ArrayBuffer.empty[(Int, Long, Long, Long)]
     val bucketLeg = sys.env.get("SPARK_GRAFT_EDGE_BUCKETS").map(_.toInt)
       .map { nB =>
         val dir = java.nio.file.Files
@@ -261,10 +267,10 @@ object CorenessBench {
         try {
           val (wT, _) = time { Graph.writeBucketedEdges(edges, dir, nB) }
           val (t, chkB) = time {
-            val c = Graph.corenessBucketed(spark, dir, nB,
-              partitions = coreParts,
-              onRoundScan = (r, files, hit) => {
-                scanRounds += ((r, files, hit)); () })
+            val c = Graph.corenessBucketed(spark, dir,
+              partitions = coreParts, schedule = "delta",
+              onRoundScan = (r, files, hit, rowsOut) => {
+                scanRounds += ((r, files, hit, rowsOut)); () })
             val a = c.agg(count(lit(1)),
               sum(col("id") % 1000003L * col("coreness"))).head()
             (a.getLong(0), a.getLong(1))
@@ -292,7 +298,7 @@ object CorenessBench {
         s""""edge_buckets":$nB,"bucket_write_s":${f(wT)},""" +
         s""""core_bucketed_s":${f(t)},""" +
         s""""bucketed_scan_rounds":${scanRounds
-          .map { case (r, fi, h) => s"[$r,$fi,$h]" }
+          .map { case (r, fi, h, ro) => s"[$r,$fi,$h,$ro]" }
           .mkString("[", ",", "]")},"""
       }.getOrElse("") +
       s""""evals_delta":${evalsDelta.mkString("[", ",", "]")},""" +

@@ -249,14 +249,19 @@ object Graph {
     *   crossover moves with network cost; the knob exists for that
     *   tuning, the default stays at the largest value-table broadcast a
     *   48 GiB driver comfortably builds.
-    * @param deltaSchedule false = the plain synchronous schedule (every
-    *   round re-evaluates every vertex; terminate when nothing moves) —
-    *   the in-harness comparator CorenessBench times against the delta
-    *   schedule, and Round16Spec pins exact-equal to. The restriction the
-    *   delta schedule applies drops only provably-unchanged evaluations,
-    *   so both schedules produce the same fixpoint; they differ only in
-    *   per-round work (full |E| vs the frontier's incident edges) and in
-    *   how convergence is detected (no-change round vs empty frontier).
+    * @param schedule "auto" (default — r18 verdict #3: q266 measured
+    *   auto matching-or-beating the better FIXED schedule on both the
+    *   peeling-tree and one-round-ring shapes, so production callers
+    *   should not have to know their graph's shape), "delta", or "sync".
+    *   sync re-evaluates every vertex each round and terminates on a
+    *   no-change round — the in-harness comparator CorenessBench times
+    *   against the delta schedule, and Round16Spec pins exact-equal to.
+    *   The restriction the delta schedule applies drops only
+    *   provably-unchanged evaluations, so all schedules produce the same
+    *   fixpoint; they differ only in per-round work (full |E| vs the
+    *   frontier's incident edges) and in how convergence is detected
+    *   (no-change round vs empty frontier). The fixed schedules remain
+    *   test/bench knobs.
     * @param onRoundStats called once per round with (round index, number
     *   of vertices evaluated that round) — the DETERMINISTIC work
     *   measure. Wall-clock comparisons of the two schedules on a shared
@@ -268,12 +273,12 @@ object Graph {
   def coreness(undirectedEdges: DataFrame, partitions: Int = 8,
                maxRounds: Int = 64,
                broadcastVertexCeiling: Long = 10000000L,
-               deltaSchedule: Boolean = true,
+               schedule: String = "auto",
                onRoundStats: (Int, Long) => Unit = (_, _) => ())
       : DataFrame =
     corenessImpl(undirectedEdges.sparkSession, Left(undirectedEdges),
-      partitions, maxRounds, broadcastVertexCeiling,
-      if (deltaSchedule) "delta" else "sync", onRoundStats, noScan)
+      partitions, maxRounds, broadcastVertexCeiling, schedule,
+      onRoundStats, noScan)
 
   /** ADAPTIVE schedule (r17 verdict #2): sync vs delta was a caller knob
     * where it should be a measurement — delta wins 2.2× on peeling
@@ -329,7 +334,23 @@ object Graph {
     * per bucket; once the frontier's vertex count approaches nBuckets
     * every bucket is hit and pruning degrades to the full scan — which
     * is exactly the wide-round regime where the probe needed the full
-    * scan anyway.
+    * scan anyway. Two refinements for the MID-WIDTH regime (r18 verdict
+    * #2 — frontiers that hit every bucket but cover only a slice of the
+    * id space, e.g. the contiguous leaf-level ranges of a BFS-numbered
+    * tree peel):
+    *   - rows are sorted by `v` WITHIN each bucket file, so parquet
+    *     rowgroup/page min-max statistics on `v` cover contiguous
+    *     id-ranges, and
+    *   - [[corenessBucketed]] pushes the frontier's [min(v), max(v)]
+    *     range into the probe scan alongside the bucket in-filter, so
+    *     the parquet reader skips rowgroups/pages wholly outside the
+    *     frontier's id-range even inside hit files (at 100 TB each
+    *     bucket file is many 128 MB rowgroups — this is the pruning
+    *     unit between "whole file" and "row").
+    * The bucket count is persisted with the layout (a `_buckets`
+    * sidecar) and [[corenessBucketed]] derives it from there — a caller
+    * can never probe with a mismatched modulus, which would silently
+    * drop live frontier edges (r18 ADVICE, medium).
     */
   def writeBucketedEdges(undirectedEdges: DataFrame, dir: String,
       nBuckets: Int): Unit = {
@@ -345,8 +366,33 @@ object Graph {
       .select(col("src").as("v"), col("dst").as("u"))
       .withColumn("b", edgeBucket(col("v"), nBuckets))
       .repartition(col("b"))
+      .sortWithinPartitions(col("b"), col("v"))
       .write.mode("overwrite").partitionBy("b").parquet(dir)
+    // sidecar AFTER the data write (overwrite mode clears the dir first)
+    val p = new org.apache.hadoop.fs.Path(dir, "_buckets")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
     graft.util.CheckpointGen.release(s.sparkContext, pins)
+  }
+
+  /** The bucket count a [[writeBucketedEdges]] layout was written with
+    * (its `_buckets` sidecar). [[corenessBucketed]] derives its probe
+    * modulus from this — see the writer's scaladoc for why it is not a
+    * caller parameter.
+    */
+  def readBucketCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$dir has no _buckets sidecar — not a writeBucketedEdges layout")
+    val in = fs.open(p)
+    try {
+      val n = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      require(n > 0, s"corrupt _buckets sidecar in $dir: $n")
+      n
+    } finally in.close()
   }
 
   /** [[coreness]] over a PERSISTED bucketed edge layout
@@ -375,28 +421,31 @@ object Graph {
     *
     * @param onRoundScan called once per frontier-local round with
     *   (round, data files read by the pruned probe scan, hit bucket
-    *   count) — the spec's lever to pin that small-frontier rounds are
-    *   delta-READ-sized.
+    *   count, rows the scan output after parquet rowgroup/page pruning
+    *   on the pushed v-range) — the spec's lever to pin that
+    *   small-frontier rounds are delta-READ-sized and that mid-width
+    *   rounds prune WITHIN hit files (r18 verdict #2).
     */
   def corenessBucketed(spark: SparkSession, bucketedEdgeDir: String,
-               nBuckets: Int, partitions: Int = 8,
+               partitions: Int = 8,
                maxRounds: Int = 64,
                broadcastVertexCeiling: Long = 10000000L,
-               schedule: String = "delta",
+               schedule: String = "auto",
                onRoundStats: (Int, Long) => Unit = (_, _) => (),
-               onRoundScan: (Int, Long, Long) => Unit = noScan)
+               onRoundScan: (Int, Long, Long, Long) => Unit = noScan)
       : DataFrame =
-    corenessImpl(spark, Right((bucketedEdgeDir, nBuckets)), partitions,
-      maxRounds, broadcastVertexCeiling, schedule, onRoundStats,
-      onRoundScan)
+    corenessImpl(spark,
+      Right((bucketedEdgeDir, readBucketCount(spark, bucketedEdgeDir))),
+      partitions, maxRounds, broadcastVertexCeiling, schedule,
+      onRoundStats, onRoundScan)
 
-  private val noScan: (Int, Long, Long) => Unit = (_, _, _) => ()
+  private val noScan: (Int, Long, Long, Long) => Unit = (_, _, _, _) => ()
 
   private def corenessImpl(caller: SparkSession,
       edgesIn: Either[DataFrame, (String, Int)],
       partitions: Int, maxRounds: Int, broadcastVertexCeiling: Long,
       schedule: String, onRoundStats: (Int, Long) => Unit,
-      onRoundScan: (Int, Long, Long) => Unit): DataFrame = {
+      onRoundScan: (Int, Long, Long, Long) => Unit): DataFrame = {
     require(maxRounds >= 1, s"coreness needs maxRounds >= 1 (got $maxRounds)")
     require(Set("sync", "delta", "auto")(schedule),
       s"schedule must be sync|delta|auto (got $schedule)")
@@ -484,8 +533,12 @@ object Graph {
       var nActive = nVerts
       // bucketed mode: the frontier's bucket set (≤ nBuckets ints,
       // collected on the SAME stats action that sizes the frontier) —
-      // next round's pruned-probe in-filter
+      // next round's pruned-probe in-filter — plus its [min(v), max(v)]
+      // id-range, pushed into the scan so parquet rowgroup/page min-max
+      // stats on the v-sorted layout prune WITHIN hit files (the
+      // mid-width regime, r18 verdict #2)
       var hitBuckets: Seq[Int] = Seq.empty
+      var vRange: Option[(Any, Any)] = None
       // exact incident-edge count of the current frontier (Σ deg), the
       // quantity that decides this round's join direction; MaxValue while
       // the frontier is "all vertices" (round 1 / sync rounds)
@@ -516,10 +569,19 @@ object Graph {
             // so the iterates are unchanged (Round18Spec pins both the
             // equality and, via onRoundScan, the file-count shrink).
             val src =
-              if (bucketedMode && frontierLocal)
-                bothAll.filter(col("b").isInCollection(hitBuckets))
-                  .drop("b")
-              else both
+              if (bucketedMode && frontierLocal) {
+                // every frontier vertex satisfies both pushed predicates
+                // by construction (its bucket is in the hit set, its id
+                // inside the frontier's [min, max]), so no edge that
+                // could survive the v semi-join is dropped; the range
+                // reaches the parquet reader's rowgroup/page stats on
+                // the v-sorted layout
+                val pruned = bothAll
+                  .filter(col("b").isInCollection(hitBuckets))
+                vRange.fold(pruned) { case (lo, hi) =>
+                  pruned.filter(col("v").between(lit(lo), lit(hi)))
+                }.drop("b")
+              } else both
             val t = src.join(aSide, Seq("v"), "left_semi")
             if (!frontierLocal) (t, Set.empty[Int])
             else {
@@ -528,11 +590,18 @@ object Graph {
                 tPlan.localCheckpoint(true))
               if (bucketedMode) {
                 // scan telemetry off the just-executed plan (driver-side
-                // metric walk, no extra job)
-                val files = tPlan.queryExecution.executedPlan
+                // metric walk, no extra job): files read, and the rows
+                // the file scan OUTPUT — after parquet rowgroup/page
+                // pruning on the pushed v-range, so the mid-width
+                // within-file prune is visible per round
+                val fileLeaves = tPlan.queryExecution.executedPlan
                   .collectLeaves()
-                  .flatMap(_.metrics.get("numFiles").map(_.value)).sum
-                onRoundScan(rounds, files, hitBuckets.size.toLong)
+                  .filter(_.metrics.contains("numFiles"))
+                val files =
+                  fileLeaves.flatMap(_.metrics.get("numFiles")).map(_.value).sum
+                val rowsOut = fileLeaves
+                  .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+                onRoundScan(rounds, files, hitBuckets.size.toLong, rowsOut)
               }
               (tm, graft.util.CheckpointGen.pinnedIds(tm))
             }
@@ -645,10 +714,11 @@ object Graph {
           // ONE tiny action on the checkpointed frontier yields its
           // size, its exact incident-edge count (Σ deg) — next round's
           // join-direction decision — and, in bucketed mode, its bucket
-          // set (≤ nBuckets ints) for the pruned probe.
+          // set (≤ nBuckets ints) plus id-range for the pruned probe.
           val statAggs = Seq(count(lit(1)), sum(col("deg"))) ++
             (if (bucketedMode)
-              Seq(collect_set(edgeBucket(col("v"), nBuckets)))
+              Seq(collect_set(edgeBucket(col("v"), nBuckets)),
+                min(col("v")), max(col("v")))
             else Nil)
           val stats = timed(s"round $rounds: stats")(
             nextActive.agg(statAggs.head, statAggs.tail: _*).head())
@@ -657,6 +727,10 @@ object Graph {
           hitBuckets =
             if (bucketedMode && nActive > 0) stats.getSeq[Int](2)
             else Seq.empty
+          vRange =
+            if (bucketedMode && nActive > 0)
+              Some((stats.get(3), stats.get(4)))
+            else None
           release(activeIds)
           if (nActive == 0) {
             release(naIds); active = None; activeIds = Set.empty

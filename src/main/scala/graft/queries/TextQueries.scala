@@ -1437,7 +1437,7 @@ object TextQueries {
           .createTempDirectory("graft_kcore_edges").toString
         try {
           Graph.writeBucketedEdges(e, s"$root/edges", 64)
-          Graph.corenessBucketed(s, s"$root/edges", 64)
+          Graph.corenessBucketed(s, s"$root/edges")
             .select(col("id").as("doc_id"), col("coreness"))
             .orderBy("doc_id")
             .localCheckpoint(true) // materialize before the dir dies

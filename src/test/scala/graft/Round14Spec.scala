@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.ext.Dedup
 
 /** Round-14 invariants: the bucket-pruned posting probe (the delta-sized

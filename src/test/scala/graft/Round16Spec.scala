@@ -389,7 +389,8 @@ class Round16Spec extends SparkSpec {
          delta <- Seq(true, false)) {
       val evals = scala.collection.mutable.ArrayBuffer.empty[Long]
       val got = graft.ext.Graph.coreness(edges,
-          broadcastVertexCeiling = ceiling, deltaSchedule = delta,
+          broadcastVertexCeiling = ceiling,
+          schedule = if (delta) "delta" else "sync",
           onRoundStats = (_, n) => { evals += n; () })
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expect, s"ceiling=$ceiling deltaSchedule=$delta")

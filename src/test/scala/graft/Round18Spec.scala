@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.ext.Graph
 
 /** Round-18 invariants (the r17 verdict's #1/#2): the bucketed edge
@@ -62,9 +60,11 @@ class Round18Spec extends SparkSpec {
       assert(bucketDirs.size == nBuckets,
         s"expected $nBuckets bucket dirs, found ${bucketDirs.size}")
       val scans = scala.collection.mutable
-        .ArrayBuffer.empty[(Int, Long, Long)]
-      val bucketed = rows(Graph.corenessBucketed(spark, dir, nBuckets,
-        onRoundScan = (r, files, hit) => { scans += ((r, files, hit)); () }))
+        .ArrayBuffer.empty[(Int, Long, Long, Long)]
+      val bucketed = rows(Graph.corenessBucketed(spark, dir,
+        schedule = "delta",
+        onRoundScan = (r, files, hit, rowsOut) => {
+          scans += ((r, files, hit, rowsOut)); () }))
       val inMemory = rows(Graph.coreness(edges))
       assert(bucketed.nonEmpty && bucketed == inMemory,
         "bucketed-layout coreness diverged from the in-memory path")
@@ -74,7 +74,7 @@ class Round18Spec extends SparkSpec {
       // than the full layout holds — the delta-READ-sized claim
       assert(scans.size >= 3,
         s"fixture produced only ${scans.size} frontier-local rounds")
-      for ((r, files, hit) <- scans) {
+      for ((r, files, hit, _) <- scans) {
         assert(files <= hit,
           s"round $r read $files files for $hit hit buckets — partition " +
             "pruning did not reach the scan")
@@ -103,9 +103,9 @@ class Round18Spec extends SparkSpec {
       val (autoOut, autoEvals) = evalsOf(h =>
         Graph.corenessAdaptive(edges, onRoundStats = h))
       val (deltaOut, deltaEvals) = evalsOf(h =>
-        Graph.coreness(edges, deltaSchedule = true, onRoundStats = h))
+        Graph.coreness(edges, schedule = "delta", onRoundStats = h))
       val (syncOut, syncEvals) = evalsOf(h =>
-        Graph.coreness(edges, deltaSchedule = false, onRoundStats = h))
+        Graph.coreness(edges, schedule = "sync", onRoundStats = h))
       assert(autoOut.nonEmpty && autoOut == deltaOut && autoOut == syncOut,
         s"[$name] adaptive output diverged from a fixed schedule")
       if (name == "ring") {
@@ -138,7 +138,7 @@ class Round18Spec extends SparkSpec {
       .createTempDirectory("graft_r18_edges_auto").toString
     try {
       Graph.writeBucketedEdges(edges, dir, 16)
-      val auto = rows(Graph.corenessBucketed(spark, dir, 16,
+      val auto = rows(Graph.corenessBucketed(spark, dir,
         schedule = "auto"))
       val fixed = rows(Graph.coreness(edges))
       assert(auto.nonEmpty && auto == fixed)

@@ -367,7 +367,17 @@ object Graph {
       .withColumn("b", edgeBucket(col("v"), nBuckets))
       .repartition(col("b"))
       .sortWithinPartitions(col("b"), col("v"))
-      .write.mode("overwrite").partitionBy("b").parquet(dir)
+      // finer pages than the 20k-row default: the page is the reader's
+      // within-rowgroup pruning unit (column-index min-max), and this
+      // layout exists to serve NARROW v-range probes — 4096-row pages
+      // (~64 KB of raw longs) put the pruning floor at
+      // 4096·files instead of 20000·files for ~0.5% metadata overhead.
+      // Measured on the 500k-vertex tree peel: the mid-width rounds'
+      // probe reads floor at 1 page per hit file either way, so finer
+      // pages cut the floor 5×.
+      .write.mode("overwrite").partitionBy("b")
+      .option("parquet.page.row.count.limit", "4096")
+      .parquet(dir)
     // sidecar AFTER the data write (overwrite mode clears the dir first)
     val p = new org.apache.hadoop.fs.Path(dir, "_buckets")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -211,6 +211,20 @@ object PipelineQueries {
   private def qualityMicro: org.apache.spark.sql.Column =
     floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
 
+  /** Stage wall-times for the maintenance demos to stderr when
+    * GRAFT_DEMO_TIMING is set (dev knob, the Graph.GRAFT_CORE_TIMING
+    * pattern — the r18-verdict-#6 floor profile for q264; timings
+    * bracket ACTIONS, where the lazy stages actually execute).
+    */
+  private def demoTimed[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_DEMO_TIMING")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[demo] $label: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** q263's SERVE: cut the training snapshot from state views only —
     * survivors (merge-on-read labels filtered to min-id cluster reps:
     * label NULL = never saw an edge, label = doc_id = its component's
@@ -273,11 +287,17 @@ object PipelineQueries {
   private[graft] def writeShardSnapshot(
       snapshot: org.apache.spark.sql.DataFrame, dir: String)
       : org.apache.spark.sql.DataFrame = {
+    // restore the writer's column order and the BIGINT shard type on the
+    // read-back (the partition column comes back directory-inferred INT
+    // and last) — schema-generic so q263's doc snapshot and q267's
+    // chunk/bin snapshot share this one writer
+    val cols = snapshot.columns.toSeq.map {
+      case "shard" => col("shard").cast("long").as("shard")
+      case c => col(c)
+    }
     snapshot.repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
-    snapshot.sparkSession.read.parquet(dir)
-      .select(col("doc_id"), col("source"), col("n_tok"), col("r"),
-        col("shard").cast("long").as("shard"))
+    snapshot.sparkSession.read.parquet(dir).select(cols: _*)
   }
 
   /** q264's pair state carrying its storage bucket `pb = pmod(i, B)` —
@@ -2203,7 +2223,8 @@ object PipelineQueries {
         val root = java.nio.file.Files
           .createTempDirectory("graft_inc_core").toString
         try {
-          val schema = stageCcIngest(s, docs, root)
+          val schema = demoTimed("q264 stage-ingest")(
+            stageCcIngest(s, docs, root))
           val pairStore = GenStore(s"$root/state/core/pairs_base",
             s"$root/state/core/pairs")
           val coreStore = GenStore(s"$root/state/core/core_base",
@@ -2212,16 +2233,18 @@ object PipelineQueries {
           // pair set feeds the pairs base, the coreness base, and the CC
           // label base (which commits last = the init guard, so a torn
           // init re-runs whole — heal-on-redelivery, r17 ADVICE #3)
+          demoTimed("q264 init: postings+pairs+coreness bases")(
           Streams.ccStoreInit(docs.filter(col("doc_id") % 5 =!= 0),
             s"$root/state", k = 3, threshold = 0.3, nBuckets = 64,
             onInitPairs = Some { pairs =>
               bucketedPairs(pairs, 64).repartition(col("pb"))
                 .write.mode("overwrite").partitionBy("pb")
                 .parquet(pairStore.basePath(-1))
-              Graph.coreness(pairs
-                  .select(col("i").as("src"), col("j").as("dst")))
-                .write.mode("overwrite").parquet(coreStore.basePath(-1))
-            })
+              demoTimed("q264 init: coreness base recompute")(
+                Graph.coreness(pairs
+                    .select(col("i").as("src"), col("j").as("dst")))
+                  .write.mode("overwrite").parquet(coreStore.basePath(-1)))
+            }))
           // latest-epoch-wins per id — the shared GenStore merge (one
           // implementation, r18 review); no probe hint needed: core
           // deltas are component-sized and the demo serve reads once
@@ -2229,7 +2252,7 @@ object PipelineQueries {
             coreStore.latestWinsView(s, bound, "id")
           val reduced = graft.util.BenchMode.reducedDemos
           val onPairs: (org.apache.spark.sql.DataFrame, Long) => Unit =
-            (pairs, epoch) => {
+            (pairs, epoch) => demoTimed(s"q264 epoch $epoch onPairs") {
               // an epoch whose batch pairs with NOTHING changes no
               // component and no coreness: skip both delta writes
               // entirely (append-only content — a missing epoch is
@@ -2315,25 +2338,248 @@ object PipelineQueries {
           val q = demoIngest(s, schema, root, reduced)
             .writeStream.option("checkpointLocation", s"$root/ckpt")
             .foreachBatch(step).start()
-          try q.processAllAvailable() finally q.stop()
+          demoTimed("q264 stream (ccStoreStep incl. onPairs)")(
+            try q.processAllAvailable() finally q.stop())
           if (!reduced) {
             require(pairStore.latestCompleteBase() >= 1,
               "the pair fold did not fire mid-stream")
             require(coreStore.latestCompleteBase() >= 1,
               "the coreness fold did not fire mid-stream")
           }
-          coreView(Long.MaxValue)
-            .select(col("id").as("doc_id"), col("coreness"))
-            .orderBy("doc_id")
-            .localCheckpoint(true) // materialize before the root dies
+          demoTimed("q264 serve: coreness view")(
+            coreView(Long.MaxValue)
+              .select(col("id").as("doc_id"), col("coreness"))
+              .orderBy("doc_id")
+              .localCheckpoint(true)) // materialize before the root dies
         } finally {
           graft.util.Dirs.rmTree(root)
         }
       },
-      Some(TextQueries.fullCorenessOracleSql))
+      Some(TextQueries.fullCorenessOracleSql)),
+
+    // ---- the TOKENIZED training tail, composed end to end (r18 #4) ----
+    // q200/q213/q251 stop the composition discipline before tokenization;
+    // this is the artifact a trainer actually consumes, as ONE registry
+    // query: curated survivors (q263's pool semantics — CC cluster reps
+    // of the 3-shingle Jaccard-0.5 graph ∩ per-source top-quintile
+    // quality cut) → BPE-encode with the q218/q219-trained vocab (merge
+    // table from 12 driver-side argmax collects; the word→token-count
+    // table is VOCABULARY-sized and broadcasts — the corpus never
+    // carries the merge chain) → context-window chunking on the q209
+    // stride-24/window-32 grid with per-chunk BPE token mass (chunk
+    // strings re-split and summed against the broadcast wtok — one
+    // map-side-partial aggregate keyed by (doc, chunk)) → greedy
+    // first-fit packing of chunks into 512-BPE-token bins (q148's
+    // per-source recurrence, in (doc_id, chunk_idx) order) → serpentine
+    // shard striping of the BINS by token mass (q249's census-offset
+    // rank — bin_tok ∈ [1, 512], so the rank census is grid-bounded by
+    // construction, never corpus-wide) → the layout LANDED on disk and
+    // read back (q254/q263's writeShardSnapshot; the oracle hash pins
+    // the round trip trainers consume). No new shuffle class anywhere:
+    // every stage keeps its proven shape, and the only additions are one
+    // (doc, chunk)-keyed aggregate and one (source, bin) join. The
+    // oracle nests the verified CTE blocks (ccOracleCte + q247's cut +
+    // bpeTrainerCtes + q209's grid + q148's recursive pack + q249's
+    // serpentine) verbatim. MATERIALIZED on pbase/packed is load-bearing
+    // (the bpeTrainerCtes lesson at recursion scale): the pack recursion
+    // scans pbase once per iteration and DuckDB inlines plain CTEs per
+    // reference — inlined, every one of the ~|chunks|/|sources|
+    // iterations re-runs the whole CC+BPE+chunk chain above it
+    // (measured: 88 CPU-minutes and unfinished at sf0.1 vs seconds
+    // materialized); packed is read twice (bin masses + final join),
+    // which would run the recursion itself twice.
+    QueryDef("q267_tokenized_training_tail",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        // stage 1: curated pool (q263's serve semantics, batch form)
+        val labels = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+          .localCheckpoint(true)
+        val scored = docs.select(col("doc_id"), col("source"), col("text"),
+          qualityMicro.as("q_micro"))
+        val census = scored.groupBy("source", "q_micro")
+          .agg(count(lit(1)).as("c"))
+        val bySrc = Window.partitionBy("source")
+        val cuts = census
+          .withColumn("cum", sum("c").over(bySrc.orderBy(col("q_micro").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("c").over(bySrc))
+          .withColumn("k", expr("(n + 4) div 5"))
+          .groupBy("source")
+          .agg(max(when(col("cum") >= col("k"), col("q_micro")))
+            .as("cut_micro"))
+        val kept = scored
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left")
+          .filter(col("label").isNull || col("label") === col("doc_id"))
+          .join(broadcast(cuts), "source")
+          .filter(col("q_micro") >= col("cut_micro"))
+          .select("doc_id", "source", "text")
+        // stage 2: the q219-trained vocab (merges off the FULL corpus —
+        // vocab induction precedes curation) + the broadcast word table
+        val merges = TA.bpeTrain(docs, "text", TextQueries.BpeMerges)
+          .orderBy("step").select("left", "right").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val wtok = docs
+          .select(explode(split(col("text"), " ", -1)).as("cw"))
+          .filter(length(col("cw")) >= 1).distinct()
+          .withColumn("tok", TA.bpeTokenCount(col("cw"), merges))
+        // stage 3: q209's chunk grid over the pool, massed in BPE tokens
+        val ctok = kept
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ", -1).as("w"))
+          .select(col("doc_id"), col("source"), posexplode(expr(
+            "transform(sequence(0, (size(w)-1) div 24)," +
+              " k -> array_join(slice(w, k*24+1, 32), ' '))"))
+            .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("source"), col("chunk_idx"),
+            explode(split(col("chunk"), " ", -1)).as("cw"))
+          .join(broadcast(wtok), "cw")
+          .groupBy("doc_id", "source", "chunk_idx")
+          .agg(sum(col("tok").cast("long")).as("n_bpe"))
+        // stage 4: q148's first-fit recurrence on chunks, cap 512 BPE
+        val packed = ctok
+          .select(col("source"), col("doc_id"), col("chunk_idx"),
+            col("n_bpe"))
+          .as[PackChunk]
+          .groupByKey(_.source)
+          .flatMapGroups { (src: String, it: Iterator[PackChunk]) =>
+            val sorted = it.toArray.sortBy(c => (c.doc_id, c.chunk_idx))
+            var bin = 0L; var fill = 0L; var first = true
+            sorted.iterator.map { c =>
+              if (first) { first = false; fill = c.n_bpe }
+              else if (fill + c.n_bpe > 512) { bin += 1; fill = c.n_bpe }
+              else fill += c.n_bpe
+              PackedChunk(src, c.doc_id, c.chunk_idx, c.n_bpe, bin,
+                fill - c.n_bpe)
+            }
+          }
+          .toDF("source", "doc_id", "chunk_idx", "n_bpe", "bin",
+            "bin_offset")
+          .localCheckpoint(true) // read twice: bin masses + final join
+        // stage 5: serpentine stripe the bins (q249's shape; the census
+        // is bounded by the 512-token grid)
+        val bins = packed.groupBy("source", "bin")
+          .agg(sum("n_bpe").as("bin_tok"))
+        val boff = bins.groupBy("bin_tok").agg(count(lit(1)).as("c"))
+          .withColumn("off", sum("c").over(Window
+            .orderBy(col("bin_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("c"))
+          .select("bin_tok", "off")
+        val sharded = bins.join(broadcast(boff), "bin_tok")
+          .withColumn("r", col("off")
+            + row_number().over(Window.partitionBy("bin_tok")
+                .orderBy("source", "bin")).cast("long"))
+          .withColumn("shard", expr(
+            "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
+              "ELSE 7 - (r - 1) % 8 END"))
+          .select("source", "bin", "r", "shard")
+        val snapshot = packed.join(sharded, Seq("source", "bin"))
+          .select("doc_id", "chunk_idx", "source", "n_bpe", "bin",
+            "bin_offset", "r", "shard")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_tok_tail").toString
+        try {
+          writeShardSnapshot(snapshot, s"$root/snapshot")
+            .orderBy("doc_id", "chunk_idx")
+            .localCheckpoint(true) // materialize before the dir dies
+        } finally {
+          graft.util.Dirs.rmTree(root)
+        }
+      },
+      Some(s"""WITH RECURSIVE $ccOracleCte,
+        |q AS (SELECT doc_id, source,
+        |  CAST(floor((0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * least(1.0, (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)) * 1e6 + 0.5) AS BIGINT) AS q_micro
+        |  FROM documents),
+        |qc AS (SELECT source, q_micro, COUNT(*) AS c FROM q GROUP BY 1, 2),
+        |qcum AS (
+        |  SELECT source, q_micro,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY q_micro DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM qc),
+        |cuts AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN cum >= (n + 4) // 5 THEN q_micro END) AS cut_micro
+        |  FROM qcum GROUP BY source),
+        |kept AS (
+        |  SELECT q.doc_id, q.source
+        |  FROM q LEFT JOIN comp ON q.doc_id = comp.id
+        |  JOIN cuts ON q.source = cuts.source
+        |  WHERE (comp.id IS NULL OR comp.label = q.doc_id)
+        |    AND q.q_micro >= cuts.cut_micro),
+        |${TextQueries.bpeTrainerCtes(TextQueries.BpeMerges)},
+        |wtok AS (SELECT w, CAST(len(string_split(s, '|')) AS INT) AS tok
+        |  FROM w${TextQueries.BpeMerges}),
+        |kdocs AS (
+        |  SELECT d.doc_id, k.source, string_split(d.text, ' ') AS w
+        |  FROM documents d JOIN kept k USING (doc_id)),
+        |ch AS (
+        |  SELECT doc_id, source, CAST(kk.k AS INTEGER) AS chunk_idx,
+        |    array_to_string(w[(kk.k*24+1):(kk.k*24+32)], ' ') AS chunk
+        |  FROM kdocs, (SELECT unnest(range(0, 256)) AS k) kk
+        |  WHERE kk.k <= (len(w) - 1) // 24),
+        |cw AS (
+        |  SELECT doc_id, source, chunk_idx,
+        |    unnest(string_split(chunk, ' ')) AS cw
+        |  FROM ch),
+        |ctok AS (
+        |  SELECT doc_id, source, chunk_idx,
+        |    CAST(SUM(t.tok) AS BIGINT) AS n_bpe
+        |  FROM cw JOIN wtok t ON cw.cw = t.w
+        |  GROUP BY 1, 2, 3),
+        |pbase AS MATERIALIZED (
+        |  SELECT source, doc_id, chunk_idx, n_bpe,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ctok),
+        |pr AS (
+        |  SELECT source, doc_id, chunk_idx, n_bpe, rn,
+        |    CAST(0 AS BIGINT) AS bin, n_bpe AS fill
+        |  FROM pbase WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.source, b.doc_id, b.chunk_idx, b.n_bpe, b.rn,
+        |    CASE WHEN pr.fill + b.n_bpe > 512 THEN pr.bin + 1
+        |         ELSE pr.bin END,
+        |    CASE WHEN pr.fill + b.n_bpe > 512 THEN b.n_bpe
+        |         ELSE pr.fill + b.n_bpe END
+        |  FROM pbase b JOIN pr ON b.source = pr.source
+        |    AND b.rn = pr.rn + 1),
+        |packed AS MATERIALIZED (
+        |  SELECT source, doc_id, chunk_idx, n_bpe, bin,
+        |    fill - n_bpe AS bin_offset
+        |  FROM pr),
+        |bins AS (SELECT source, bin, CAST(SUM(n_bpe) AS BIGINT) AS bin_tok
+        |  FROM packed GROUP BY 1, 2),
+        |bc AS (SELECT bin_tok, COUNT(*) AS c FROM bins GROUP BY bin_tok),
+        |boff AS (
+        |  SELECT bin_tok, CAST(SUM(c) OVER (ORDER BY bin_tok DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |    AS BIGINT) AS off
+        |  FROM bc),
+        |sharded AS (
+        |  SELECT b.source, b.bin,
+        |    o.off + ROW_NUMBER() OVER (PARTITION BY b.bin_tok
+        |      ORDER BY b.source, b.bin) AS r
+        |  FROM bins b JOIN boff o USING (bin_tok))
+        |SELECT p.doc_id, p.chunk_idx, p.source, p.n_bpe, p.bin,
+        |  p.bin_offset, s.r,
+        |  CAST(CASE WHEN ((s.r - 1) // 8) % 2 = 0 THEN (s.r - 1) % 8
+        |       ELSE 7 - (s.r - 1) % 8 END AS BIGINT) AS shard
+        |FROM packed p JOIN sharded s
+        |  ON p.source = s.source AND p.bin = s.bin
+        |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)
   case class PackedDoc(source: String, doc_id: Long, n_tok: Int,
                        bin: Int, bin_offset: Int)
+  case class PackChunk(source: String, doc_id: Long, chunk_idx: Int,
+                       n_bpe: Long)
+  case class PackedChunk(source: String, doc_id: Long, chunk_idx: Int,
+                         n_bpe: Long, bin: Long, bin_offset: Long)
 }

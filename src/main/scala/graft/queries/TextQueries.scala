@@ -1578,7 +1578,7 @@ object TextQueries {
     * `final val` (constant-folded) — it is referenced during the queries
     * Seq's initializer above, where a runtime val would still be 0.
     */
-  private final val BpeMerges = 12
+  private[queries] final val BpeMerges = 12
 
   /** Unrolled-trainer oracle: generation k's words table `w{k}` and its
     * argmax merge `b{k}`, chained from the distinct-word census `w0`.
@@ -1589,7 +1589,7 @@ object TextQueries {
     * (left-to-right non-overlapping — exactly bpeTrain's greedy fold; see
     * TextAnalysis.bpeSegment for the equivalence argument).
     */
-  private def bpeTrainerCtes(n: Int): String = {
+  private[queries] def bpeTrainerCtes(n: Int): String = {
     val w0 =
       """w0 AS MATERIALIZED (
         |  SELECT w, list_aggregate(list_transform(range(1, len(w)+1), i -> w[i:i]),

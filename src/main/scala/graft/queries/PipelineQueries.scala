@@ -211,6 +211,106 @@ object PipelineQueries {
   private def qualityMicro: org.apache.spark.sql.Column =
     floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
 
+  /** q267’s snapshot BUILD (stages 1–5, pre-write) — factored out so
+    * PlanShapeSpec can pin the census discipline of the plan that
+    * actually computes the layout (the registry query returns the disk
+    * READ-BACK, whose plan is just the snapshot scan).
+    */
+  private[graft] def tokenizedTrainingSnapshot(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        // stage 1: curated pool (q263's serve semantics, batch form)
+        val labels = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+          .localCheckpoint(true)
+        val scored = docs.select(col("doc_id"), col("source"), col("text"),
+          qualityMicro.as("q_micro"))
+        val census = scored.groupBy("source", "q_micro")
+          .agg(count(lit(1)).as("c"))
+        val bySrc = Window.partitionBy("source")
+        val cuts = census
+          .withColumn("cum", sum("c").over(bySrc.orderBy(col("q_micro").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("c").over(bySrc))
+          .withColumn("k", expr("(n + 4) div 5"))
+          .groupBy("source")
+          .agg(max(when(col("cum") >= col("k"), col("q_micro")))
+            .as("cut_micro"))
+        val kept = scored
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left")
+          .filter(col("label").isNull || col("label") === col("doc_id"))
+          .join(broadcast(cuts), "source")
+          .filter(col("q_micro") >= col("cut_micro"))
+          .select("doc_id", "source", "text")
+        // stage 2: the q219-trained vocab (merges off the FULL corpus —
+        // vocab induction precedes curation) + the broadcast word table
+        val merges = TA.bpeTrain(docs, "text", TextQueries.BpeMerges)
+          .orderBy("step").select("left", "right").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val wtok = docs
+          .select(explode(split(col("text"), " ", -1)).as("cw"))
+          .filter(length(col("cw")) >= 1).distinct()
+          .withColumn("tok", TA.bpeTokenCount(col("cw"), merges))
+        // stage 3: q209's chunk grid over the pool, massed in BPE tokens
+        val ctok = kept
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ", -1).as("w"))
+          .select(col("doc_id"), col("source"), posexplode(expr(
+            "transform(sequence(0, (size(w)-1) div 24)," +
+              " k -> array_join(slice(w, k*24+1, 32), ' '))"))
+            .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("source"), col("chunk_idx"),
+            explode(split(col("chunk"), " ", -1)).as("cw"))
+          .join(broadcast(wtok), "cw")
+          .groupBy("doc_id", "source", "chunk_idx")
+          .agg(sum(col("tok").cast("long")).as("n_bpe"))
+        // stage 4: q148's first-fit recurrence on chunks, cap 512 BPE
+        val packed = ctok
+          .select(col("source"), col("doc_id"), col("chunk_idx"),
+            col("n_bpe"))
+          .as[PackChunk]
+          .groupByKey(_.source)
+          .flatMapGroups { (src: String, it: Iterator[PackChunk]) =>
+            val sorted = it.toArray.sortBy(c => (c.doc_id, c.chunk_idx))
+            var bin = 0L; var fill = 0L; var first = true
+            sorted.iterator.map { c =>
+              if (first) { first = false; fill = c.n_bpe }
+              else if (fill + c.n_bpe > 512) { bin += 1; fill = c.n_bpe }
+              else fill += c.n_bpe
+              PackedChunk(src, c.doc_id, c.chunk_idx, c.n_bpe, bin,
+                fill - c.n_bpe)
+            }
+          }
+          .toDF("source", "doc_id", "chunk_idx", "n_bpe", "bin",
+            "bin_offset")
+          .localCheckpoint(true) // read twice: bin masses + final join
+        // stage 5: serpentine stripe the bins (q249's shape; the census
+        // is bounded by the 512-token grid)
+        val bins = packed.groupBy("source", "bin")
+          .agg(sum("n_bpe").as("bin_tok"))
+        val boff = bins.groupBy("bin_tok").agg(count(lit(1)).as("c"))
+          .withColumn("off", sum("c").over(Window
+            .orderBy(col("bin_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("c"))
+          .select("bin_tok", "off")
+        val sharded = bins.join(broadcast(boff), "bin_tok")
+          .withColumn("r", col("off")
+            + row_number().over(Window.partitionBy("bin_tok")
+                .orderBy("source", "bin")).cast("long"))
+          .withColumn("shard", expr(
+            "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
+              "ELSE 7 - (r - 1) % 8 END"))
+          .select("source", "bin", "r", "shard")
+        val snapshot = packed.join(sharded, Seq("source", "bin"))
+          .select("doc_id", "chunk_idx", "source", "n_bpe", "bin",
+            "bin_offset", "r", "shard")
+    snapshot
+  }
+
   /** Stage wall-times for the maintenance demos to stderr when
     * GRAFT_DEMO_TIMING is set (dev knob, the Graph.GRAFT_CORE_TIMING
     * pattern — the r18-verdict-#6 floor profile for q264; timings
@@ -2390,99 +2490,11 @@ object PipelineQueries {
     // which would run the recursion itself twice.
     QueryDef("q267_tokenized_training_tail",
       (s, dir) => {
-        import s.implicits._
-        val docs = Tables.documents(s, dir)
-        // stage 1: curated pool (q263's serve semantics, batch form)
-        val labels = Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
-          .localCheckpoint(true)
-        val scored = docs.select(col("doc_id"), col("source"), col("text"),
-          qualityMicro.as("q_micro"))
-        val census = scored.groupBy("source", "q_micro")
-          .agg(count(lit(1)).as("c"))
-        val bySrc = Window.partitionBy("source")
-        val cuts = census
-          .withColumn("cum", sum("c").over(bySrc.orderBy(col("q_micro").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("n", sum("c").over(bySrc))
-          .withColumn("k", expr("(n + 4) div 5"))
-          .groupBy("source")
-          .agg(max(when(col("cum") >= col("k"), col("q_micro")))
-            .as("cut_micro"))
-        val kept = scored
-          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
-            "left")
-          .filter(col("label").isNull || col("label") === col("doc_id"))
-          .join(broadcast(cuts), "source")
-          .filter(col("q_micro") >= col("cut_micro"))
-          .select("doc_id", "source", "text")
-        // stage 2: the q219-trained vocab (merges off the FULL corpus —
-        // vocab induction precedes curation) + the broadcast word table
-        val merges = TA.bpeTrain(docs, "text", TextQueries.BpeMerges)
-          .orderBy("step").select("left", "right").collect()
-          .map(r => (r.getString(0), r.getString(1))).toSeq
-        val wtok = docs
-          .select(explode(split(col("text"), " ", -1)).as("cw"))
-          .filter(length(col("cw")) >= 1).distinct()
-          .withColumn("tok", TA.bpeTokenCount(col("cw"), merges))
-        // stage 3: q209's chunk grid over the pool, massed in BPE tokens
-        val ctok = kept
-          .select(col("doc_id"), col("source"),
-            split(col("text"), " ", -1).as("w"))
-          .select(col("doc_id"), col("source"), posexplode(expr(
-            "transform(sequence(0, (size(w)-1) div 24)," +
-              " k -> array_join(slice(w, k*24+1, 32), ' '))"))
-            .as(Seq("chunk_idx", "chunk")))
-          .select(col("doc_id"), col("source"), col("chunk_idx"),
-            explode(split(col("chunk"), " ", -1)).as("cw"))
-          .join(broadcast(wtok), "cw")
-          .groupBy("doc_id", "source", "chunk_idx")
-          .agg(sum(col("tok").cast("long")).as("n_bpe"))
-        // stage 4: q148's first-fit recurrence on chunks, cap 512 BPE
-        val packed = ctok
-          .select(col("source"), col("doc_id"), col("chunk_idx"),
-            col("n_bpe"))
-          .as[PackChunk]
-          .groupByKey(_.source)
-          .flatMapGroups { (src: String, it: Iterator[PackChunk]) =>
-            val sorted = it.toArray.sortBy(c => (c.doc_id, c.chunk_idx))
-            var bin = 0L; var fill = 0L; var first = true
-            sorted.iterator.map { c =>
-              if (first) { first = false; fill = c.n_bpe }
-              else if (fill + c.n_bpe > 512) { bin += 1; fill = c.n_bpe }
-              else fill += c.n_bpe
-              PackedChunk(src, c.doc_id, c.chunk_idx, c.n_bpe, bin,
-                fill - c.n_bpe)
-            }
-          }
-          .toDF("source", "doc_id", "chunk_idx", "n_bpe", "bin",
-            "bin_offset")
-          .localCheckpoint(true) // read twice: bin masses + final join
-        // stage 5: serpentine stripe the bins (q249's shape; the census
-        // is bounded by the 512-token grid)
-        val bins = packed.groupBy("source", "bin")
-          .agg(sum("n_bpe").as("bin_tok"))
-        val boff = bins.groupBy("bin_tok").agg(count(lit(1)).as("c"))
-          .withColumn("off", sum("c").over(Window
-            .orderBy(col("bin_tok").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            - col("c"))
-          .select("bin_tok", "off")
-        val sharded = bins.join(broadcast(boff), "bin_tok")
-          .withColumn("r", col("off")
-            + row_number().over(Window.partitionBy("bin_tok")
-                .orderBy("source", "bin")).cast("long"))
-          .withColumn("shard", expr(
-            "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
-              "ELSE 7 - (r - 1) % 8 END"))
-          .select("source", "bin", "r", "shard")
-        val snapshot = packed.join(sharded, Seq("source", "bin"))
-          .select("doc_id", "chunk_idx", "source", "n_bpe", "bin",
-            "bin_offset", "r", "shard")
         val root = java.nio.file.Files
           .createTempDirectory("graft_tok_tail").toString
         try {
-          writeShardSnapshot(snapshot, s"$root/snapshot")
+          writeShardSnapshot(tokenizedTrainingSnapshot(s, dir),
+              s"$root/snapshot")
             .orderBy("doc_id", "chunk_idx")
             .localCheckpoint(true) // materialize before the dir dies
         } finally {

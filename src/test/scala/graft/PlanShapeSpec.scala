@@ -552,4 +552,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"nothing in the schedule join should sort-merge:\n$plan")
   }
+
+  test("q267 tokenized tail: census discipline end to end — the bin-rank " +
+      "window partitions by bin_tok, the vocab table broadcasts, and the " +
+      "only single-partition stages are the domain-bounded census " +
+      "prefix sums") {
+    val df = graft.queries.PipelineQueries
+      .tokenizedTrainingSnapshot(spark, dir)
+    val plan = finalPlanString(df)
+    // the 512-token-grid-bounded bin census: its rank window partitions
+    // BY the bin mass value — an unpartitioned row_number over bins
+    // (corpus/512 rows at scale) would be the q229 trap
+    assert("windowspecdefinition\\(bin_tok#\\d+L?, source#".r
+        .findFirstIn(plan).isDefined,
+      s"bin rank window must partition by bin_tok:\n$plan")
+    // the word->token-count table is vocabulary-sized and must broadcast
+    // into the chunk explode; nothing may cross a cartesian
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocab table must broadcast onto the chunks:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in the tail:\n$plan")
+    // single-partition exchanges: the quality-census and bin-census
+    // prefix-sum windows only (both grid-bounded)
+    val sp = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(sp <= 2, s"more than two single-partition stages:\n$plan")
+  }
 }

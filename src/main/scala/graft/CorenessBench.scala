@@ -135,8 +135,12 @@ object CorenessBench {
           .createTempDirectory("graft_core_warm").toString
         try {
           Graph.writeBucketedEdges(warm, d, 8)
+          // schedule=delta to match the timed bucketed leg: the default
+          // (auto) never flips on this warm fixture, so the delta-only
+          // machinery (advanceFrontier, the bucketed stats action, the
+          // pruned-probe scan) would reach the timed leg cold (r19 review)
           Graph.corenessBucketed(spark, d,
-            partitions = coreParts).count()
+            partitions = coreParts, schedule = "delta").count()
         } finally {
           graft.util.Dirs.rmTree(d)
         }

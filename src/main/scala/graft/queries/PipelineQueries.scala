@@ -204,6 +204,27 @@ object PipelineQueries {
     }
   }
 
+  /** Per-source top-quintile cut table (source, cut_micro) from a
+    * (source, q_micro, c) census — q247's nearest-rank-from-top rule
+    * (largest grid value with >= ceil(n/5) docs at-or-above). ONE
+    * definition for the batch tail (q251), the incremental serve (q263),
+    * and the tokenized tail (q267), so the cut semantics cannot drift
+    * (r19 review; the DuckDB oracles nest the same CTE block verbatim).
+    */
+  private[graft] def censusQuintileCuts(
+      census: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    census
+      .withColumn("cum", sum("c").over(bySrc.orderBy(col("q_micro").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(bySrc))
+      .withColumn("k", expr("(n + 4) div 5"))
+      .groupBy("source")
+      .agg(max(when(col("cum") >= col("k"), col("q_micro")))
+        .as("cut_micro"))
+  }
+
   /** The integer-micro quality score shared by q251 (batch curation tail)
     * and q263 (its incremental twin) — one definition so the two
     * pipelines' cut semantics cannot drift.
@@ -229,15 +250,7 @@ object PipelineQueries {
           qualityMicro.as("q_micro"))
         val census = scored.groupBy("source", "q_micro")
           .agg(count(lit(1)).as("c"))
-        val bySrc = Window.partitionBy("source")
-        val cuts = census
-          .withColumn("cum", sum("c").over(bySrc.orderBy(col("q_micro").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("n", sum("c").over(bySrc))
-          .withColumn("k", expr("(n + 4) div 5"))
-          .groupBy("source")
-          .agg(max(when(col("cum") >= col("k"), col("q_micro")))
-            .as("cut_micro"))
+        val cuts = censusQuintileCuts(census)
         val kept = scored
           .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
             "left")
@@ -340,16 +353,7 @@ object PipelineQueries {
       scoredAll: org.apache.spark.sql.DataFrame,
       censusAll: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val bySrc = Window.partitionBy("source")
-    val cuts = censusAll
-      .withColumn("cum", sum("c").over(bySrc
-        .orderBy(col("q_micro").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum("c").over(bySrc))
-      .withColumn("k", expr("(n + 4) div 5"))
-      .groupBy("source")
-      .agg(max(when(col("cum") >= col("k"), col("q_micro")))
-        .as("cut_micro"))
+    val cuts = censusQuintileCuts(censusAll)
     val kept = scoredAll
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
@@ -2004,15 +2008,7 @@ object PipelineQueries {
           qualityMicro.as("q_micro"))
         val qCensus = scored.groupBy("source", "q_micro")
           .agg(count(lit(1)).as("c"))
-        val bySrc = Window.partitionBy("source")
-        val cuts = qCensus
-          .withColumn("cum", sum("c").over(bySrc.orderBy(col("q_micro").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("n", sum("c").over(bySrc))
-          .withColumn("k", expr("(n + 4) div 5"))
-          .groupBy("source")
-          .agg(max(when(col("cum") >= col("k"), col("q_micro")))
-            .as("cut_micro"))
+        val cuts = censusQuintileCuts(qCensus)
         val kept = scored.join(broadcast(cuts), "source")
           .filter(col("q_micro") >= col("cut_micro"))
         // stage 2: span scrub over the curated pool (q250's shape,

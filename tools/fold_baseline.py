@@ -45,11 +45,17 @@ def main():
         queries, run_cal = parse_run(path)
         if run_cal is None:
             sys.exit(f"{path}: no cal_s vector — not an idle bench artifact")
+        contributed = False
         for k, v in queries.items():
             if k not in merged or v < merged[k]:
                 merged[k] = v
                 changed.append(k)
-        if cal_min is None or run_cal < cal_min:
+                contributed = True
+        # the stamp describes the days the MINIMA were captured: a run
+        # that contributed no minimum must not move it, or a fast-but-
+        # slow-queries day would inflate every future calFactor and bias
+        # gate_ratio_norm low (r19 review)
+        if contributed and (cal_min is None or run_cal < cal_min):
             cal_min = run_cal
     out = {
         "note": base["note"],

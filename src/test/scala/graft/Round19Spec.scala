@@ -46,6 +46,53 @@ class Round19Spec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("mid-width within-file pruning (r18 verdict #2): on a BFS-numbered " +
+      "tree peel whose frontier is a contiguous id-range, rounds that hit " +
+      "EVERY bucket still read fewer rows than the full layout — the " +
+      "pushed v-range prunes pages inside hit files — and the iterates " +
+      "stay exactly equal to the in-memory path") {
+    import spark.implicits._
+    // complete binary tree, edge i -> (i-1)/2: the peel's frontier is the
+    // leaf level [n/2, n), then [n/4, n/2), ... — contiguous ranges, the
+    // shape parquet min-max stats on the v-sorted layout can prune.
+    // n and B sized so bucket files span multiple 4096-row pages
+    // (2*(n-1)/B = 16k rows/file = 4 pages) while the mid-peel frontier
+    // (thousands of vertices) hits every bucket.
+    val n = 32768L
+    val nBuckets = 4
+    val edges = spark.range(1, n)
+      .select(col("id").as("src"),
+        ((col("id") - 1) / 2).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r19_vrange").toString
+    try {
+      Graph.writeBucketedEdges(edges, s"$dir/edges", nBuckets)
+      val scans = scala.collection.mutable
+        .ArrayBuffer.empty[(Int, Long, Long, Long)]
+      val bucketed = Graph.corenessBucketed(spark, s"$dir/edges",
+          schedule = "delta",
+          onRoundScan = (r, files, hit, rowsOut) => {
+            scans += ((r, files, hit, rowsOut)); () })
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+      val inMemory = Graph.coreness(edges)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+      assert(bucketed.nonEmpty && bucketed.sameElements(inMemory),
+        "v-range-pruned coreness diverged from the in-memory path")
+      val fullRows = 2L * (n - 1)
+      // the claim: some frontier-local round hits EVERY bucket (so file
+      // pruning recovers nothing) yet reads strictly less than the full
+      // layout — only page/rowgroup stats on the sorted v can do that
+      val midWidth = scans.filter(s => s._2 == nBuckets.toLong)
+      assert(midWidth.nonEmpty, s"no all-buckets-hit round: $scans")
+      assert(midWidth.exists(_._4 < fullRows),
+        s"no within-file pruning in the mid-width regime " +
+          s"(full=$fullRows): $scans")
+      // and the pruning is sound: no round reads more than the layout
+      assert(scans.forall(_._4 <= fullRows))
+    } finally rmTree(dir)
+  }
+
   /** Shared cross-process harness: spawn GenServeDriver on a staged
     * store, run `maintain` while the reader holds its resolved snapshot,
     * then release the reader and compare its rows to `expected`.

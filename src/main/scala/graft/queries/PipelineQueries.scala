@@ -2580,6 +2580,122 @@ object PipelineQueries {
         |       ELSE 7 - (s.r - 1) % 8 END AS BIGINT) AS shard
         |FROM packed p JOIN sharded s
         |  ON p.source = s.source AND p.bin = s.bin
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- SHARD-PARALLEL packing (the 100 TB shape of the pack stage) --
+    // q148/q267 pack per SOURCE — a genuine recurrence, but its
+    // sequential unit is a whole source's chunk stream, which at corpus
+    // scale cannot fit one task (5 sources = parallelism 5 forever).
+    // Production packs the other way around: stripe chunks into shards
+    // FIRST (q249's serpentine by token mass — census-bounded, fully
+    // parallel), then run the first-fit recurrence WITHIN each shard in
+    // deterministic rank order. The sequential unit becomes ONE SHARD —
+    // the unit a data-parallel trainer consumes anyway, and production
+    // sizes shard count to the cluster, so parallelism scales with the
+    // corpus instead of the source vocabulary. The trade, stated: bins
+    // never cross shard boundaries, so up to one underfilled bin per
+    // shard replaces q267's per-source bin continuity — the accepted
+    // production trade (sequences never span training files). Chunk
+    // masses are q209's whitespace-token grid (the packing-scalability
+    // claim does not need the BPE chain again); all-integer, so the
+    // oracle is the same arithmetic: chunk grid → serpentine striping →
+    // the q148 recursion PARTITIONED BY shard (depth |chunks|/N, not
+    // |chunks|/|sources|).
+    QueryDef("q268_shard_parallel_packing",
+      (s, dir) => {
+        import s.implicits._
+        val sized = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+          .select(col("doc_id"), col("w"), posexplode(expr(
+            "transform(sequence(0, (size(w)-1) div 24)," +
+              " k -> k)")).as(Seq("chunk_idx", "k")))
+          .select(col("doc_id"), col("chunk_idx"),
+            least(lit(32), size(col("w")) - col("chunk_idx") * 24)
+              .cast("long").as("n_tok"))
+        // serpentine stripe the CHUNKS (q249's census discipline — the
+        // n_tok grid is bounded by the 32-token window by construction)
+        val off = sized.groupBy("n_tok").agg(count(lit(1)).as("c"))
+          .withColumn("off", sum("c").over(Window
+            .orderBy(col("n_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("c"))
+          .select("n_tok", "off")
+        val striped = sized.join(broadcast(off), "n_tok")
+          .withColumn("r", col("off")
+            + row_number().over(Window.partitionBy("n_tok")
+                .orderBy("doc_id", "chunk_idx")).cast("long"))
+          .withColumn("shard", expr(
+            "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
+              "ELSE 7 - (r - 1) % 8 END"))
+        // the recurrence, shard-parallel: deterministic rank order
+        // within each shard, cap 512 — N concurrent recurrences
+        striped
+          .select(col("shard"), col("doc_id"), col("chunk_idx"),
+            col("n_tok"), col("r"))
+          .as[ShardChunk]
+          .groupByKey(_.shard)
+          .flatMapGroups { (sh: Long, it: Iterator[ShardChunk]) =>
+            val sorted = it.toArray.sortBy(_.r)
+            var bin = 0L; var fill = 0L; var first = true
+            sorted.iterator.map { c =>
+              if (first) { first = false; fill = c.n_tok }
+              else if (fill + c.n_tok > 512) { bin += 1; fill = c.n_tok }
+              else fill += c.n_tok
+              ShardPacked(sh, c.doc_id, c.chunk_idx, c.n_tok, c.r, bin,
+                fill - c.n_tok)
+            }
+          }
+          .toDF("shard", "doc_id", "chunk_idx", "n_tok", "r", "bin",
+            "bin_offset")
+          .select("doc_id", "chunk_idx", "n_tok", "r", "shard", "bin",
+            "bin_offset")
+          .orderBy("doc_id", "chunk_idx")
+      },
+      // MATERIALIZED on the recursion's input (the q267 lesson): the
+      // shard-partitioned pack recursion scans `ranked` once per
+      // iteration and DuckDB inlines plain CTEs per reference
+      Some("""WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(kk.k AS INTEGER) AS chunk_idx,
+        |    CAST(least(32, len(w) - kk.k*24) AS BIGINT) AS n_tok
+        |  FROM docs, (SELECT unnest(range(0, 256)) AS k) kk
+        |  WHERE kk.k <= (len(w) - 1) // 24),
+        |mc AS (SELECT n_tok, COUNT(*) AS c FROM ch GROUP BY n_tok),
+        |off AS (
+        |  SELECT n_tok, CAST(SUM(c) OVER (ORDER BY n_tok DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |    AS BIGINT) AS off
+        |  FROM mc),
+        |ranked0 AS (
+        |  SELECT ch.doc_id, ch.chunk_idx, ch.n_tok,
+        |    o.off + ROW_NUMBER() OVER (PARTITION BY ch.n_tok
+        |      ORDER BY ch.doc_id, ch.chunk_idx) AS r
+        |  FROM ch JOIN off o USING (n_tok)),
+        |ranked AS MATERIALIZED (
+        |  SELECT doc_id, chunk_idx, n_tok, r,
+        |    CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+        |         ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard,
+        |    ROW_NUMBER() OVER (PARTITION BY
+        |      CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+        |           ELSE 7 - (r - 1) % 8 END
+        |      ORDER BY r) AS rn
+        |  FROM ranked0),
+        |pr AS (
+        |  SELECT doc_id, chunk_idx, n_tok, r, shard, rn,
+        |    CAST(0 AS BIGINT) AS bin, n_tok AS fill
+        |  FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, b.chunk_idx, b.n_tok, b.r, b.shard, b.rn,
+        |    CASE WHEN pr.fill + b.n_tok > 512 THEN pr.bin + 1
+        |         ELSE pr.bin END,
+        |    CASE WHEN pr.fill + b.n_tok > 512 THEN b.n_tok
+        |         ELSE pr.fill + b.n_tok END
+        |  FROM ranked b JOIN pr ON b.shard = pr.shard
+        |    AND b.rn = pr.rn + 1)
+        |SELECT doc_id, chunk_idx, n_tok, r, shard, bin,
+        |  fill - n_tok AS bin_offset
+        |FROM pr
         |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 
@@ -2590,4 +2706,8 @@ object PipelineQueries {
                        n_bpe: Long)
   case class PackedChunk(source: String, doc_id: Long, chunk_idx: Int,
                          n_bpe: Long, bin: Long, bin_offset: Long)
+  case class ShardChunk(shard: Long, doc_id: Long, chunk_idx: Int,
+                        n_tok: Long, r: Long)
+  case class ShardPacked(shard: Long, doc_id: Long, chunk_idx: Int,
+                         n_tok: Long, r: Long, bin: Long, bin_offset: Long)
 }

@@ -304,19 +304,8 @@ object PipelineQueries {
         // is bounded by the 512-token grid)
         val bins = packed.groupBy("source", "bin")
           .agg(sum("n_bpe").as("bin_tok"))
-        val boff = bins.groupBy("bin_tok").agg(count(lit(1)).as("c"))
-          .withColumn("off", sum("c").over(Window
-            .orderBy(col("bin_tok").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            - col("c"))
-          .select("bin_tok", "off")
-        val sharded = bins.join(broadcast(boff), "bin_tok")
-          .withColumn("r", col("off")
-            + row_number().over(Window.partitionBy("bin_tok")
-                .orderBy("source", "bin")).cast("long"))
-          .withColumn("shard", expr(
-            "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
-              "ELSE 7 - (r - 1) % 8 END"))
+        val sharded = censusOffsetRank(bins, "bin_tok", Seq("source", "bin"))
+          .withColumn("shard", serpentineShardExpr("r", 8))
           .select("source", "bin", "r", "shard")
         val snapshot = packed.join(sharded, Seq("source", "bin"))
           .select("doc_id", "chunk_idx", "source", "n_bpe", "bin",
@@ -360,20 +349,8 @@ object PipelineQueries {
       .join(broadcast(cuts), "source")
       .filter(col("q_micro") >= col("cut_micro"))
       .select(col("doc_id"), col("source"), col("n_tok"))
-    val mCensus = kept.groupBy("n_tok").agg(count(lit(1)).as("c"))
-    val off = mCensus
-      .withColumn("off", sum("c").over(Window
-        .orderBy(col("n_tok").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        - col("c"))
-      .select("n_tok", "off")
-    kept.join(broadcast(off), "n_tok")
-      .withColumn("r", col("off")
-        + row_number().over(Window.partitionBy("n_tok")
-            .orderBy("doc_id")).cast("long"))
-      .withColumn("shard", expr(
-        "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
-          "ELSE 7 - (r - 1) % 8 END"))
+    censusOffsetRank(kept, "n_tok", Seq("doc_id"))
+      .withColumn("shard", serpentineShardExpr("r", 8))
       .select("doc_id", "source", "n_tok", "r", "shard")
       .orderBy("doc_id")
   }
@@ -428,33 +405,149 @@ object PipelineQueries {
       : org.apache.spark.sql.DataFrame =
     view.filter(col("pb").isInCollection(hit)).drop("pb")
 
+  /** The boustrophedon shard assignment for a 1-based rank column: rank
+    * r lands in shard (r-1)%n on even n-row passes and n-1-(r-1)%n on
+    * odd ones, so the heavy end of a mass-sorted rank never feeds shard 0
+    * exclusively. ONE definition (r19 verdict #3) for every striping site
+    * (q249/q251/q254/q263/q267/q268/q269/q270) — the serpentine
+    * arithmetic cannot drift per call site anymore. `div`, not `/`:
+    * Column `/` on BIGINT is double division.
+    */
+  private[graft] def serpentineShardExpr(r: String, n: Int)
+      : org.apache.spark.sql.Column =
+    expr(s"CASE WHEN (($r - 1) div $n) % 2 = 0 THEN ($r - 1) % $n " +
+      s"ELSE ${n - 1} - ($r - 1) % $n END")
+
+  /** Census-offset global rank by (massCol DESC, orderCols ASC), for
+    * masses on a provably BOUNDED grid (doc token counts, 512-capped bin
+    * masses): grid census → prefix-sum offsets (a window over CENSUS rows
+    * only, broadcast back onto the corpus) → per-value row_number. NEVER
+    * a corpus-wide single-partition window (the q229 trap) — but its
+    * parallelism is the grid's distinct-value count, so it is the right
+    * shape only when the grid is small AND per-value groups stay modest;
+    * corpus-sized groups take [[rankByTotalOrder]] instead (the q268
+    * lesson, r19 ADVICE #3). Adds a 1-based BIGINT `r`.
+    */
+  private[graft] def censusOffsetRank(df: org.apache.spark.sql.DataFrame,
+      massCol: String, orderCols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val census = df.groupBy(massCol).agg(count(lit(1)).as("c"))
+    val off = census
+      .withColumn("off", sum("c").over(Window.orderBy(col(massCol).desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("c"))
+      .select(massCol, "off")
+    df.join(broadcast(off), massCol)
+      .withColumn("r", col("off")
+        + row_number().over(Window.partitionBy(massCol)
+            .orderBy(orderCols.map(col): _*)).cast("long"))
+      .drop("off")
+  }
+
+  /** Scalable global rank by an arbitrary total order — the 100 TB rank
+    * shape (r19 ADVICE #3 on q268): range-repartition on the sort key,
+    * pin the layout with an eager localCheckpoint (range bounds are
+    * SAMPLED per execution, so the offset pass and the rank pass must
+    * read one materialization or the offsets lie), then global rank =
+    * per-partition prefix counts (a P-row broadcast) + a row_number
+    * window partitioned by the PHYSICAL partition id. Parallelism is the
+    * shuffle partition count — it scales with the cluster, not with the
+    * mass grid's distinct-value count (the census-rank cap that made
+    * q268's stripe 32-way forever). Deterministic for any TOTAL order
+    * (callers pass unique tiebreakers): the rank reconstructs the global
+    * sort position regardless of where the sampled bounds land.
+    * Adds a 1-based BIGINT `r`.
+    */
+  private[graft] def rankByTotalOrder(df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = {
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .withColumn("_p", spark_partition_id())
+      .localCheckpoint(true)
+    // range partition i holds sort keys <= partition i+1's, so prefix
+    // counts by _p are exactly the global rank offsets
+    val offs = sorted.groupBy("_p").agg(count(lit(1)).as("c"))
+      .withColumn("off", sum("c").over(Window.orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("c"))
+      .select("_p", "off")
+    sorted.join(broadcast(offs), "_p")
+      .withColumn("r", col("off") + row_number().over(
+        Window.partitionBy("_p").orderBy(sortCols: _*)).cast("long"))
+      .drop("_p", "off")
+  }
+
+  /** First-fit pack a serpentine-striped frame WITHIN each shard, in
+    * rank order, capacity `cap` — the STREAMING shape (r19 verdict #2):
+    * hash-repartition on shard co-locates each shard, a within-partition
+    * sort by (shard, r) feeds mapPartitions a rank-ordered stream, and
+    * the recurrence folds it row by row with O(1) task memory — a shard
+    * never has to fit in one task's heap (the it.toArray it replaces
+    * did). A partition may hold several shards (hash collisions when
+    * P > nShards, or AQE coalescing); the (shard, r) sort makes each
+    * shard a contiguous run, so the fold just resets at the boundary.
+    * Appends BIGINT `bin` (0-based within shard) and `bin_offset`.
+    */
+  private[graft] def packWithinShards(
+      striped: org.apache.spark.sql.DataFrame, massCol: String, cap: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val outSchema = org.apache.spark.sql.types.StructType(
+      striped.schema.fields :+ StructField("bin", LongType, false) :+
+        StructField("bin_offset", LongType, false))
+    val shardIdx = striped.schema.fieldIndex("shard")
+    val massIdx = striped.schema.fieldIndex(massCol)
+    striped.repartition(col("shard"))
+      .sortWithinPartitions("shard", "r")
+      .mapPartitions { it =>
+        var cur = Long.MinValue; var bin = 0L; var fill = 0L
+        it.map { row =>
+          val sh = row.getLong(shardIdx)
+          val m = row.getLong(massIdx)
+          if (sh != cur) { cur = sh; bin = 0L; fill = m }
+          else if (fill + m > cap) { bin += 1; fill = m }
+          else fill += m
+          org.apache.spark.sql.Row.fromSeq(
+            row.toSeq :+ bin :+ (fill - m))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Shard-parallel pack — the 100 TB shape of the pack stage (r19
+    * verdict #1/#3): serpentine stripe rows into nShards by mass via the
+    * SCALABLE total-order rank, then run the first-fit recurrence within
+    * each shard in rank order, streamed. The sequential unit is one
+    * shard — the unit a data-parallel trainer consumes anyway — so
+    * parallelism scales with the corpus (production sizes shard count to
+    * the cluster); the stated trade: bins never cross shard boundaries,
+    * so up to one underfilled bin per shard replaces per-source bin
+    * continuity (sequences never span training files). Shared by q268,
+    * q269 and q270 so the pack arithmetic cannot drift.
+    */
+  private[graft] def shardParallelPack(df: org.apache.spark.sql.DataFrame,
+      massCol: String, orderCols: Seq[String], nShards: Int, cap: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val ranked = rankByTotalOrder(df,
+      col(massCol).desc +: orderCols.map(col))
+    val striped = ranked.withColumn("shard",
+      serpentineShardExpr("r", nShards))
+    packWithinShards(striped, massCol, cap)
+  }
+
   /** The q249 serpentine balanced-shard layout (doc_id, n_tok, r, shard)
-    * — rank by (n_tok DESC, doc_id) via census-prefix offset + per-value
-    * row_number (NEVER a corpus-wide single-partition window; plan-pinned
-    * in PlanShapeSpec), then boustrophedon-stripe rank r into shard r%N /
-    * N-1-r%N on alternating passes. Shared by q249 (the layout) and q254
-    * (the layout written to disk) so they cannot drift.
+    * — rank by (n_tok DESC, doc_id) via the census-offset rank
+    * (plan-pinned in PlanShapeSpec), then boustrophedon-stripe rank r.
+    * Shared by q249 (the layout) and q254 (the layout written to disk)
+    * so they cannot drift.
     */
   private def serpentineShards(s: org.apache.spark.sql.SparkSession,
       dir: String, n: Int): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
-    val census = toks.groupBy("n_tok").agg(count(lit(1)).as("c"))
-    val off = census
-      .withColumn("off", sum("c").over(Window.orderBy(col("n_tok").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        - col("c"))
-      .select("n_tok", "off")
-    val ranked = toks.join(broadcast(off), "n_tok")
-      .withColumn("r", col("off")
-        + row_number().over(Window.partitionBy("n_tok")
-            .orderBy("doc_id")).cast("long"))
-    ranked
-      // div, not "/": Column `/` on BIGINT is double division
-      .withColumn("shard", expr(
-        s"CASE WHEN ((r - 1) div $n) % 2 = 0 THEN (r - 1) % $n " +
-          s"ELSE ${n - 1} - (r - 1) % $n END"))
+    censusOffsetRank(toks, "n_tok", Seq("doc_id"))
+      .withColumn("shard", serpentineShardExpr("r", n))
       .select("doc_id", "n_tok", "r", "shard")
   }
 
@@ -2035,19 +2128,8 @@ object PipelineQueries {
             (col("n_tok") - coalesce(col("n_cov"), lit(0L))).as("n_kept"))
           .filter(col("n_kept") >= 1)
         // stage 3: serpentine striping on the scrubbed mass (q249's shape)
-        val mCensus = sized.groupBy("n_kept").agg(count(lit(1)).as("c"))
-        val off = mCensus
-          .withColumn("off", sum("c").over(Window.orderBy(col("n_kept").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            - col("c"))
-          .select("n_kept", "off")
-        sized.join(broadcast(off), "n_kept")
-          .withColumn("r", col("off")
-            + row_number().over(Window.partitionBy("n_kept")
-                .orderBy("doc_id")).cast("long"))
-          .withColumn("shard", expr(
-            "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
-              "ELSE 7 - (r - 1) % 8 END"))
+        censusOffsetRank(sized, "n_kept", Seq("doc_id"))
+          .withColumn("shard", serpentineShardExpr("r", 8))
           .select("doc_id", "source", "n_kept", "r", "shard")
           .orderBy("doc_id")
       },
@@ -2587,23 +2669,27 @@ object PipelineQueries {
     // sequential unit is a whole source's chunk stream, which at corpus
     // scale cannot fit one task (5 sources = parallelism 5 forever).
     // Production packs the other way around: stripe chunks into shards
-    // FIRST (q249's serpentine by token mass — census-bounded, fully
-    // parallel), then run the first-fit recurrence WITHIN each shard in
-    // deterministic rank order. The sequential unit becomes ONE SHARD —
-    // the unit a data-parallel trainer consumes anyway, and production
-    // sizes shard count to the cluster, so parallelism scales with the
-    // corpus instead of the source vocabulary. The trade, stated: bins
-    // never cross shard boundaries, so up to one underfilled bin per
-    // shard replaces q267's per-source bin continuity — the accepted
-    // production trade (sequences never span training files). Chunk
-    // masses are q209's whitespace-token grid (the packing-scalability
-    // claim does not need the BPE chain again); all-integer, so the
-    // oracle is the same arithmetic: chunk grid → serpentine striping →
-    // the q148 recursion PARTITIONED BY shard (depth |chunks|/N, not
-    // |chunks|/|sources|).
+    // FIRST by mass rank, then run the first-fit recurrence WITHIN each
+    // shard in deterministic rank order. The sequential unit becomes ONE
+    // SHARD — the unit a data-parallel trainer consumes anyway, and
+    // production sizes shard count to the cluster, so parallelism scales
+    // with the corpus instead of the source vocabulary. The trade,
+    // stated: bins never cross shard boundaries, so up to one underfilled
+    // bin per shard replaces q267's per-source bin continuity — the
+    // accepted production trade (sequences never span training files).
+    // Both sequential residues the r19 shape still carried are gone
+    // (r19 verdict #2, ADVICE #3): the rank is the scalable total-order
+    // rank (range partition + prefix counts — parallelism = the shuffle
+    // partition count, not the 32-value n_tok grid), and the per-shard
+    // recurrence STREAMS (repartition + sortWithinPartitions +
+    // mapPartitions, O(1) task memory — no per-task shard
+    // materialization). Chunk masses are q209's whitespace-token grid
+    // (the packing-scalability claim does not need the BPE chain again);
+    // all-integer, so the oracle is the same arithmetic: chunk grid →
+    // serpentine striping → the q148 recursion PARTITIONED BY shard
+    // (depth |chunks|/N, not |chunks|/|sources|).
     QueryDef("q268_shard_parallel_packing",
       (s, dir) => {
-        import s.implicits._
         val sized = Tables.documents(s, dir)
           .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
           .select(col("doc_id"), col("w"), posexplode(expr(
@@ -2612,41 +2698,8 @@ object PipelineQueries {
           .select(col("doc_id"), col("chunk_idx"),
             least(lit(32), size(col("w")) - col("chunk_idx") * 24)
               .cast("long").as("n_tok"))
-        // serpentine stripe the CHUNKS (q249's census discipline — the
-        // n_tok grid is bounded by the 32-token window by construction)
-        val off = sized.groupBy("n_tok").agg(count(lit(1)).as("c"))
-          .withColumn("off", sum("c").over(Window
-            .orderBy(col("n_tok").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            - col("c"))
-          .select("n_tok", "off")
-        val striped = sized.join(broadcast(off), "n_tok")
-          .withColumn("r", col("off")
-            + row_number().over(Window.partitionBy("n_tok")
-                .orderBy("doc_id", "chunk_idx")).cast("long"))
-          .withColumn("shard", expr(
-            "CASE WHEN ((r - 1) div 8) % 2 = 0 THEN (r - 1) % 8 " +
-              "ELSE 7 - (r - 1) % 8 END"))
-        // the recurrence, shard-parallel: deterministic rank order
-        // within each shard, cap 512 — N concurrent recurrences
-        striped
-          .select(col("shard"), col("doc_id"), col("chunk_idx"),
-            col("n_tok"), col("r"))
-          .as[ShardChunk]
-          .groupByKey(_.shard)
-          .flatMapGroups { (sh: Long, it: Iterator[ShardChunk]) =>
-            val sorted = it.toArray.sortBy(_.r)
-            var bin = 0L; var fill = 0L; var first = true
-            sorted.iterator.map { c =>
-              if (first) { first = false; fill = c.n_tok }
-              else if (fill + c.n_tok > 512) { bin += 1; fill = c.n_tok }
-              else fill += c.n_tok
-              ShardPacked(sh, c.doc_id, c.chunk_idx, c.n_tok, c.r, bin,
-                fill - c.n_tok)
-            }
-          }
-          .toDF("shard", "doc_id", "chunk_idx", "n_tok", "r", "bin",
-            "bin_offset")
+        shardParallelPack(sized, "n_tok", Seq("doc_id", "chunk_idx"),
+            8, 512)
           .select("doc_id", "chunk_idx", "n_tok", "r", "shard", "bin",
             "bin_offset")
           .orderBy("doc_id", "chunk_idx")
@@ -2706,8 +2759,4 @@ object PipelineQueries {
                        n_bpe: Long)
   case class PackedChunk(source: String, doc_id: Long, chunk_idx: Int,
                          n_bpe: Long, bin: Long, bin_offset: Long)
-  case class ShardChunk(shard: Long, doc_id: Long, chunk_idx: Int,
-                        n_tok: Long, r: Long)
-  case class ShardPacked(shard: Long, doc_id: Long, chunk_idx: Int,
-                         n_tok: Long, r: Long, bin: Long, bin_offset: Long)
 }

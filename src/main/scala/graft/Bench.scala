@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Headline-pass choice for the whole-run re-pass policy (r19 verdict
+    * #4): prefer the cal-CONSISTENT pass — lower sentinel spread means
+    * load did not shift mid-run, which is the corruption mode uniform
+    * cal-normalization cannot remove (BENCH_r19: spread 1.34, 60
+    * load-falsified medians). When the spreads are within 10% of each
+    * other, both passes are equally consistent and the lower total is
+    * the better measurement on a bursty box. Returns the pass index
+    * (0 or 1). Pure so the policy is unit-testable with a synthetic
+    * loaded replay (Round20Spec).
+    */
+  private[graft] def cleanerPass(spread0: Double, total0: Double,
+      spread1: Double, total1: Double): Int =
+    if (spread1 <= spread0 / 1.1) 1
+    else if (spread0 <= spread1 / 1.1) 0
+    else if (total1 < total0) 1 else 0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -117,7 +133,6 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    val cal = scala.collection.mutable.ArrayBuffer(calibrate())
     // benchSkip tier (r17 verdict #6): superseded comparators whose
     // measurement duty a dedicated harness owns (q242 → CcStoreBench)
     // leave the default tier — still in Verify/CORRECTNESS and tests.
@@ -131,6 +146,80 @@ object Bench {
       .filter(d => graft.util.DevSubset.keep(d.name) &&
         !(d.benchSkip && !fullDemos))
     val midpoint = allRun.size / 2
+    // Per-query self-defense (r14 verdict #2): ambient load on this box is
+    // BURSTY — a per-suite sentinel reads idle while a single query's reps
+    // absorb a 10x burst (BENCH_r14 recorded q227 at 16.4 s vs 1.1-1.5 s
+    // in every committed idle artifact, and a judge needed side artifacts
+    // to adjudicate). So the artifact exonerates itself: any query
+    // whose median exceeds its COMMITTED idle baseline
+    // (bench/idle_baseline.json, refreshed when the registry grows) by
+    // >2x AND by >0.5 s absolute is re-run median-of-3 at suite end, and
+    // the retry vector + the baseline are stamped into the JSON
+    // (`retry_s`/`retry_base`). The headline number is NOT replaced —
+    // the recorded median stays honest; the retry is evidence. A fourth
+    // calibration station after the retries shows whether the box was
+    // idle while they ran. Retries are capped at 12: beyond that the
+    // whole suite was contended (cal_spread already says so) and the
+    // whole-run re-pass policy below takes over.
+    def parseBaseline(path: String): Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        """"(q\d+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap.filter(_._2 > 0)
+      } catch { case _: Throwable => Map.empty }
+    // provisional entries (auto-appended below for queries the committed
+    // baseline has never seen) backstop the shield until the next real
+    // idle refresh; the committed file always wins on conflict
+    val idleBaseline: Map[String, Double] =
+      parseBaseline("bench/idle_baseline_provisional.json") ++
+        parseBaseline("bench/idle_baseline.json")
+    // CAL-NORMALIZATION (r18 verdict #1): the committed baseline minima
+    // were captured on the fastest box-days (cal min 0.13 s), and the r18
+    // idle run measured a UNIFORM 1.34x drift across all 262 shared
+    // queries that its own calibration probe fully explained (cal 0.18 s
+    // = 1.38x slower box) — so both the 2x gate and round-over-round
+    // totals were moving with machine lottery, not code. The baseline now
+    // carries the calibration of its own capture days (`cal_min`, stamped
+    // by tools/fold_baseline.py); this run's factor is
+    // cal.min / baseline.cal_min, and the artifact emits the normalized
+    // total + per-query ratios ALONGSIDE the raw numbers — raw medians
+    // stay the honest record, the normalized view is the comparison the
+    // gate should read. The retry self-defense triggers on NORMALIZED
+    // medians: on a uniformly slow box the raw 2x test would spray
+    // retries at machine speed, while a genuinely regressed query still
+    // exceeds 2x its baseline after dividing out the box.
+    val baseCal: Option[Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench/idle_baseline.json")), "UTF-8")
+      """"cal_min"\s*:\s*(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)""".r
+        .findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).filter(_ > 0)
+    } catch { case _: Throwable => None }
+    // a silent fall-back to the UN-normalized gate must be visible in the
+    // artifact's err log (r19 ADVICE #4): if the baseline file exists but
+    // its stamp can't be read, every normalized field quietly reverts to
+    // raw and a reformat would disable the whole cal machinery unnoticed
+    if (baseCal.isEmpty && java.nio.file.Files.exists(
+        java.nio.file.Paths.get("bench/idle_baseline.json")))
+      System.err.println("BENCH WARNING: bench/idle_baseline.json exists " +
+        "but cal_min could not be parsed — cal_factor falls back to 1.0 " +
+        "and the gate reads UN-normalized raw comparisons")
+    // ---- one full measurement pass (queries + retry shield) ----
+    // factored so the whole-run re-pass policy (r19 verdict #4) can run
+    // the suite twice and stamp the cal-consistent pass as the headline
+    case class Pass(results: Seq[(String, Double, Seq[Double])],
+        cal: Seq[Double], nSuspects: Int,
+        retryRuns: Seq[(String, Seq[Double])]) {
+      def total: Double = results.map(_._2).filter(_ >= 0).sum
+      def calSpread: Double =
+        if (cal.min > 0) cal.max / cal.min else Double.PositiveInfinity
+      def calFactor: Double =
+        baseCal.filter(_ => cal.nonEmpty && cal.min > 0)
+          .map(b => cal.min / b).getOrElse(1.0)
+    }
+    def runPass(): Pass = {
+    val cal = scala.collection.mutable.ArrayBuffer(calibrate())
     val results = allRun.zipWithIndex
       .map { case (d, qi) =>
         if (qi == midpoint && qi > 0) cal += calibrate()
@@ -186,58 +275,64 @@ object Bench {
         }
       }
     cal += calibrate()
-    // Per-query self-defense (r14 verdict #2): ambient load on this box is
-    // BURSTY — a per-suite sentinel reads idle while a single query's reps
-    // absorb a 10x burst (BENCH_r14 recorded q227 at 16.4 s vs 1.1-1.5 s
-    // in every committed idle artifact, and a judge needed side artifacts
-    // to adjudicate). So the artifact now exonerates itself: any query
-    // whose median exceeds its COMMITTED idle baseline
-    // (bench/idle_baseline.json, refreshed when the registry grows) by
-    // >2x AND by >0.5 s absolute is re-run median-of-3 at suite end, and
-    // the retry vector + the baseline are stamped into the JSON
-    // (`retry_s`/`retry_base`). The headline number is NOT replaced —
-    // the recorded median stays honest; the retry is evidence. A fourth
-    // calibration station after the retries shows whether the box was
-    // idle while they ran. Retries are capped at 12: beyond that the
-    // whole suite was contended (cal_spread already says so) and
-    // re-running everything would just double exposure.
-    def parseBaseline(path: String): Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
-        """"(q\d+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap.filter(_._2 > 0)
-      } catch { case _: Throwable => Map.empty }
-    // provisional entries (auto-appended below for queries the committed
-    // baseline has never seen) backstop the shield until the next real
-    // idle refresh; the committed file always wins on conflict
-    val idleBaseline: Map[String, Double] =
-      parseBaseline("bench/idle_baseline_provisional.json") ++
-        parseBaseline("bench/idle_baseline.json")
-    // CAL-NORMALIZATION (r18 verdict #1): the committed baseline minima
-    // were captured on the fastest box-days (cal min 0.13 s), and the r18
-    // idle run measured a UNIFORM 1.34x drift across all 262 shared
-    // queries that its own calibration probe fully explained (cal 0.18 s
-    // = 1.38x slower box) — so both the 2x gate and round-over-round
-    // totals were moving with machine lottery, not code. The baseline now
-    // carries the calibration of its own capture days (`cal_min`, stamped
-    // by tools/fold_baseline.py); this run's factor is
-    // cal.min / baseline.cal_min, and the artifact emits the normalized
-    // total + per-query ratios ALONGSIDE the raw numbers — raw medians
-    // stay the honest record, the normalized view is the comparison the
-    // gate should read. The retry self-defense triggers on NORMALIZED
-    // medians: on a uniformly slow box the raw 2x test would spray
-    // retries at machine speed, while a genuinely regressed query still
-    // exceeds 2x its baseline after dividing out the box.
-    val baseCal: Option[Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench/idle_baseline.json")), "UTF-8")
-      """"cal_min"\s*:\s*(\d+(?:\.\d+)?)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble).filter(_ > 0)
-    } catch { case _: Throwable => None }
     def calFactor: Double =
       baseCal.filter(_ => cal.nonEmpty && cal.min > 0)
         .map(b => cal.min / b).getOrElse(1.0)
+    val suspectsAll = results.collect { case (n, v, _)
+        if v > 0 && idleBaseline.get(n.takeWhile(_ != '_'))
+          .exists(b => v / calFactor > 2 * b && v / calFactor > b + 0.5) => n }
+    val suspects = suspectsAll.take(12)
+    val retryRuns: Seq[(String, Seq[Double])] = suspects.map { name =>
+      val d = allRun.find(_.name == name).get
+      val rs = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        // a retry that THROWS must not record its (short) elapsed time —
+        // a fast fail would read as exoneration evidence for a suspect
+        // query that never actually re-ran the workload (r15 ADVICE #3).
+        // -1.0 is the same failure sentinel the headline medians use.
+        try { d.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      (name.takeWhile(_ != '_'), rs)
+    }
+    if (retryRuns.nonEmpty) cal += calibrate()
+    Pass(results, cal.toSeq, suspectsAll.size, retryRuns)
+    }
+    // ---- whole-run re-pass policy (r19 verdict #4) ----
+    // BENCH_r19's committed headline carried 60 load-falsified medians
+    // that only their own retry vectors refuted: the load arrived
+    // MID-RUN (cal_spread 1.34), which uniform cal-normalization cannot
+    // remove and per-query retries can only annotate. When more than
+    // RepassK queries trip the normalized retry shield in one pass, the
+    // whole suite re-runs ONCE and the cal-CONSISTENT pass is stamped as
+    // the headline; the other pass stays in the artifact as
+    // rejected-run evidence (rejected_total / rejected_cal_spread, full
+    // detail in BENCH_REJECTED.json). Policy fields are emitted even
+    // when the trigger does not fire so every artifact is
+    // self-describing.
+    val RepassK = 8
+    val pass0 = runPass()
+    val repassTriggered =
+      pass0.nSuspects > RepassK && !graft.util.DevSubset.active
+    val pass1Opt = if (repassTriggered) {
+      System.err.println(s"BENCH WARNING: ${pass0.nSuspects} queries " +
+        s"tripped the normalized retry shield (> $RepassK) — the pass " +
+        "was load-contended; re-running the full suite once and " +
+        "stamping the cal-consistent pass as the headline")
+      Some(runPass())
+    } else None
+    val headlineIdx = pass1Opt.map(p1 =>
+      cleanerPass(pass0.calSpread, pass0.total,
+        p1.calSpread, p1.total)).getOrElse(0)
+    val chosen = if (headlineIdx == 1) pass1Opt.get else pass0
+    val rejected = pass1Opt.map(p1 => if (headlineIdx == 1) pass0 else p1)
+    val results = chosen.results
+    val cal = chosen.cal
+    val retryRuns = chosen.retryRuns
+    def calFactor: Double = chosen.calFactor
     // FAIL-LOUD coverage (r15 verdict #5): the retry shield silently
     // no-opped for any query missing from the baseline — a grown registry
     // quietly shrank the shield. Now every registered query with no idle
@@ -278,27 +373,6 @@ object Bench {
             .getBytes("UTF-8"))
       }
     }
-    val suspects = results.collect { case (n, v, _)
-        if v > 0 && idleBaseline.get(n.takeWhile(_ != '_'))
-          .exists(b => v / calFactor > 2 * b && v / calFactor > b + 0.5) => n }
-      .take(12)
-    val retryRuns: Seq[(String, Seq[Double])] = suspects.map { name =>
-      val d = allRun.find(_.name == name).get
-      val rs = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        val t0 = System.nanoTime()
-        // a retry that THROWS must not record its (short) elapsed time —
-        // a fast fail would read as exoneration evidence for a suspect
-        // query that never actually re-ran the workload (r15 ADVICE #3).
-        // -1.0 is the same failure sentinel the headline medians use.
-        try { d.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
-      (name.takeWhile(_ != '_'), rs)
-    }
-    if (retryRuns.nonEmpty) cal += calibrate()
     val retryJson =
       if (retryRuns.isEmpty) ""
       else {
@@ -339,10 +413,10 @@ object Bench {
       .map { case (k, v) => ("\"" + k + "\":" + f(v), v) }
     // total excludes errored queries (their -1 markers are not timings)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // cap the inline error id list so the driver-contract line stays inside
-    // the 2000-char stdout tail even in a mass-breakage round; nerrors
-    // always carries the true count
-    val errShort = errors.map(_.takeWhile(_ != '_')).take(40)
+    // the inline error id list is capped per-line by errJsonOf so the
+    // driver-contract line stays inside the 2000-char stdout tail even
+    // in a mass-breakage round; nerrors always carries the true count
+    val errShort = errors.map(_.takeWhile(_ != '_'))
     // eval-class query ids + their per-rep vectors, so every consumer of
     // this line can see which numbers are min-of-2 measurements rather
     // than medians AND what the rep spread was (r13 verdict #4: a 1-rep
@@ -375,12 +449,17 @@ object Bench {
       System.err.println(s"BENCH WARNING: JIT code cache peak ${ccPeakMb}M is >=90% " +
         s"of the ${ccMaxMb}M reserve — later-query timings may be deoptimized; " +
         "raise -XX:ReservedCodeCacheSize in build.sbt")
-    val errJson =
-      s""","errors":${errShort.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+    // the fixed fields, parameterized so the contract-line budget below
+    // can SHRINK the variable-width ones (error id list, eval rep
+    // vectors) instead of letting a mass-error or 12-retry round push
+    // the fixed tail past the driver's 2000-char window (r19 ADVICE #1)
+    def errJsonOf(errCap: Int, withEvalReps: Boolean) =
+      s""","errors":${errShort.take(errCap).map("\"" + _ + "\"")
+        .mkString("[", ",", "]")}""" +
       s""","nerrors":${errors.size},"reps":$reps,"stat":"median"""" +
       s""","eval_min_of":${math.min(3, reps)}""" +
       s""","eval1rep":${eval1.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-      s""","eval_rep_s":$evalRepJson""" +
+      s""","eval_rep_s":${if (withEvalReps) evalRepJson else "{}"}""" +
       s""","cal_s":${cal.map(c => "%.3f".formatLocal(java.util.Locale.ROOT, c))
         .mkString("[", ",", "]")}""" +
       s""","cal_spread":${"%.2f".formatLocal(java.util.Locale.ROOT, calSpread)}""" +
@@ -410,9 +489,39 @@ object Bench {
       s""","bench_skipped":${benchSkipped.map("\"" + _ + "\"")
         .mkString("[", ",", "]")}""" +
       s""","baseline_missing":${baselineMissing.map("\"" + _._1 + "\"")
-        .mkString("[", ",", "]")}""" + retryJson
-    def line(metric: String, qdict: String, extra: String = "") =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qdict$extra$errJson,"sf":"$sfDir"}"""
+        .mkString("[", ",", "]")}""" +
+      // the re-pass policy fields (r19 verdict #4) — emitted on every
+      // run so artifacts are self-describing; the rejected pass's
+      // evidence rides the contract line in two numbers, full detail in
+      // BENCH_REJECTED.json
+      s""","repass_triggered":$repassTriggered""" +
+      s""","repass_suspects":${pass0.nSuspects}""" +
+      rejected.map(r =>
+        s""","headline_pass":$headlineIdx""" +
+        s""","rejected_total":${"%.3f".formatLocal(java.util.Locale.ROOT,
+            r.total)}""" +
+        s""","rejected_cal_spread":${"%.2f".formatLocal(
+            java.util.Locale.ROOT, r.calSpread)}""").getOrElse("") +
+      retryJson
+    val errJson = errJsonOf(40, true)
+    def line(metric: String, qdict: String, extra: String = "",
+        fields: String = errJson) =
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qdict$extra$fields,"sf":"$sfDir"}"""
+    // the rejected pass's full per-query map, for forensic reads (the
+    // r19 headline buried its real numbers in retry vectors)
+    rejected.foreach { r =>
+      val qd = r.results.map { case (n, v, _) =>
+        "\"" + n.takeWhile(_ != '_') + "\":" + f(v) }.mkString("{", ",", "}")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_REJECTED.json"),
+        (s"""{"note":"load-contended pass rejected by the whole-run """ +
+          s"""re-pass policy (r19 verdict #4)","total":${f(r.total)}""" +
+          s""","cal_s":${r.cal.map(c => "%.3f".formatLocal(
+              java.util.Locale.ROOT, c)).mkString("[", ",", "]")}""" +
+          s""","cal_spread":${"%.2f".formatLocal(java.util.Locale.ROOT,
+              r.calSpread)},"queries":$qd}""" + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     // the detail line (and BENCH_DETAIL.json) carries EVERY query's raw
     // rep vector; the stdout-tail "total" line keeps only the eval-class
     // vectors (the full map would not fit the driver's 2000-char window)
@@ -445,14 +554,35 @@ object Bench {
     // 1900 (100 chars of margin for value/total width drift).
     val byCost = entries.sortBy(-_._2)
     var used = 0
-    val fixedLen = line("total", "{}", s""","queries_omitted":999""").length
-    val keptCap = 1900 - fixedLen
+    // if even the empty-dict line overflows (mass-error round: 40 error
+    // ids + eval vectors + retry fields), SHRINK the variable-width
+    // fixed fields until it fits — err ids to 10 then 0, eval vectors
+    // dropped — rather than printing a line the driver cannot parse
+    // (r19 ADVICE #1; nerrors and BENCH_DETAIL keep the full story)
+    val totalFields = Seq((40, true), (10, true), (0, false))
+      .map { case (c, e) => errJsonOf(c, e) }
+      .find(fj =>
+        line("total", "{}", s""","queries_omitted":999""", fj).length
+          <= 1900)
+      .getOrElse {
+        System.err.println("BENCH WARNING: contract-line fixed fields " +
+          "exceed the driver's 2000-char stdout tail even fully " +
+          "trimmed — the total line may be truncated")
+        errJsonOf(0, false)
+      }
+    if (totalFields != errJson)
+      System.err.println("BENCH WARNING: contract-line fixed fields " +
+        "overflowed the stdout-tail budget — error ids / eval rep " +
+        "vectors trimmed on the total line (full story in BENCH_DETAIL)")
+    val fixedLen = line("total", "{}", s""","queries_omitted":999""",
+      totalFields).length
+    val keptCap = math.max(0, 1900 - fixedLen)
     val kept = byCost.takeWhile { case (s, _) =>
       used += s.length + 1; used < keptCap
     }
     val omitted = entries.size - kept.size
     println(line("total", kept.map(_._1).mkString("{", ",", "}"),
-      s""","queries_omitted":$omitted"""))
+      s""","queries_omitted":$omitted""", totalFields))
     spark.stop()
     // a bench with dead queries must not exit clean — the driver's 2x-gate
     // comparison would otherwise consume fake numbers silently

@@ -232,6 +232,79 @@ object PipelineQueries {
   private def qualityMicro: org.apache.spark.sql.Column =
     floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
 
+  /** Stage 1 of the tokenized tails (q267/q269): the curated pool —
+    * q263's pool semantics in batch form (CC cluster reps of the
+    * 3-shingle Jaccard-0.5 graph ∩ per-source top-quintile quality cut).
+    */
+  private[graft] def curatedPool(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+      .localCheckpoint(true)
+    val scored = docs.select(col("doc_id"), col("source"), col("text"),
+      qualityMicro.as("q_micro"))
+    val census = scored.groupBy("source", "q_micro")
+      .agg(count(lit(1)).as("c"))
+    val cuts = censusQuintileCuts(census)
+    scored
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .join(broadcast(cuts), "source")
+      .filter(col("q_micro") >= col("cut_micro"))
+      .select("doc_id", "source", "text")
+  }
+
+  /** Stages 2–3 of the tokenized tails (q267/q269/q270): train the BPE
+    * vocab on the FULL corpus (vocab induction precedes curation),
+    * broadcast the vocabulary-sized word→token-count table, and mass the
+    * q209 stride-24/window-32 chunk grid over the curated pool in BPE
+    * tokens → (doc_id, source, chunk_idx, n_bpe). The corpus never
+    * carries the merge chain — chunk words re-split and sum against the
+    * broadcast table in one map-side-partial aggregate.
+    */
+  private[graft] def bpeChunkMasses(docs: org.apache.spark.sql.DataFrame,
+      kept: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val merges = TA.bpeTrain(docs, "text", TextQueries.BpeMerges)
+      .orderBy("step").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val wtok = docs
+      .select(explode(split(col("text"), " ", -1)).as("cw"))
+      .filter(length(col("cw")) >= 1).distinct()
+      .withColumn("tok", TA.bpeTokenCount(col("cw"), merges))
+    kept
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ", -1).as("w"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(0, (size(w)-1) div 24)," +
+          " k -> array_join(slice(w, k*24+1, 32), ' '))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        explode(split(col("chunk"), " ", -1)).as("cw"))
+      .join(broadcast(wtok), "cw")
+      .groupBy("doc_id", "source", "chunk_idx")
+      .agg(sum(col("tok").cast("long")).as("n_bpe"))
+  }
+
+  /** q269/q270's snapshot BUILD: the tokenized tail with the
+    * SHARD-PARALLEL pack stage (r19 verdict #1) — curated pool chunked
+    * and massed in BPE tokens, then [[shardParallelPack]] on those
+    * masses (stripe-then-pack: the sequential unit is one shard, not one
+    * source, so pack parallelism scales with the corpus). The ctok
+    * checkpoint is load-bearing: the total-order rank's range sampling
+    * and offset pass would otherwise re-run the CC+BPE+chunk lineage.
+    */
+  private[graft] def shardParallelTokenizedSnapshot(
+      docs: org.apache.spark.sql.DataFrame,
+      kept: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ctok = bpeChunkMasses(docs, kept).localCheckpoint(true)
+    shardParallelPack(ctok, "n_bpe", Seq("doc_id", "chunk_idx"), 8, 512)
+      .select("doc_id", "chunk_idx", "source", "n_bpe", "r", "shard",
+        "bin", "bin_offset")
+  }
+
   /** q267’s snapshot BUILD (stages 1–5, pre-write) — factored out so
     * PlanShapeSpec can pin the census discipline of the plan that
     * actually computes the layout (the registry query returns the disk
@@ -242,44 +315,9 @@ object PipelineQueries {
       : org.apache.spark.sql.DataFrame = {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        // stage 1: curated pool (q263's serve semantics, batch form)
-        val labels = Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
-          .localCheckpoint(true)
-        val scored = docs.select(col("doc_id"), col("source"), col("text"),
-          qualityMicro.as("q_micro"))
-        val census = scored.groupBy("source", "q_micro")
-          .agg(count(lit(1)).as("c"))
-        val cuts = censusQuintileCuts(census)
-        val kept = scored
-          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
-            "left")
-          .filter(col("label").isNull || col("label") === col("doc_id"))
-          .join(broadcast(cuts), "source")
-          .filter(col("q_micro") >= col("cut_micro"))
-          .select("doc_id", "source", "text")
-        // stage 2: the q219-trained vocab (merges off the FULL corpus —
-        // vocab induction precedes curation) + the broadcast word table
-        val merges = TA.bpeTrain(docs, "text", TextQueries.BpeMerges)
-          .orderBy("step").select("left", "right").collect()
-          .map(r => (r.getString(0), r.getString(1))).toSeq
-        val wtok = docs
-          .select(explode(split(col("text"), " ", -1)).as("cw"))
-          .filter(length(col("cw")) >= 1).distinct()
-          .withColumn("tok", TA.bpeTokenCount(col("cw"), merges))
-        // stage 3: q209's chunk grid over the pool, massed in BPE tokens
-        val ctok = kept
-          .select(col("doc_id"), col("source"),
-            split(col("text"), " ", -1).as("w"))
-          .select(col("doc_id"), col("source"), posexplode(expr(
-            "transform(sequence(0, (size(w)-1) div 24)," +
-              " k -> array_join(slice(w, k*24+1, 32), ' '))"))
-            .as(Seq("chunk_idx", "chunk")))
-          .select(col("doc_id"), col("source"), col("chunk_idx"),
-            explode(split(col("chunk"), " ", -1)).as("cw"))
-          .join(broadcast(wtok), "cw")
-          .groupBy("doc_id", "source", "chunk_idx")
-          .agg(sum(col("tok").cast("long")).as("n_bpe"))
+        // stages 1-3: curated pool → BPE vocab → chunk grid massed in
+        // BPE tokens (shared with q269/q270)
+        val ctok = bpeChunkMasses(docs, curatedPool(docs))
         // stage 4: q148's first-fit recurrence on chunks, cap 512 BPE
         val packed = ctok
           .select(col("source"), col("doc_id"), col("chunk_idx"),
@@ -573,6 +611,109 @@ object PipelineQueries {
       |  CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
       |       ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
       |FROM ranked ORDER BY doc_id""".stripMargin
+
+  /** Shared oracle CTE chain of the tokenized tails (q267/q269/q270):
+    * CC closure → per-source quality-cut survivors → BPE trainer → chunk
+    * grid → per-chunk BPE masses `ctok(doc_id, source, chunk_idx,
+    * n_bpe)`. The DuckDB twin of [[curatedPool]] + [[bpeChunkMasses]],
+    * stated once so the three tails' oracles cannot drift. ctok is
+    * MATERIALIZED: everything above it is the expensive CC+BPE chain and
+    * the consumers read it from inside (or twice around) a recursion —
+    * the q267 lesson (inlined, DuckDB re-runs the whole chain per
+    * recursion step; measured 88 CPU-minutes unfinished vs seconds).
+    * Callers prepend `WITH RECURSIVE ` and append their pack CTEs.
+    */
+  private lazy val tokenizedCtokCtes: String = s"""$ccOracleCte,
+    |q AS (SELECT doc_id, source,
+    |  CAST(floor((0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+    |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+    |    + 0.3 * least(1.0, (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)) * 1e6 + 0.5) AS BIGINT) AS q_micro
+    |  FROM documents),
+    |qc AS (SELECT source, q_micro, COUNT(*) AS c FROM q GROUP BY 1, 2),
+    |qcum AS (
+    |  SELECT source, q_micro,
+    |    SUM(c) OVER (PARTITION BY source ORDER BY q_micro DESC
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    |    SUM(c) OVER (PARTITION BY source) AS n
+    |  FROM qc),
+    |cuts AS (
+    |  SELECT source,
+    |    MAX(CASE WHEN cum >= (n + 4) // 5 THEN q_micro END) AS cut_micro
+    |  FROM qcum GROUP BY source),
+    |kept AS (
+    |  SELECT q.doc_id, q.source
+    |  FROM q LEFT JOIN comp ON q.doc_id = comp.id
+    |  JOIN cuts ON q.source = cuts.source
+    |  WHERE (comp.id IS NULL OR comp.label = q.doc_id)
+    |    AND q.q_micro >= cuts.cut_micro),
+    |${TextQueries.bpeTrainerCtes(TextQueries.BpeMerges)},
+    |wtok AS (SELECT w, CAST(len(string_split(s, '|')) AS INT) AS tok
+    |  FROM w${TextQueries.BpeMerges}),
+    |kdocs AS (
+    |  SELECT d.doc_id, k.source, string_split(d.text, ' ') AS w
+    |  FROM documents d JOIN kept k USING (doc_id)),
+    |ch AS (
+    |  SELECT doc_id, source, CAST(kk.k AS INTEGER) AS chunk_idx,
+    |    array_to_string(w[(kk.k*24+1):(kk.k*24+32)], ' ') AS chunk
+    |  FROM kdocs, (SELECT unnest(range(0, 256)) AS k) kk
+    |  WHERE kk.k <= (len(w) - 1) // 24),
+    |cw AS (
+    |  SELECT doc_id, source, chunk_idx,
+    |    unnest(string_split(chunk, ' ')) AS cw
+    |  FROM ch),
+    |ctok AS MATERIALIZED (
+    |  SELECT doc_id, source, chunk_idx,
+    |    CAST(SUM(t.tok) AS BIGINT) AS n_bpe
+    |  FROM cw JOIN wtok t ON cw.cw = t.w
+    |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The shard-parallel tokenized tail's oracle (q269 AND q270 — q270's
+    * accumulated corpus is exactly the documents table, so batch-boundary
+    * independence is pinned by sharing this string verbatim): the ctok
+    * chain, the serpentine stripe of CHUNKS by BPE mass (census-offset
+    * rank — arithmetically identical to the engine's total-order rank),
+    * and the q148 first-fit recursion PARTITIONED BY shard. ranked is
+    * MATERIALIZED — the recursion scans it once per step.
+    */
+  private lazy val shardParallelTailOracleSql: String =
+    s"""WITH RECURSIVE $tokenizedCtokCtes,
+    |mc AS (SELECT n_bpe, COUNT(*) AS c FROM ctok GROUP BY n_bpe),
+    |off AS (
+    |  SELECT n_bpe, CAST(SUM(c) OVER (ORDER BY n_bpe DESC
+    |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+    |    AS BIGINT) AS off
+    |  FROM mc),
+    |ranked0 AS (
+    |  SELECT c.doc_id, c.source, c.chunk_idx, c.n_bpe,
+    |    o.off + ROW_NUMBER() OVER (PARTITION BY c.n_bpe
+    |      ORDER BY c.doc_id, c.chunk_idx) AS r
+    |  FROM ctok c JOIN off o USING (n_bpe)),
+    |ranked AS MATERIALIZED (
+    |  SELECT doc_id, source, chunk_idx, n_bpe, r,
+    |    CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+    |         ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard,
+    |    ROW_NUMBER() OVER (PARTITION BY
+    |      CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+    |           ELSE 7 - (r - 1) % 8 END
+    |      ORDER BY r) AS rn
+    |  FROM ranked0),
+    |pr AS (
+    |  SELECT doc_id, source, chunk_idx, n_bpe, r, shard, rn,
+    |    CAST(0 AS BIGINT) AS bin, n_bpe AS fill
+    |  FROM ranked WHERE rn = 1
+    |  UNION ALL
+    |  SELECT b.doc_id, b.source, b.chunk_idx, b.n_bpe, b.r, b.shard,
+    |    b.rn,
+    |    CASE WHEN pr.fill + b.n_bpe > 512 THEN pr.bin + 1
+    |         ELSE pr.bin END,
+    |    CASE WHEN pr.fill + b.n_bpe > 512 THEN b.n_bpe
+    |         ELSE pr.fill + b.n_bpe END
+    |  FROM ranked b JOIN pr ON b.shard = pr.shard
+    |    AND b.rn = pr.rn + 1)
+    |SELECT doc_id, chunk_idx, source, n_bpe, r, shard, bin,
+    |  fill - n_bpe AS bin_offset
+    |FROM pr
+    |ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** The DSIR importance scores (doc_id, source, score_raw) shared by the
     * global-quota (q229) and per-source-quota (q243) selections — one
@@ -2579,49 +2720,7 @@ object PipelineQueries {
           graft.util.Dirs.rmTree(root)
         }
       },
-      Some(s"""WITH RECURSIVE $ccOracleCte,
-        |q AS (SELECT doc_id, source,
-        |  CAST(floor((0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
-        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
-        |    + 0.3 * least(1.0, (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0)) * 1e6 + 0.5) AS BIGINT) AS q_micro
-        |  FROM documents),
-        |qc AS (SELECT source, q_micro, COUNT(*) AS c FROM q GROUP BY 1, 2),
-        |qcum AS (
-        |  SELECT source, q_micro,
-        |    SUM(c) OVER (PARTITION BY source ORDER BY q_micro DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(c) OVER (PARTITION BY source) AS n
-        |  FROM qc),
-        |cuts AS (
-        |  SELECT source,
-        |    MAX(CASE WHEN cum >= (n + 4) // 5 THEN q_micro END) AS cut_micro
-        |  FROM qcum GROUP BY source),
-        |kept AS (
-        |  SELECT q.doc_id, q.source
-        |  FROM q LEFT JOIN comp ON q.doc_id = comp.id
-        |  JOIN cuts ON q.source = cuts.source
-        |  WHERE (comp.id IS NULL OR comp.label = q.doc_id)
-        |    AND q.q_micro >= cuts.cut_micro),
-        |${TextQueries.bpeTrainerCtes(TextQueries.BpeMerges)},
-        |wtok AS (SELECT w, CAST(len(string_split(s, '|')) AS INT) AS tok
-        |  FROM w${TextQueries.BpeMerges}),
-        |kdocs AS (
-        |  SELECT d.doc_id, k.source, string_split(d.text, ' ') AS w
-        |  FROM documents d JOIN kept k USING (doc_id)),
-        |ch AS (
-        |  SELECT doc_id, source, CAST(kk.k AS INTEGER) AS chunk_idx,
-        |    array_to_string(w[(kk.k*24+1):(kk.k*24+32)], ' ') AS chunk
-        |  FROM kdocs, (SELECT unnest(range(0, 256)) AS k) kk
-        |  WHERE kk.k <= (len(w) - 1) // 24),
-        |cw AS (
-        |  SELECT doc_id, source, chunk_idx,
-        |    unnest(string_split(chunk, ' ')) AS cw
-        |  FROM ch),
-        |ctok AS (
-        |  SELECT doc_id, source, chunk_idx,
-        |    CAST(SUM(t.tok) AS BIGINT) AS n_bpe
-        |  FROM cw JOIN wtok t ON cw.cw = t.w
-        |  GROUP BY 1, 2, 3),
+      Some(s"""WITH RECURSIVE $tokenizedCtokCtes,
         |pbase AS MATERIALIZED (
         |  SELECT source, doc_id, chunk_idx, n_bpe,
         |    ROW_NUMBER() OVER (PARTITION BY source
@@ -2749,7 +2848,41 @@ object PipelineQueries {
         |SELECT doc_id, chunk_idx, n_tok, r, shard, bin,
         |  fill - n_tok AS bin_offset
         |FROM pr
-        |ORDER BY doc_id, chunk_idx""".stripMargin))
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- the tokenized tail LANDED through the shard-parallel pack ----
+    // (r19 verdict #1 — the top_next.) q267 composes the full tail but
+    // packs per SOURCE (parallelism pinned at |sources| forever); q268
+    // proved the stripe-then-pack shape on the whitespace grid but
+    // returned rows without landing shards. This is the composition both
+    // existed for: curated survivors → BPE-encode → chunk grid massed in
+    // BPE tokens → shardParallelPack on those masses (stripe by mass
+    // rank, first-fit WITHIN each shard — the sequential unit is one
+    // shard, so pack parallelism scales with the corpus) → LANDED via
+    // writeShardSnapshot (one file per shard dir) → the read-back
+    // trainers consume, hash-pinned. The stated trade vs q267: bins
+    // never cross shard boundaries (≤1 underfilled bin per shard,
+    // Round20Spec audits), replacing per-source bin continuity —
+    // sequences never span training files. Oracle = the q267 ctok chain
+    // with q268's shard-partitioned recursion nested on the BPE masses.
+    // Reference tie-in: this is the artifact the O5 buffering license
+    // (plugin.cpp:113-117) ultimately exists to produce at scale.
+    QueryDef("q269_landed_shard_parallel_tail",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_spp_tail").toString
+        try {
+          val docs = Tables.documents(s, dir)
+          writeShardSnapshot(
+              shardParallelTokenizedSnapshot(docs, curatedPool(docs)),
+              s"$root/snapshot")
+            .orderBy("doc_id", "chunk_idx")
+            .localCheckpoint(true) // materialize before the dir dies
+        } finally {
+          graft.util.Dirs.rmTree(root)
+        }
+      },
+      Some(shardParallelTailOracleSql))
   )
 
   case class PackDoc(source: String, doc_id: Long, n_tok: Int)

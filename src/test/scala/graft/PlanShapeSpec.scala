@@ -577,4 +577,40 @@ class PlanShapeSpec extends SparkSpec {
     val sp = "Exchange SinglePartition".r.findAllIn(plan).size
     assert(sp <= 2, s"more than two single-partition stages:\n$plan")
   }
+
+  test("shard-parallel pack (q268/q269): scalable rank — window " +
+      "partitioned by the PHYSICAL partition id, P-row offsets " +
+      "broadcast — and the recurrence streams behind a " +
+      "within-partition (shard, r) sort, no task-side array sort") {
+    import spark.implicits._
+    val sized = (1L to 200L).map(i => (i, (i % 3).toInt, (i % 32) + 1))
+      .toDF("doc_id", "chunk_idx", "n_tok")
+    val df = graft.queries.PipelineQueries
+      .shardParallelPack(sized, "n_tok", Seq("doc_id", "chunk_idx"), 8, 64)
+    val plan = finalPlanString(df)
+    // the rank window partitions by spark_partition_id — parallelism is
+    // the shuffle width, NOT the mass grid's distinct-value count (the
+    // r19 ADVICE cap); an n_tok-partitioned or unpartitioned corpus
+    // window here would be the regression
+    assert("windowspecdefinition\\(_p#\\d+".r.findFirstIn(plan).isDefined,
+      s"rank window must partition by the physical partition id:\n$plan")
+    // single-partition stage: ONLY the P-row per-partition-count prefix
+    // sum (P = shuffle width, never corpus-sized)
+    val sp = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(sp <= 1, s"more than one single-partition stage:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the P-row offset table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing corpus-sized may sort-merge here:\n$plan")
+    // the streaming recurrence: hash exchange on shard, then a LOCAL
+    // (global=false) sort by (shard, r) feeding mapPartitions — the
+    // r19 verdict-#2 shape (no per-task toArray materialization)
+    assert("Exchange hashpartitioning\\(shard#".r.findFirstIn(plan)
+      .isDefined, s"expected the shard co-location exchange:\n$plan")
+    assert(("Sort \\[shard#\\d+L ASC NULLS FIRST, " +
+        "r#\\d+L ASC NULLS FIRST\\], false").r.findFirstIn(plan).isDefined,
+      s"expected the within-partition (shard, r) sort:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"expected the streaming per-shard fold:\n$plan")
+  }
 }

@@ -45,8 +45,21 @@ def main():
         queries, run_cal = parse_run(path)
         if run_cal is None:
             sys.exit(f"{path}: no cal_s vector — not an idle bench artifact")
+        # r19 ADVICE #2: a minimum captured on a slow day would otherwise
+        # enter (run_cal / cal_min)x LOOSE relative to the stamp, making
+        # the normalized gate that much more forgiving for that query —
+        # normalize this run's values to the stamp's box speed before the
+        # monotone fold (the same division Bench's provisional-entry path
+        # applies). When this run is itself the fastest day so far, the
+        # stamp moves down to it (contributing runs only, below) and
+        # PRE-EXISTING entries stay put: they are physical measurements
+        # from slower days, accepted loose and converging as future runs
+        # re-contribute — per-entry capture cals would fix that fully but
+        # would break Bench's flat "qNN": number parse.
+        scale = 1.0 if cal_min is None else min(cal_min, run_cal) / run_cal
         contributed = False
         for k, v in queries.items():
+            v = round(v * scale, 3)
             if k not in merged or v < merged[k]:
                 merged[k] = v
                 changed.append(k)

@@ -2,18 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Headline-pass choice for the whole-run re-pass policy (r19 verdict
-    * #4): prefer the cal-CONSISTENT pass — lower sentinel spread means
-    * load did not shift mid-run, which is the corruption mode uniform
-    * cal-normalization cannot remove (BENCH_r19: spread 1.34, 60
-    * load-falsified medians). When the spreads are within 10% of each
-    * other, both passes are equally consistent and the lower total is
-    * the better measurement on a bursty box. Returns the pass index
-    * (0 or 1). Pure so the policy is unit-testable with a synthetic
-    * loaded replay (Round20Spec).
+    * #4). Precedence: (1) fewer ERRORED queries — a pass's total
+    * excludes its -1 markers, so totals across passes with different
+    * error sets are incomparable and a crashed heavy query would
+    * otherwise read as "faster" (r20 review); (2) the cal-CONSISTENT
+    * pass — lower sentinel spread means load did not shift mid-run,
+    * which is the corruption mode uniform cal-normalization cannot
+    * remove (BENCH_r19: spread 1.34, 60 load-falsified medians); (3)
+    * when spreads are within 10% of each other, the lower total — both
+    * passes are equally consistent and the faster one is the better
+    * measurement on a bursty box. Returns the pass index (0 or 1).
+    * Pure so the policy is unit-testable with a synthetic loaded
+    * replay (Round20Spec).
     */
-  private[graft] def cleanerPass(spread0: Double, total0: Double,
-      spread1: Double, total1: Double): Int =
-    if (spread1 <= spread0 / 1.1) 1
+  private[graft] def cleanerPass(err0: Int, spread0: Double,
+      total0: Double, err1: Int, spread1: Double, total1: Double): Int =
+    if (err1 < err0) 1
+    else if (err0 < err1) 0
+    else if (spread1 <= spread0 / 1.1) 1
     else if (spread0 <= spread1 / 1.1) 0
     else if (total1 < total0) 1 else 0
 
@@ -159,8 +165,11 @@ object Bench {
     // the recorded median stays honest; the retry is evidence. A fourth
     // calibration station after the retries shows whether the box was
     // idle while they ran. Retries are capped at 12: beyond that the
-    // whole suite was contended (cal_spread already says so) and the
-    // whole-run re-pass policy below takes over.
+    // whole suite was contended (cal_spread already says so). The
+    // whole-run re-pass policy below triggers earlier, at more than
+    // RepassK (8) suspects — a pass in the 9-12 band still pays its
+    // retries and is then re-run wholesale, which is intended: the
+    // retries are the per-query evidence, the re-pass the clean total.
     def parseBaseline(path: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -212,6 +221,7 @@ object Bench {
         cal: Seq[Double], nSuspects: Int,
         retryRuns: Seq[(String, Seq[Double])]) {
       def total: Double = results.map(_._2).filter(_ >= 0).sum
+      def nErrors: Int = results.count(_._2 < 0)
       def calSpread: Double =
         if (cal.min > 0) cal.max / cal.min else Double.PositiveInfinity
       def calFactor: Double =
@@ -325,8 +335,8 @@ object Bench {
       Some(runPass())
     } else None
     val headlineIdx = pass1Opt.map(p1 =>
-      cleanerPass(pass0.calSpread, pass0.total,
-        p1.calSpread, p1.total)).getOrElse(0)
+      cleanerPass(pass0.nErrors, pass0.calSpread, pass0.total,
+        p1.nErrors, p1.calSpread, p1.total)).getOrElse(0)
     val chosen = if (headlineIdx == 1) pass1Opt.get else pass0
     val rejected = pass1Opt.map(p1 => if (headlineIdx == 1) pass0 else p1)
     val results = chosen.results
@@ -508,19 +518,27 @@ object Bench {
         fields: String = errJson) =
       s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qdict$extra$fields,"sf":"$sfDir"}"""
     // the rejected pass's full per-query map, for forensic reads (the
-    // r19 headline buried its real numbers in retry vectors)
-    rejected.foreach { r =>
-      val qd = r.results.map { case (n, v, _) =>
-        "\"" + n.takeWhile(_ != '_') + "\":" + f(v) }.mkString("{", ",", "}")
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_REJECTED.json"),
-        (s"""{"note":"load-contended pass rejected by the whole-run """ +
-          s"""re-pass policy (r19 verdict #4)","total":${f(r.total)}""" +
-          s""","cal_s":${r.cal.map(c => "%.3f".formatLocal(
-              java.util.Locale.ROOT, c)).mkString("[", ",", "]")}""" +
-          s""","cal_spread":${"%.2f".formatLocal(java.util.Locale.ROOT,
-              r.calSpread)},"queries":$qd}""" + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+    // r19 headline buried its real numbers in retry vectors); when this
+    // run did NOT reject a pass, a stale file from an earlier contended
+    // run must not sit next to fresh artifacts (r20 review) — delete it
+    rejected match {
+      case Some(r) =>
+        val qd = r.results.map { case (n, v, _) =>
+          "\"" + n.takeWhile(_ != '_') + "\":" + f(v) }
+          .mkString("{", ",", "}")
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_REJECTED.json"),
+          (s"""{"note":"load-contended pass rejected by the whole-run """ +
+            s"""re-pass policy (r19 verdict #4)","total":${f(r.total)}""" +
+            s""","cal_s":${r.cal.map(c => "%.3f".formatLocal(
+                java.util.Locale.ROOT, c)).mkString("[", ",", "]")}""" +
+            s""","cal_spread":${"%.2f".formatLocal(java.util.Locale.ROOT,
+                r.calSpread)},"queries":$qd}""" + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+      case None =>
+        try { java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get("BENCH_REJECTED.json")); () }
+        catch { case _: Throwable => () }
     }
     // the detail line (and BENCH_DETAIL.json) carries EVERY query's raw
     // rep vector; the stdout-tail "total" line keeps only the eval-class

@@ -232,6 +232,26 @@ object PipelineQueries {
   private def qualityMicro: org.apache.spark.sql.Column =
     floor(TA.qualityScore(col("text")) * lit(1e6) + lit(0.5))
 
+  /** The survivor filter every curation pool shares (r20 review — it was
+    * restated at three sites): rows scored with q_micro ⋈ CC labels
+    * (LEFT; label NULL = the doc never saw an edge, label = doc_id = its
+    * component's min-id representative) ⋈ the broadcast per-source
+    * quintile cut, quality-thresholded. One definition so the
+    * rep-selection and cut semantics cannot drift between the batch
+    * tails (q267/q269), the incremental serves (q263/q270), and any
+    * future pool.
+    */
+  private[graft] def poolSurvivors(scored: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame,
+      cuts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    scored
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .join(broadcast(cuts), "source")
+      .filter(col("q_micro") >= col("cut_micro"))
+
   /** Stage 1 of the tokenized tails (q267/q269): the curated pool —
     * q263's pool semantics in batch form (CC cluster reps of the
     * 3-shingle Jaccard-0.5 graph ∩ per-source top-quintile quality cut).
@@ -246,12 +266,7 @@ object PipelineQueries {
     val census = scored.groupBy("source", "q_micro")
       .agg(count(lit(1)).as("c"))
     val cuts = censusQuintileCuts(census)
-    scored
-      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
-        "left")
-      .filter(col("label").isNull || col("label") === col("doc_id"))
-      .join(broadcast(cuts), "source")
-      .filter(col("q_micro") >= col("cut_micro"))
+    poolSurvivors(scored, labels, cuts)
       .select("doc_id", "source", "text")
   }
 
@@ -381,11 +396,7 @@ object PipelineQueries {
       censusAll: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val cuts = censusQuintileCuts(censusAll)
-    val kept = scoredAll
-      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .filter(col("label").isNull || col("label") === col("doc_id"))
-      .join(broadcast(cuts), "source")
-      .filter(col("q_micro") >= col("cut_micro"))
+    val kept = poolSurvivors(scoredAll, labels, cuts)
       .select(col("doc_id"), col("source"), col("n_tok"))
     censusOffsetRank(kept, "n_tok", Seq("doc_id"))
       .withColumn("shard", serpentineShardExpr("r", 8))
@@ -2878,6 +2889,121 @@ object PipelineQueries {
               s"$root/snapshot")
             .orderBy("doc_id", "chunk_idx")
             .localCheckpoint(true) // materialize before the dir dies
+        } finally {
+          graft.util.Dirs.rmTree(root)
+        }
+      },
+      Some(shardParallelTailOracleSql)),
+
+    // ---- the tokenized tail INCREMENTAL on the v2 store (r19 #5) ----
+    // q263's serve stops at doc-level serpentine striping; the
+    // trainer-consumable artifact had a batch recipe (q267/q269) but no
+    // incremental one. Same state discipline as q263 — the v2 CC store
+    // (ccStoreStep at the curation threshold 0.5: delta label writes,
+    // merge-on-read view, mid-stream folds + GC) + the quality-census
+    // GenStore (grid-sized deltas; >1-delta threshold fold + GC on the
+    // non-union seam) — plus the DOCS store: the per-epoch ingest LANDED
+    // as delta parquet (the corpus never rewrites; production's ingested
+    // files ARE this store). No scored store: the serve must read the
+    // corpus store anyway to tokenize, so q_micro is recomputed from the
+    // stored text while the CUT still comes from census STATE
+    // (grid-bounded, maintained incrementally). The SERVE is the batch
+    // tail re-expressed over state views: survivors = merge-on-read
+    // labels filtered to min-id reps ⋈ broadcast census quintile cut →
+    // BPE vocab trained on the accumulated corpus union (vocab induction
+    // precedes curation; 12 bounded argmax collects, the q267 shape) →
+    // chunk grid massed in BPE tokens → shardParallelPack → landed via
+    // writeShardSnapshot → the read-back. Global ranks shift as the
+    // corpus grows, so the LAYOUT is inherently a snapshot view — the
+    // incremental claim is per-epoch STATE maintenance, and the oracle
+    // pins exactly that: q269's batch pipeline over the accumulated
+    // corpus, verbatim (batch-boundary independence, the q263/q264
+    // discipline). No kill/restart leg — q261/q262 + Round16Spec own
+    // that proof; this query's claim is the composition at one stream's
+    // cost.
+    QueryDef("q270_stream_tokenized_tail",
+      (s, dir) => {
+        import graft.streaming.Streams
+        import graft.util.GenStore
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 5 === 0
+        def censusOf(d: org.apache.spark.sql.DataFrame) =
+          d.select(col("source"), qualityMicro.as("q_micro"))
+            .groupBy("source", "q_micro").agg(count(lit(1)).as("c"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_inc_tok").toString
+        try {
+          val schema = stageCcIngest(s, docs, root,
+            cols = Seq("doc_id", "source", "text"))
+          Streams.ccStoreInit(docs.filter(!isNew), s"$root/state",
+            k = 3, nBuckets = 64)
+          val docsStore = GenStore(s"$root/state/tok/docs_base",
+            s"$root/state/tok/docs", "g=", "epoch=")
+          val censusStore = GenStore(s"$root/state/tok/census_base",
+            s"$root/state/tok/census", "g=", "epoch=")
+          if (!java.nio.file.Files.exists(java.nio.file.Paths
+              .get(docsStore.basePath(-1), "_SUCCESS"))) {
+            val init = docs.filter(!isNew)
+              .select("doc_id", "source", "text").localCheckpoint(true)
+            // census base FIRST (the q263 heal-on-redelivery ordering:
+            // the guard keys on the docs base's _SUCCESS, so the marker
+            // it checks must be the LAST write)
+            censusOf(init).write.mode("overwrite")
+              .parquet(censusStore.basePath(-1))
+            init.write.mode("overwrite").parquet(docsStore.basePath(-1))
+            graft.util.CheckpointGen.release(s.sparkContext,
+              graft.util.CheckpointGen.pinnedIds(init))
+          }
+          val reduced = graft.util.BenchMode.reducedDemos
+          val ccStep: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            if (reduced) Streams.ccStoreStep(s"$root/state", 3, 0.5, 64,
+              gcAfterFold = true)
+            else Streams.ccStoreStep(s"$root/state", 3, 0.5, 64,
+              maxLabelDeltas = 1, maxPostingGens = 0, gcAfterFold = true)
+          val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (batch, epoch) => {
+              ccStep(batch, epoch)
+              // epoch-keyed idempotent overwrites, the re-delivery
+              // contract shared with every store in the loop
+              val b = batch.select("doc_id", "source", "text")
+                .localCheckpoint(true)
+              b.write.mode("overwrite").parquet(docsStore.deltaPath(epoch))
+              censusOf(b).write.mode("overwrite")
+                .parquet(censusStore.deltaPath(epoch))
+              graft.util.CheckpointGen.release(s.sparkContext,
+                graft.util.CheckpointGen.pinnedIds(b))
+              // census fold (fold-lag rule: cover <= epoch-1 only; skip
+              // when a base already reached the fold point)
+              val foldPoint = epoch - 1
+              val g = censusStore.latestCompleteBase()
+              if (g < foldPoint &&
+                  censusStore.completeDeltaEpochs(g, epoch).size > 1) {
+                censusStore.unionView(s, epoch)
+                  .groupBy("source", "q_micro").agg(sum("c").as("c"))
+                  .write.mode("overwrite")
+                  .parquet(censusStore.basePath(foldPoint))
+                censusStore.gc(); ()
+              }
+            }
+          val q = demoIngest(s, schema, root, reduced)
+            .writeStream.option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch(step).start()
+          try q.processAllAvailable() finally q.stop()
+          if (!reduced) require(censusStore.latestCompleteBase() >= 1,
+            "the census fold did not fire mid-stream")
+          // ---- serve: the batch tail over state views only ----
+          val docsAll = docsStore.unionView(s)
+          val labels = Streams.ccStoreLabels(s, s"$root/state")
+          val cuts = censusQuintileCuts(censusStore.unionView(s)
+            .groupBy("source", "q_micro").agg(sum("c").as("c")))
+          val kept = poolSurvivors(
+              docsAll.withColumn("q_micro", qualityMicro), labels, cuts)
+            .select("doc_id", "source", "text")
+          writeShardSnapshot(
+              shardParallelTokenizedSnapshot(docsAll, kept),
+              s"$root/snapshot")
+            .orderBy("doc_id", "chunk_idx")
+            .localCheckpoint(true) // materialize before the state dir dies
         } finally {
           graft.util.Dirs.rmTree(root)
         }

@@ -105,14 +105,35 @@ class Round20Spec extends SparkSpec {
       "streamed fold diverged from the reference first-fit")
   }
 
+  test("q270: reduced-demo depth cuts the identical tokenized snapshot " +
+      "the production-cadence 3-epoch depth cuts (the q263/Round17Spec " +
+      "pin, extended through the shard-parallel tokenized serve)") {
+    def run(): Seq[String] =
+      SparkEntry.queries("q270_stream_tokenized_tail")(spark, Dir)
+        .collect().map(_.mkString("|")).toSeq
+    assert(!graft.util.BenchMode.reducedDemos)
+    val full = run()
+    sys.props(graft.util.BenchMode.ReducedDemosProp) = "1"
+    val reduced =
+      try run()
+      finally { sys.props.remove(graft.util.BenchMode.ReducedDemosProp); () }
+    assert(reduced.nonEmpty && reduced == full,
+      s"q270: reduced-demo snapshot diverged from full depth " +
+        s"(${reduced.size} vs ${full.size} rows)")
+  }
+
   test("bench re-pass policy (r19 verdict #4): the synthetic r19 replay " +
       "— a mid-run-loaded pass (cal_spread 1.34, 519.2 s) vs an idle " +
       "re-pass (1.02, 278.2 s) — stamps the cal-consistent pass as the " +
       "headline, order-independently; ties on consistency go to the " +
       "faster measurement") {
-    assert(Bench.cleanerPass(1.34, 519.2, 1.02, 278.2) == 1)
-    assert(Bench.cleanerPass(1.02, 278.2, 1.34, 519.2) == 0)
-    assert(Bench.cleanerPass(1.05, 300.0, 1.03, 280.0) == 1)
-    assert(Bench.cleanerPass(1.03, 280.0, 1.05, 300.0) == 0)
+    assert(Bench.cleanerPass(0, 1.34, 519.2, 0, 1.02, 278.2) == 1)
+    assert(Bench.cleanerPass(0, 1.02, 278.2, 0, 1.34, 519.2) == 0)
+    assert(Bench.cleanerPass(0, 1.05, 300.0, 0, 1.03, 280.0) == 1)
+    assert(Bench.cleanerPass(0, 1.03, 280.0, 0, 1.05, 300.0) == 0)
+    // an errored pass never wins on its (incomparable) smaller total —
+    // a crashed heavy query's time is excluded from Pass.total
+    assert(Bench.cleanerPass(0, 1.05, 300.0, 1, 1.03, 280.0) == 0)
+    assert(Bench.cleanerPass(1, 1.03, 280.0, 0, 1.05, 300.0) == 1)
   }
 }

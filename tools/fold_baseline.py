@@ -41,10 +41,18 @@ def main():
     merged = dict(base["queries"])
     cal_min = base.get("cal_min")
     changed = []
+    parsed = []
     for path in runs:
         queries, run_cal = parse_run(path)
         if run_cal is None:
             sys.exit(f"{path}: no cal_s vector — not an idle bench artifact")
+        parsed.append((run_cal, queries))
+    # fold fastest-day first (r20 review): the normalization scale below
+    # uses the stamp AS OF each iteration, so an arbitrary argv order
+    # would leave slow runs folded before a faster one loose relative to
+    # the final stamp — ascending cal makes multi-run folds deterministic
+    # and every entry tight against the resulting stamp
+    for run_cal, queries in sorted(parsed, key=lambda p: p[0]):
         # r19 ADVICE #2: a minimum captured on a slow day would otherwise
         # enter (run_cal / cal_min)x LOOSE relative to the stamp, making
         # the normalized gate that much more forgiving for that query —

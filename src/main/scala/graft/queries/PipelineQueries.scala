@@ -333,25 +333,14 @@ object PipelineQueries {
         // stages 1-3: curated pool → BPE vocab → chunk grid massed in
         // BPE tokens (shared with q269/q270)
         val ctok = bpeChunkMasses(docs, curatedPool(docs))
-        // stage 4: q148's first-fit recurrence on chunks, cap 512 BPE
-        val packed = ctok
-          .select(col("source"), col("doc_id"), col("chunk_idx"),
-            col("n_bpe"))
-          .as[PackChunk]
-          .groupByKey(_.source)
-          .flatMapGroups { (src: String, it: Iterator[PackChunk]) =>
-            val sorted = it.toArray.sortBy(c => (c.doc_id, c.chunk_idx))
-            var bin = 0L; var fill = 0L; var first = true
-            sorted.iterator.map { c =>
-              if (first) { first = false; fill = c.n_bpe }
-              else if (fill + c.n_bpe > 512) { bin += 1; fill = c.n_bpe }
-              else fill += c.n_bpe
-              PackedChunk(src, c.doc_id, c.chunk_idx, c.n_bpe, bin,
-                fill - c.n_bpe)
-            }
-          }
-          .toDF("source", "doc_id", "chunk_idx", "n_bpe", "bin",
-            "bin_offset")
+        // stage 4: q148's first-fit recurrence on chunks, cap 512 BPE —
+        // streamed per source (r20: the same O(1)-task-memory treatment
+        // as the shard-parallel pack; per-source bin CONTINUITY is the
+        // semantics, the per-task array was not)
+        val packed = streamFirstFit(
+            ctok.select(col("source"), col("doc_id"), col("chunk_idx"),
+              col("n_bpe")),
+            Seq("source"), Seq("doc_id", "chunk_idx"), "n_bpe", 512)
           .localCheckpoint(true) // read twice: bin masses + final join
         // stage 5: serpentine stripe the bins (q249's shape; the census
         // is bounded by the 512-token grid)
@@ -527,34 +516,37 @@ object PipelineQueries {
       .drop("_p", "off")
   }
 
-  /** First-fit pack a serpentine-striped frame WITHIN each shard, in
-    * rank order, capacity `cap` — the STREAMING shape (r19 verdict #2):
-    * hash-repartition on shard co-locates each shard, a within-partition
-    * sort by (shard, r) feeds mapPartitions a rank-ordered stream, and
-    * the recurrence folds it row by row with O(1) task memory — a shard
-    * never has to fit in one task's heap (the it.toArray it replaces
-    * did). A partition may hold several shards (hash collisions when
-    * P > nShards, or AQE coalescing); the (shard, r) sort makes each
-    * shard a contiguous run, so the fold just resets at the boundary.
-    * Appends BIGINT `bin` (0-based within shard) and `bin_offset`.
+  /** Streaming first-fit bin packing WITHIN each key group, in the given
+    * order, capacity `cap` — the STREAMING recurrence shape (r19 verdict
+    * #2): hash-repartition on the key co-locates each group, a
+    * within-partition (key, order) sort feeds mapPartitions an ordered
+    * stream, and the fold advances row by row with O(1) task memory — a
+    * group never has to fit in one task's heap (the per-group
+    * `it.toArray` it replaces did). A partition may hold several groups
+    * (hash collisions, AQE coalescing); the sort makes each a contiguous
+    * run, so the fold just resets at the key boundary. Appends BIGINT
+    * `bin` (0-based within group) and `bin_offset`. ONE definition for
+    * every pack recurrence: per-shard (q268/q269/q270 via
+    * [[packWithinShards]]), per-source docs (q148), per-source chunks
+    * (q267).
     */
-  private[graft] def packWithinShards(
-      striped: org.apache.spark.sql.DataFrame, massCol: String, cap: Long)
-      : org.apache.spark.sql.DataFrame = {
+  private[graft] def streamFirstFit(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String], massCol: String,
+      cap: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField}
     val outSchema = org.apache.spark.sql.types.StructType(
-      striped.schema.fields :+ StructField("bin", LongType, false) :+
+      df.schema.fields :+ StructField("bin", LongType, false) :+
         StructField("bin_offset", LongType, false))
-    val shardIdx = striped.schema.fieldIndex("shard")
-    val massIdx = striped.schema.fieldIndex(massCol)
-    striped.repartition(col("shard"))
-      .sortWithinPartitions("shard", "r")
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val massIdx = df.schema.fieldIndex(massCol)
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
       .mapPartitions { it =>
-        var cur = Long.MinValue; var bin = 0L; var fill = 0L
+        var cur: Seq[Any] = null; var bin = 0L; var fill = 0L
         it.map { row =>
-          val sh = row.getLong(shardIdx)
-          val m = row.getLong(massIdx)
-          if (sh != cur) { cur = sh; bin = 0L; fill = m }
+          val k = keyIdx.map(row.get)
+          val m = row.getAs[Number](massIdx).longValue
+          if (cur == null || k != cur) { cur = k; bin = 0L; fill = m }
           else if (fill + m > cap) { bin += 1; fill = m }
           else fill += m
           org.apache.spark.sql.Row.fromSeq(
@@ -562,6 +554,14 @@ object PipelineQueries {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** [[streamFirstFit]] keyed by the serpentine shard in rank order —
+    * the pack stage of q268/q269/q270.
+    */
+  private[graft] def packWithinShards(
+      striped: org.apache.spark.sql.DataFrame, massCol: String, cap: Long)
+      : org.apache.spark.sql.DataFrame =
+    streamFirstFit(striped, Seq("shard"), Seq("r"), massCol, cap)
 
   /** Shard-parallel pack — the 100 TB shape of the pack stage (r19
     * verdict #1/#3): serpentine stripe rows into nShards by mass via the
@@ -1052,28 +1052,21 @@ object PipelineQueries {
     // close the bin when the next doc would overflow it — how a training
     // pipeline assembles fixed-length sample sequences from variable-length
     // docs. The bin id depends on every prior doc in the shard, so like
-    // EWMA it is a genuine per-key recurrence: one shuffle on source, one
-    // sorted pass per group, O(1) state. All-integer → oracle is the
-    // identical recurrence as a recursive CTE.
+    // EWMA it is a genuine per-key recurrence — streamed via
+    // streamFirstFit (one shuffle on source, a within-partition sort,
+    // O(1) task state; r20). All-integer → oracle is the identical
+    // recurrence as a recursive CTE; bin/bin_offset cast back to INT to
+    // keep the oracle's INTEGER schema.
     QueryDef("q148_sequence_packing",
       (s, dir) => {
-        import s.implicits._
-        val cap = 512
-        Tables.documents(s, dir)
-          .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ", -1)).as("n_tok"))
-          .as[PackDoc]
-          .groupByKey(_.source)
-          .flatMapGroups { (src: String, it: Iterator[PackDoc]) =>
-            val sorted = it.toArray.sortBy(_.doc_id)
-            var bin = 0; var fill = 0; var first = true
-            sorted.iterator.map { d =>
-              if (first) { first = false; fill = d.n_tok }
-              else if (fill + d.n_tok > cap) { bin += 1; fill = d.n_tok }
-              else fill += d.n_tok
-              PackedDoc(src, d.doc_id, d.n_tok, bin, fill - d.n_tok)
-            }
-          }.toDF("source", "doc_id", "n_tok", "bin", "bin_offset")
+        streamFirstFit(
+            Tables.documents(s, dir)
+              .select(col("source"), col("doc_id"),
+                size(split(col("text"), " ", -1)).as("n_tok")),
+            Seq("source"), Seq("doc_id"), "n_tok", 512)
+          .select(col("source"), col("doc_id"), col("n_tok"),
+            col("bin").cast("int").as("bin"),
+            col("bin_offset").cast("int").as("bin_offset"))
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE base AS (
@@ -3011,11 +3004,4 @@ object PipelineQueries {
       Some(shardParallelTailOracleSql))
   )
 
-  case class PackDoc(source: String, doc_id: Long, n_tok: Int)
-  case class PackedDoc(source: String, doc_id: Long, n_tok: Int,
-                       bin: Int, bin_offset: Int)
-  case class PackChunk(source: String, doc_id: Long, chunk_idx: Int,
-                       n_bpe: Long)
-  case class PackedChunk(source: String, doc_id: Long, chunk_idx: Int,
-                         n_bpe: Long, bin: Long, bin_offset: Long)
 }

@@ -78,11 +78,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected both zorder dimensions pushed to the scan: $pushed")
   }
 
-  test("ewma recurrence is one keyed shuffle feeding MapGroups (no joins)") {
+  test("ewma recurrence streams: one keyed shuffle, a WITHIN-partition " +
+      "(key, ts, id) sort, and a MapPartitions fold — no per-series " +
+      "materialization, no joins (r20 foldSortedSeries shape)") {
     val df = graft.ops.TimeSeriesOps.ewma(
       graft.sources.Tables.events(spark, dir), "user_id", "event_id", "ts", "value", 0.25)
     val plan = finalPlanString(df)
-    assert(plan.contains("MapGroups"), s"expected MapGroups:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"expected the streaming per-series fold:\n$plan")
+    // the sort is LOCAL (global=false): ordering is only needed within
+    // each series run, never corpus-global
+    assert(("Sort \\[key#\\d+L ASC NULLS FIRST, tsMicros#\\d+L ASC NULLS" +
+        " FIRST, id#\\d+L ASC NULLS FIRST\\], false").r
+        .findFirstIn(plan).isDefined,
+      s"expected the within-partition (key, ts, id) sort:\n$plan")
     assert(!plan.contains("Join"), s"recurrence must not join:\n$plan")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashExchanges == 1, s"expected exactly one keyed shuffle:\n$plan")

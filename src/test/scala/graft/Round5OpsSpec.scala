@@ -39,26 +39,16 @@ class Round5OpsSpec extends SparkSpec {
       ("s", 4L, ("a " * 599 + "a"))      // 600 > cap -> alone in bin 2
     ).toDF("source", "doc_id", "text")
     docs.createOrReplaceTempView("pack_in")
-    // run the registered query against a temp dir is heavyweight; instead
-    // re-run the same typed recurrence inline
-    import graft.queries.PipelineQueries.{PackDoc, PackedDoc}
-    val out = docs
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ", -1)).as("n_tok"))
-      .as[PackDoc]
-      .groupByKey(_.source)
-      .flatMapGroups { (src: String, it: Iterator[PackDoc]) =>
-        val sorted = it.toArray.sortBy(_.doc_id)
-        var bin = 0; var fill = 0; var first = true
-        sorted.iterator.map { d =>
-          if (first) { first = false; fill = d.n_tok }
-          else if (fill + d.n_tok > 512) { bin += 1; fill = d.n_tok }
-          else fill += d.n_tok
-          PackedDoc(src, d.doc_id, d.n_tok, bin, fill - d.n_tok)
-        }
-      }.collect().sortBy(_.doc_id)
-    assert(out.map(p => (p.bin, p.bin_offset)).toSeq ==
-      Seq((0, 0), (0, 300), (1, 0), (2, 0)))
+    // drive q148's ACTUAL recurrence (the shared streamFirstFit op, r20)
+    val out = graft.queries.PipelineQueries.streamFirstFit(
+        docs.select(col("source"), col("doc_id"),
+          size(split(col("text"), " ", -1)).as("n_tok")),
+        Seq("source"), Seq("doc_id"), "n_tok", 512)
+      .select("doc_id", "bin", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(p => (p._2, p._3)).toSeq ==
+      Seq((0L, 0L), (0L, 300L), (1L, 0L), (2L, 0L)))
   }
 
   test("pareto frontier keeps non-dominated rows and all duplicates of them") {

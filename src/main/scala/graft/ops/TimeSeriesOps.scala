@@ -75,7 +75,14 @@ object TimeSeriesOps {
                 val k = buf.head.key
                 group = new Iterator[TsRow] {
                   def hasNext: Boolean = buf.hasNext && buf.head.key == k
-                  def next(): TsRow = buf.next()
+                  // guard, don't delegate: a bare buf.next() past the
+                  // series boundary would silently hand the NEXT series'
+                  // first row to this fold (r20 review) — the exact
+                  // cross-series corruption this helper exists to prevent
+                  def next(): TsRow =
+                    if (hasNext) buf.next()
+                    else throw new NoSuchElementException(
+                      s"series $k exhausted")
                 }
                 cur = f(k, group)
                 advance() // f may emit nothing for this series

@@ -542,11 +542,23 @@ object PipelineQueries {
     df.repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
       .mapPartitions { it =>
-        var cur: Seq[Any] = null; var bin = 0L; var fill = 0L
+        // key-change detection without per-row allocation (r20 review):
+        // the hot path is key-unchanged, so compare fields in place
+        // against a cached array instead of building a Seq per row
+        val keyIdxArr = keyIdx.toArray
+        val cur = new Array[Any](keyIdxArr.length)
+        var started = false; var bin = 0L; var fill = 0L
         it.map { row =>
-          val k = keyIdx.map(row.get)
+          var changed = !started
+          var i = 0
+          while (i < keyIdxArr.length) {
+            val v = row.get(keyIdxArr(i))
+            if (!changed && v != cur(i)) changed = true
+            cur(i) = v
+            i += 1
+          }
           val m = row.getAs[Number](massIdx).longValue
-          if (cur == null || k != cur) { cur = k; bin = 0L; fill = m }
+          if (changed) { started = true; bin = 0L; fill = m }
           else if (fill + m > cap) { bin += 1; fill = m }
           else fill += m
           org.apache.spark.sql.Row.fromSeq(

@@ -38,7 +38,6 @@ class Round5OpsSpec extends SparkSpec {
       ("s", 3L, "a " * 99 + "a"),        // 100 -> overflow, bin 1
       ("s", 4L, ("a " * 599 + "a"))      // 600 > cap -> alone in bin 2
     ).toDF("source", "doc_id", "text")
-    docs.createOrReplaceTempView("pack_in")
     // drive q148's ACTUAL recurrence (the shared streamFirstFit op, r20)
     val out = graft.queries.PipelineQueries.streamFirstFit(
         docs.select(col("source"), col("doc_id"),

@@ -79,25 +79,10 @@ object PipelineQueries {
   private def stageCcIngest(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame, root: String,
       cols: Seq[String] = Seq("doc_id", "text"))
-      : org.apache.spark.sql.types.StructType = {
-    val isNew = col("doc_id") % 5 === 0
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$root/in"))
-    for (e <- 0 until 3) {
-      val scratch = s"$root/scratch$e"
-      docs.filter(isNew && col("doc_id") % 15 === e * 5)
-        .select(cols.map(col): _*).coalesce(1)
-        .write.mode("overwrite").parquet(scratch)
-      scala.util.Using.resource(java.nio.file.Files
-          .list(java.nio.file.Paths.get(scratch))) { w =>
-        val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        java.nio.file.Files.move(part,
-          java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
-      }
-    }
-    s.read.parquet(s"$root/in/e0.parquet").schema
-  }
+      : org.apache.spark.sql.types.StructType =
+    graft.util.StagedIngest.stage(s, docs.filter(col("doc_id") % 5 === 0)
+        .select(cols.map(col): _*),
+      expr("(doc_id % 15) div 5"), root)
 
   /** The staged-ingest reader at the requested demo depth: full depth
     * delivers the staged epoch files one micro-batch each

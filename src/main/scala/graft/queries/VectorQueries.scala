@@ -2827,23 +2827,9 @@ object VectorQueries {
     */
   private def stageVecIngest(s: org.apache.spark.sql.SparkSession,
       ingestRows: org.apache.spark.sql.DataFrame, root: String)
-      : org.apache.spark.sql.types.StructType = {
-    java.nio.file.Files
-      .createDirectories(java.nio.file.Paths.get(s"$root/in"))
-    for (e <- 0 until 3) {
-      val scratch = s"$root/scratch$e"
-      ingestRows.filter(pmod(col("vec_id"), lit(3)) === e)
-        .coalesce(1).write.mode("overwrite").parquet(scratch)
-      scala.util.Using.resource(java.nio.file.Files
-          .list(java.nio.file.Paths.get(scratch))) { w =>
-        val part = w.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        java.nio.file.Files.move(part,
-          java.nio.file.Paths.get(s"$root/in/e$e.parquet"))
-      }
-    }
-    s.read.parquet(s"$root/in/e0.parquet").schema
-  }
+      : org.apache.spark.sql.types.StructType =
+    graft.util.StagedIngest.stage(s, ingestRows,
+      pmod(col("vec_id"), lit(3)), root)
 
   /** q235's screen→append→search oracle — ALSO q253's: the dedup screen
     * scores every ingest row against the STATIC corpus (batch-

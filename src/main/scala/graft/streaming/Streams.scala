@@ -1016,14 +1016,18 @@ object Streams {
     val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
       b.select(col("doc_id").as("id")))
     val labelWriteT0 = System.nanoTime()
-    updates.write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
-    // `_rows` sidecar: the delta's row count, read back footer-cheap from
-    // the WRITTEN parquet — the broadcast guard and the row-based fold
-    // trigger consume it driver-side with no further jobs. Written after
-    // the parquet commit; a crash in between leaves a complete delta
-    // whose readers heal by counting once (GenStore.deltaRows).
+    // `_rows` sidecar: the delta's row count, observed ON the write job
+    // itself (r20 optimization: the count formerly re-read the written
+    // parquet — one extra job per epoch for a number the write already
+    // knows) — the broadcast guard and the row-based fold trigger consume
+    // it driver-side with no further jobs. Written after the parquet
+    // commit; a crash in between leaves a complete delta whose readers
+    // heal by counting once (GenStore.deltaRows).
+    val updObs = org.apache.spark.sql.Observation(s"cc_upd_rows_$epoch")
+    updates.observe(updObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
     ccLabelStore(stateRoot).writeDeltaRowsSidecar(epoch,
-      s.read.parquet(s"$stateRoot/updates/batch=$epoch").count())
+      updObs.get("n").asInstanceOf[Long])
     onLabelWrite((System.nanoTime() - labelWriteT0) / 1e9)
     // composed-loop seam: the pair delta stays pinned through the hook
     // (updates' lineage reaches the same pins, so both release together

@@ -15,6 +15,20 @@ object Streams {
 
   import org.apache.spark.sql.types._
 
+  /** Stage wall-times of the v2-store init/step to stderr when
+    * GRAFT_DEMO_TIMING is set — the PipelineQueries.demoTimed /
+    * Graph.GRAFT_CORE_TIMING dev pattern, brought inside the store loop
+    * so the per-epoch job budget is measurable without guessing.
+    */
+  private def stepTimed[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_DEMO_TIMING")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[step] $label: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Canonical events schema — single owner for every source format that
     * must declare it up front (kafka's from_json, external landing zones).
     * Keep in sync with the promoted columns of `Tables.events`.
@@ -808,12 +822,14 @@ object Streams {
     if (java.nio.file.Files.exists(java.nio.file.Paths
         .get(s"$stateRoot/gens/label_base/g=-1/_SUCCESS"))) return
     val sc = s.sparkContext
-    val postings = graft.ext.Dedup
-      .ngramPostings(corpus, "doc_id", "text", k).localCheckpoint(true)
+    val postings = stepTimed("init postings ckpt")(graft.ext.Dedup
+      .ngramPostings(corpus, "doc_id", "text", k).localCheckpoint(true))
     val pins = graft.util.CheckpointGen.pinnedIds(postings)
-    writePostingGen(postings, s"$stateRoot/gens/posting_base/g=-1", nBuckets)
-    graft.ext.Dedup.ngramPostingSizes(postings).write.mode("overwrite")
-      .parquet(s"$stateRoot/gens/size_base/g=-1")
+    stepTimed("init posting_base write")(
+      writePostingGen(postings, s"$stateRoot/gens/posting_base/g=-1", nBuckets))
+    stepTimed("init size_base write")(
+      graft.ext.Dedup.ngramPostingSizes(postings).write.mode("overwrite")
+        .parquet(s"$stateRoot/gens/size_base/g=-1"))
     graft.util.CheckpointGen.release(sc, pins)
     val p = s.read.parquet(s"$stateRoot/gens/posting_base/g=-1")
       .select("i", "sk")
@@ -823,17 +839,20 @@ object Streams {
     onInitPairs match {
       case None =>
         // the lazy pair join materializes once, inside CC's first round
-        graft.ext.Dedup.connectedComponents(pairsLazy)
-          .write.mode("overwrite")
-          .parquet(s"$stateRoot/gens/label_base/g=-1")
+        stepTimed("init pairs+CC+label_base write")(
+          graft.ext.Dedup.connectedComponents(pairsLazy)
+            .write.mode("overwrite")
+            .parquet(s"$stateRoot/gens/label_base/g=-1"))
       case Some(hook) =>
         // composed init: checkpoint the pair set ONCE; the hook and CC
         // both read the materialized frame (label base still last)
-        val pairs = pairsLazy.select("i", "j").localCheckpoint(true)
-        hook(pairs)
-        graft.ext.Dedup.connectedComponents(pairs)
-          .write.mode("overwrite")
-          .parquet(s"$stateRoot/gens/label_base/g=-1")
+        val pairs = stepTimed("init pairs ckpt")(
+          pairsLazy.select("i", "j").localCheckpoint(true))
+        stepTimed("init onInitPairs hook")(hook(pairs))
+        stepTimed("init CC+label_base write")(
+          graft.ext.Dedup.connectedComponents(pairs)
+            .write.mode("overwrite")
+            .parquet(s"$stateRoot/gens/label_base/g=-1"))
         graft.util.CheckpointGen.release(sc,
           graft.util.CheckpointGen.pinnedIds(pairs))
     }
@@ -999,22 +1018,26 @@ object Streams {
     val sc = s.sparkContext
     import graft.ext.Dedup
     import graft.util.CheckpointGen
-    val b = batch.localCheckpoint(true)
+    val b = stepTimed(s"e$epoch batch ckpt")(batch.localCheckpoint(true))
     val bPins = CheckpointGen.pinnedIds(b)
-    val bp = Dedup.ngramPostings(b, "doc_id", "text", k).localCheckpoint(true)
+    val bp = stepTimed(s"e$epoch batch postings ckpt")(
+      Dedup.ngramPostings(b, "doc_id", "text", k).localCheckpoint(true))
     val bpPins = CheckpointGen.pinnedIds(bp)
     val postingsAll = ccStorePostingsView(s, stateRoot, epoch)
     val postings =
       if (nBuckets <= 0) postingsAll
-      else Dedup.pruneToBatchBuckets(postingsAll, bp, nBuckets)
+      else stepTimed(s"e$epoch bucket prune")(
+        Dedup.pruneToBatchBuckets(postingsAll, bp, nBuckets))
     val sizes = ccStoreSizesView(s, stateRoot, epoch)
     val labels = ccStoreLabelsView(s, stateRoot, epoch)
-    val newPairs = Dedup.incrementalCcPairs(postings, sizes, b,
-        "doc_id", "text", k, threshold)
-      .localCheckpoint(true)
+    val newPairs = stepTimed(s"e$epoch pair delta ckpt")(
+      Dedup.incrementalCcPairs(postings, sizes, b,
+          "doc_id", "text", k, threshold)
+        .localCheckpoint(true))
     val pairPins = CheckpointGen.pinnedIds(newPairs)
-    val updates = Dedup.incrementalCcLabelUpdates(labels, newPairs,
-      b.select(col("doc_id").as("id")))
+    val updates = stepTimed(s"e$epoch label updates")(
+      Dedup.incrementalCcLabelUpdates(labels, newPairs,
+        b.select(col("doc_id").as("id"))))
     val labelWriteT0 = System.nanoTime()
     // `_rows` sidecar: the delta's row count, observed ON the write job
     // itself (r20 optimization: the count formerly re-read the written
@@ -1024,8 +1047,9 @@ object Streams {
     // commit; a crash in between leaves a complete delta whose readers
     // heal by counting once (GenStore.deltaRows).
     val updObs = org.apache.spark.sql.Observation(s"cc_upd_rows_$epoch")
-    updates.observe(updObs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch")
+    stepTimed(s"e$epoch update delta write")(
+      updates.observe(updObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stateRoot/updates/batch=$epoch"))
     ccLabelStore(stateRoot).writeDeltaRowsSidecar(epoch,
       updObs.get("n").asInstanceOf[Long])
     onLabelWrite((System.nanoTime() - labelWriteT0) / 1e9)
@@ -1042,12 +1066,15 @@ object Streams {
             "write, before its posting/size writes")
       }
     }
-    writePostingGen(bp, s"$stateRoot/gens/postings/epoch=$epoch", nBuckets)
-    Dedup.ngramPostingSizes(bp).write.mode("overwrite")
-      .parquet(s"$stateRoot/gens/sizes/epoch=$epoch")
+    stepTimed(s"e$epoch posting delta write")(
+      writePostingGen(bp, s"$stateRoot/gens/postings/epoch=$epoch", nBuckets))
+    stepTimed(s"e$epoch size delta write")(
+      Dedup.ngramPostingSizes(bp).write.mode("overwrite")
+        .parquet(s"$stateRoot/gens/sizes/epoch=$epoch"))
     CheckpointGen.release(sc, bPins ++ bpPins)
-    val folded = ccStoreFoldIfNeeded(s, stateRoot, epoch, nBuckets,
-      maxLabelDeltas, maxPostingGens, maxLabelDeltaRows)
+    val folded = stepTimed(s"e$epoch fold")(
+      ccStoreFoldIfNeeded(s, stateRoot, epoch, nBuckets,
+        maxLabelDeltas, maxPostingGens, maxLabelDeltaRows))
     if (gcAfterFold && folded.nonEmpty) { ccStoreGc(stateRoot); () }
   }
 

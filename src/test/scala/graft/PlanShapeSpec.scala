@@ -231,8 +231,13 @@ class PlanShapeSpec extends SparkSpec {
     val df = graft.queries.PipelineQueries.defs
       .find(_.name == "q65_dedup_clusters").get.fn(spark, dir)
     val plan = finalPlanString(df)
-    assert(plan.contains("ExistingRDD"),
-      s"the CC loop must cut lineage via checkpoint:\n$plan")
+    // the label table must be a materialized leaf, never a replayable
+    // iteration tower: a checkpoint scan (ExistingRDD) from the
+    // distributed doubling loop, or — under the r20 guarded local
+    // union-find (Dedup.LocalCcMaxEdges) — a LocalTableScan of the
+    // driver-folded labels
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"the CC labels must be a materialized leaf:\n$plan")
     val joins = "Join".r.findAllIn(plan).size
     assert(joins <= 6, s"iteration tower leaked into the final plan ($joins joins):\n$plan")
   }

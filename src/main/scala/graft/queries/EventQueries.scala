@@ -554,12 +554,20 @@ object EventQueries {
     // scan. The fraction is one IEEE division of exact integers.
     QueryDef("q159_retention_cohorts",
       (s, dir) => {
-        val firstWk = Tables.events(s, dir)
-          .groupBy("user_id")
-          .agg(min(date_trunc("week", col("ts"))).as("cohort_wk"))
+        // ONE event-log pass: the distinct (user, week) table is the
+        // aggregated intermediate both consumers need — a user's first
+        // week is the min over their distinct weeks, so firstWk folds
+        // from `active` instead of re-scanning and re-shuffling the log
+        // (r20, guide §1.2; exchange reuse does not fire across the
+        // branches). Swap checkpoint() for localCheckpoint at cluster
+        // scale. Same values, bit-identical result.
         val active = Tables.events(s, dir)
           .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
           .distinct()
+          .localCheckpoint(true)
+        val firstWk = active
+          .groupBy("user_id")
+          .agg(min(col("wk")).as("cohort_wk"))
         val grid = active.join(firstWk, "user_id")
           .groupBy("cohort_wk", "wk")
           .agg(countDistinct("user_id").as("n_active"))

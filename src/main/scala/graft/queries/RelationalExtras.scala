@@ -519,11 +519,22 @@ object RelationalExtras {
     // same IEEE op sequence as the oracle.
     QueryDef("q163_market_basket",
       (s, dir) => {
+        // the distinct basket table feeds FOUR consumers (order total, item
+        // counts, both sides of the pair self-join); lazy it would re-scan
+        // the fact table and re-pay the distinct shuffle per consumer (5
+        // scans / 5 corpus-wide exchanges measured in the r20 plan dump —
+        // exchange reuse does not fire across these branches). Materialize
+        // the aggregated intermediate ONCE (r20, guide §1.2/§2.4); swap
+        // checkpoint() for localCheckpoint at cluster scale, as in
+        // connectedComponents. Same rows, bit-identical result.
         val b = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .localCheckpoint(true)
         val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+        // item counts broadcast twice (c1, c2) — pin the one aggregation
         val ic = b.groupBy("pk").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
         val pairs = b.toDF("ok", "p1")
           .join(b.toDF("ok2", "p2"),
             col("ok") === col("ok2") && col("p1") < col("p2"))
@@ -574,13 +585,19 @@ object RelationalExtras {
     QueryDef("q164_rfm_segments",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val maxD = Tables.orders(s, dir)
-          .agg(max(to_date(col("o_orderdate"))).as("corpus_max"))
-        val cust = Tables.orders(s, dir)
+        // ONE orders pass: the corpus-max order date is the max of the
+        // per-customer maxima, so it folds from the customer rollup
+        // instead of a second fact scan (r20, guide §1.2; exchange reuse
+        // does not fire across the branches). Swap checkpoint() for
+        // localCheckpoint at cluster scale. Same values, bit-identical.
+        val cust0 = Tables.orders(s, dir)
           .groupBy(col("o_custkey").as("custkey"))
           .agg(max(to_date(col("o_orderdate"))).as("last_d"),
             count(lit(1)).as("freq"),
             dsumDec(col("o_totalprice")).as("mon"))
+          .localCheckpoint(true)
+        val maxD = cust0.agg(max(col("last_d")).as("corpus_max"))
+        val cust = cust0
           .crossJoin(broadcast(maxD))
           .select(col("custkey"),
             datediff(col("corpus_max"), col("last_d")).as("rec"),

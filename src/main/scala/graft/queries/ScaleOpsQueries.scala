@@ -147,9 +147,15 @@ object ScaleOpsQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
         val nDocs = docs.count()
+        // tf feeds TWO consumers (the df census and the weighted join);
+        // lazy it would tokenize + aggregate the corpus twice (exchange
+        // reuse does not fire across the branches — r20 plan dump).
+        // Materialize the aggregated intermediate once (guide §1.2); swap
+        // checkpoint() for localCheckpoint at cluster scale.
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
         // tf is already distinct per (doc_id, token), so document frequency
         // is a plain count — countDistinct would force the two-phase
         // distinct-aggregate expansion for nothing
@@ -515,13 +521,23 @@ object ScaleOpsQueries {
     QueryDef("q175_join_cardinality_est",
       (s, dir) => {
         import graft.util.StableHash.h48
-        def hist(df: org.apache.spark.sql.DataFrame) = df
+        // BOTH legs (bucket histograms, true cardinality) are functions of
+        // the per-key count censuses: a bucket's row count is Σ of its
+        // keys' counts and its distinct count is its key count, so hist
+        // folds from the census instead of re-scanning the fact table with
+        // a two-phase countDistinct. One scan + one per-key shuffle per
+        // side (was two of each — r20, guide §1.2; exchange reuse does not
+        // fire across the legs). Swap checkpoint() for localCheckpoint at
+        // cluster scale.
+        def census(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("k").agg(count(lit(1)).as("c")).localCheckpoint(true)
+        def hist(perKey: org.apache.spark.sql.DataFrame) = perKey
           .groupBy((h48(col("k")) % 64).as("bkt"))
-          .agg(count(lit(1)).as("c"), countDistinct(col("k")).as("d"))
-        val a = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
-        val b = Tables.lineitem(s, dir)
+          .agg(sum(col("c")).as("c"), count(lit(1)).as("d"))
+        val a = census(Tables.lineitem(s, dir).select(col("l_partkey").as("k")))
+        val b = census(Tables.lineitem(s, dir)
           .filter(year(col("l_shipdate")) === 1996)
-          .select(col("l_partkey").as("k"))
+          .select(col("l_partkey").as("k")))
         val est = hist(a).toDF("bkt", "ca", "da")
           .join(hist(b).toDF("bkt2", "cb", "db"), col("bkt") === col("bkt2"))
           .agg(dsum((col("ca") * col("cb")).cast("double")
@@ -530,8 +546,8 @@ object ScaleOpsQueries {
         // from the two per-key count tables instead of materializing the
         // multi-million-row join just to count it (same exact number,
         // measured 3× cheaper)
-        val act = a.groupBy("k").agg(count(lit(1)).as("ca"))
-          .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+        val act = a.toDF("k", "ca")
+          .join(b.toDF("k", "cb"), Seq("k"))
           .agg(sum(col("ca") * col("cb")).as("actual_rows"))
         est.crossJoin(act)
           .select(round(col("est"), 2).as("est_rows"), col("actual_rows"),

@@ -251,7 +251,13 @@ object CoreQueries {
     QueryDef("q12_setops_customer_cohorts",
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        def keys(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+        // each cohort feeds THREE set ops (intersect/except/union) and the
+        // year(...) filter cannot push to parquet (derived column), so lazy
+        // this was 6 full orders scans (r20 plan dump; exchange reuse does
+        // not fire across the branches). Materialize each cohort once;
+        // swap checkpoint() for localCheckpoint at cluster scale.
+        def keys(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select("o_custkey").localCheckpoint(true)
         val a = keys(1996); val b = keys(1997)
         val both   = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("cohort", lit("both"))
         val only96 = a.except(b).agg(count(lit(1)).as("n")).withColumn("cohort", lit("only_1996"))

@@ -737,9 +737,15 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
     val isT = col("source") === "src0"
+    // the vocabulary census feeds the totals AND the weight table; lazy
+    // it re-tokenized the corpus per consumer (3 document scans in the
+    // r20 plan dump). Pin the vocabulary-bounded table once (r20, guide
+    // §1.2); the scoring pass below keeps its map-side corpus scan. Swap
+    // checkpoint() for localCheckpoint at cluster scale.
     val cnt = toks.groupBy("tok").agg(
       sum(when(isT, 1L).otherwise(0L)).as("a"),
       sum(when(isT, 0L).otherwise(1L)).as("b"))
+      .localCheckpoint(true)
     val tot = cnt.agg(sum("a").as("na"), sum("b").as("nb"),
       count(lit(1)).as("v"))
     val w = cnt.crossJoin(broadcast(tot))
@@ -1547,8 +1553,13 @@ object PipelineQueries {
         val docs = Tables.documents(s, dir)
           .select(col("source"), col("doc_id"),
             size(split(col("text"), " ", -1)).as("tok"))
+        // the per-source census feeds the totals AND the schedule; lazy it
+        // re-scanned the corpus per consumer (3 document scans in the r20
+        // plan dump). Pin the handful-of-rows table once (guide §1.2);
+        // the final per-doc map below keeps its map-side corpus scan.
         val src = docs.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+          .localCheckpoint(true)
         val tot = src.agg(sum("tokens").as("total_tokens"),
           count(lit(1)).as("n_sources"))
         val sched = src.crossJoin(broadcast(tot))
@@ -2244,17 +2255,30 @@ object PipelineQueries {
         val qCensus = scored.groupBy("source", "q_micro")
           .agg(count(lit(1)).as("c"))
         val cuts = censusQuintileCuts(qCensus)
+        // the curated pool feeds THREE downstream passes (the gram build
+        // twice via `g`, the size table once); lazy it recomputed the
+        // quality score + scan per pass (12 document scans in the r20
+        // plan dump — exchange reuse does not fire across the branches).
+        // Materialize survivors ONCE — exactly what the landed tails
+        // (q267/q269) do with this pool on disk; swap checkpoint() for
+        // localCheckpoint at cluster scale. Bit-identical result.
         val kept = scored.join(broadcast(cuts), "source")
           .filter(col("q_micro") >= col("cut_micro"))
+          .localCheckpoint(true)
         // stage 2: span scrub over the curated pool (q250's shape,
         // reduced to counts — the layout needs masses, not text)
         val toks = kept
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        // the gram table feeds the dup census AND the coverage join: pin
+        // the one 8-gram explode (production hashes gram keys into a
+        // posting table — ngramPostings — which IS this materialization;
+        // the demo keeps strings for oracle exactness)
         val g = toks.filter(size(col("t")) >= 8)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(t)-7), i -> named_struct(" +
               "'i', i, 'gram', array_join(slice(t, i, 8), ' ')))")).as("sg"))
           .select(col("doc_id"), col("sg.i").as("i"), col("sg.gram").as("gram"))
+          .localCheckpoint(true)
         val dup = g.groupBy("gram")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("gram")

@@ -188,8 +188,14 @@ object RelationalExtras {
     // ---- multiplicity-preserving set ops (EXCEPT ALL / INTERSECT ALL) ----
     QueryDef("q73_setops_all",
       (s, dir) => {
-        val a = Tables.orders(s, dir).filter(col("o_totalprice") > 100000).select("o_custkey")
-        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "O").select("o_custkey")
+        // each side feeds THREE set ops — lazy that was 6 orders scans
+        // (r20 plan dump; exchange reuse does not fire across branches).
+        // Materialize the narrow key columns once; swap checkpoint() for
+        // localCheckpoint at cluster scale.
+        val a = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+          .select("o_custkey").localCheckpoint(true)
+        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+          .select("o_custkey").localCheckpoint(true)
         val ea = a.exceptAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
         val ia = a.intersectAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
         val ed = a.except(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except_distinct"))

@@ -69,10 +69,20 @@ object TextQueries {
       dir: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+    // dl feeds the corpus stats AND the score join; tf feeds the df
+    // census AND the score rows — lazy, each consumer re-tokenized the
+    // corpus (4 document scans in the r20 plan dump; exchange reuse does
+    // not fire across the branches). Materialize the two NARROW derived
+    // tables once (no text/token arrays pinned — the decide-on-small
+    // discipline); swap checkpoint() for localCheckpoint at cluster
+    // scale. Bit-identical scores, and q208's fusion tower inherits the
+    // same cut through this shared definition.
     val dl = toks.select(col("doc_id"), size(col("w")).as("dl"))
+      .localCheckpoint(true)
     val tf = toks.select(col("doc_id"), explode(col("w")).as("t"))
       .filter(col("t").isin(terms: _*))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
     val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfq), "t")
@@ -323,10 +333,17 @@ object TextQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("doc_id").orderBy("pos")
+        // the bigram stream feeds the model build AND the scoring join;
+        // lazy, each consumer re-paid the posexplode + per-doc window
+        // (3 document scans in the r20 plan dump). Materialize the
+        // narrow (doc_id, w1, w2) stream once (r20, guide §1.2); swap
+        // checkpoint() for localCheckpoint at cluster scale.
         val bigrams = Tables.documents(s, dir)
           .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
           .withColumn("w2", lead(col("w1"), 1).over(w))
           .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("w1"), col("w2"))
+          .localCheckpoint(true)
         val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
         val model = broadcast(c12.join(c1, "w1")
@@ -489,15 +506,23 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(split(col("text"), " ", -1).as("w"))
+        // the unigram census feeds THREE consumers (both join sides + the
+        // token total) and the bigram census two (the PMI rows + its
+        // total); lazy each consumer re-tokenized the corpus — exchange
+        // reuse does NOT fire across these branches (5 document scans in
+        // the r20 plan dump, refuting the earlier reuse claim here).
+        // Materialize the vocabulary-bounded censuses once (r20, guide
+        // §1.2); swap checkpoint() for localCheckpoint at cluster scale.
         val uni = docs.select(explode(col("w")).as("x"))
           .groupBy("x").agg(count(lit(1)).as("cx"))
+          .localCheckpoint(true)
         val bg = docs.select(explode(expr(
             "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1)," +
             " (a, b) -> named_struct('x', a, 'y', b))")).as("b"))
           .select(col("b.x").as("x"), col("b.y").as("y"))
           .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
-        // totals as broadcast scalar frames, NOT driver collects: one job,
-        // and the uni/bg exchanges are reused instead of recomputed
+          .localCheckpoint(true)
+        // totals as broadcast scalar frames, NOT driver collects
         bg.filter(col("cxy") >= 5)
           .join(broadcast(uni), "x")
           .join(broadcast(uni.select(col("x").as("y"), col("cx").as("cy"))),

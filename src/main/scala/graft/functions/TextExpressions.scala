@@ -88,10 +88,62 @@ case class SortedDistinctTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass POSITIONAL word-k-gram extraction (every gram, in order —
+  * the span-dedup input, unlike [[DistinctWordShingles]]' deduped set).
+  * Equivalent to `transform(sequence(1, size(t)-7), i ->
+  * array_join(slice(t, i, k), ' '))` over `t = split(text, ' ')` but one
+  * native eval per ROW instead of an interpreted lambda + slice +
+  * array_join allocation per gram (~1 ms/row measured for the HOF chain
+  * — the [[DistinctWordShingles]] rationale, r20 guide §1.2 step 2
+  * "per-task work"). Gram position = array index (posexplode pos) + 1,
+  * matching the 1-based `sequence(1, ...)` of the HOF form. Fewer than
+  * k tokens → empty array (the HOF form's `size(t) >= k` guard).
+  * Tokenization is `split(" ", -1)` — Spark's split() semantics (keep
+  * trailing empties), the [[SortedDistinctTokens]] discipline.
+  */
+case class WordGrams(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val n = toks.length - k + 1
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder(16 * k)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct word-k-shingles of a text column (native single-pass). */
   def distinctShingles(text: Column, k: Int): Column =
     GraftBridge.column(DistinctWordShingles(GraftBridge.expression(text), k))
+
+  /** Every word-k-gram of a text column, in position order (native
+    * single-pass); gram position = array index + 1.
+    */
+  def wordGrams(text: Column, k: Int): Column =
+    GraftBridge.column(WordGrams(GraftBridge.expression(text), k))
 
   /** Sorted distinct lowercased tokens, space-joined (native single-pass). */
   def sortedDistinctTokens(text: Column): Column =

@@ -2273,11 +2273,13 @@ object PipelineQueries {
         // the one 8-gram explode (production hashes gram keys into a
         // posting table — ngramPostings — which IS this materialization;
         // the demo keeps strings for oracle exactness)
-        val g = toks.filter(size(col("t")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t)-7), i -> named_struct(" +
-              "'i', i, 'gram', array_join(slice(t, i, 8), ' ')))")).as("sg"))
-          .select(col("doc_id"), col("sg.i").as("i"), col("sg.gram").as("gram"))
+        // native one-pass gram extraction (WordGrams) instead of the
+        // interpreted transform+slice+array_join lambda per gram — same
+        // grams, same 1-based positions (r20, guide per-task work)
+        val g = kept
+          .select(col("doc_id"), posexplode(graft.functions.TextExpressions
+            .wordGrams(col("text"), 8)).as(Seq("g0", "gram")))
+          .select(col("doc_id"), (col("g0") + 1).as("i"), col("gram"))
           .localCheckpoint(true)
         val dup = g.groupBy("gram")
           .agg(countDistinct(col("doc_id")).as("nd"))

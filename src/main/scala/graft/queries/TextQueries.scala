@@ -651,12 +651,13 @@ object TextQueries {
     // it partitions by span hash and never collects.
     QueryDef("q171_span_dedup",
       (s, dir) => {
+        // native one-pass gram extraction (WordGrams) instead of the
+        // interpreted transform+slice+array_join lambda per gram — same
+        // gram multiset (r20, guide per-task work); the < 8-token guard
+        // lives inside the expression (empty array → explode drops)
         val g = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t)-7)," +
-              " i -> array_join(slice(t, i, 8), ' '))")).as("gram"))
+          .select(col("doc_id"), explode(graft.functions.TextExpressions
+            .wordGrams(col("text"), 8)).as("gram"))
         val dup = g.groupBy("gram")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
@@ -1511,11 +1512,13 @@ object TextQueries {
         val pos = toks
           .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
           .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
-        val g = toks.filter(size(col("t")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t)-7), i -> named_struct(" +
-              "'i', i, 'gram', array_join(slice(t, i, 8), ' ')))")).as("sg"))
-          .select(col("doc_id"), col("sg.i").as("i"), col("sg.gram").as("gram"))
+        // native one-pass gram extraction (WordGrams) instead of the
+        // interpreted transform+slice+array_join lambda per gram — same
+        // grams, same 1-based positions (r20, guide per-task work)
+        val g = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(graft.functions.TextExpressions
+            .wordGrams(col("text"), 8)).as(Seq("g0", "gram")))
+          .select(col("doc_id"), (col("g0") + 1).as("i"), col("gram"))
         val dup = g.groupBy("gram")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("gram")

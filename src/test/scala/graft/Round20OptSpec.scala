@@ -26,6 +26,36 @@ class Round20OptSpec extends SparkSpec {
     }
   }
 
+  test("WordGrams == the HOF transform/slice/array_join formulation") {
+    import spark.implicits._
+    // real corpus + the edge shapes the HOF guard handled (short docs,
+    // exactly-8 tokens, empty text, repeated/empty tokens)
+    val edge = Seq((900001L, "a b c d e f g h"), (900002L, "a b"),
+      (900003L, ""), (900004L, "x x  x x x x x x x"),
+      (900005L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.sources.Tables.documents(spark, d)
+        .select("doc_id", "text").unionByName(edge)
+      val native = docs
+        .select(col("doc_id"), posexplode(graft.functions.TextExpressions
+          .wordGrams(col("text"), 8)).as(Seq("g0", "gram")))
+        .select(col("doc_id"), (col("g0") + 1).as("i"), col("gram"))
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      val hof = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t)-7), i -> named_struct(" +
+            "'i', i, 'gram', array_join(slice(t, i, 8), ' ')))")).as("sg"))
+        .select(col("doc_id"), col("sg.i").as("i"), col("sg.gram").as("gram"))
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      assert(native == hof,
+        s"$d: WordGrams diverges from the HOF formulation " +
+          s"(native ${native.size} rows, hof ${hof.size})")
+    }
+  }
+
   test("StagedIngest.stage: one file per epoch, content == per-epoch filters") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
